@@ -1,0 +1,235 @@
+"""Sources: raw data → the predicates DataFrame (SURVEY §2.1 / §2.2).
+
+The engine's runtime data model is one flat table (reference
+``src/aces/predicates.py:188-226``):
+
+    subject_id: long | timestamp: timestamp(μs) | <one long column per predicate>
+
+with ``(subject_id, timestamp)`` unique, and null-timestamp rows carrying
+static (demographic) facts.
+
+Supported standards (dispatch mirrors ``src/aces/predicates.py:693-715``):
+
+* ``direct`` — user-supplied predicate-count table as CSV or parquet
+  (reference ``:21-226``).
+* ``meds`` — MEDS event parquet (``subject_id, time, code, numeric_value``),
+  predicates evaluated as boolean Column expressions
+  (reference ``:229-288``). A directory of shards is read as ONE Spark scan
+  (shards become input splits) — the reference's per-shard Hydra multirun
+  (``src/aces/configs/data/sharded.yaml``) collapses into native
+  partitioning.
+* ``esgpt`` — not supported (optional in the reference too,
+  ``src/aces/predicates.py:442-450``); raises ``NotImplementedError``.
+
+Scale notes: only the source columns referenced by some predicate are
+selected before any compute (column pruning reaches the parquet scan), the
+event-collapse ``groupBy(subject_id, timestamp)`` is the pipeline's single
+required shuffle, and everything downstream reuses that hash partitioning.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import TaskExtractorConfig
+from ..types import (
+    ANY_EVENT_COLUMN,
+    END_OF_RECORD_KEY,
+    PRED_CNT_TYPE,
+    START_OF_RECORD_KEY,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def direct_load_plain_predicates(
+    spark: SparkSession,
+    data_path: str | Path,
+    predicates: list[str],
+    ts_format: str | None,
+) -> DataFrame:
+    """Load a user-supplied predicates table (reference
+    ``src/aces/predicates.py:21-226``): validate columns, parse string
+    timestamps with ``ts_format``, and collapse duplicate
+    ``(subject_id, timestamp)`` rows by summing counts."""
+    data_path = Path(data_path)
+    if not data_path.is_file() and not data_path.is_dir():
+        raise FileNotFoundError(f"Direct predicates file {data_path} does not exist!")
+
+    match data_path.suffix:
+        case ".csv":
+            data = spark.read.csv(str(data_path), header=True, inferSchema=True)
+        case ".parquet" | "":
+            data = spark.read.parquet(str(data_path))
+        case _:
+            raise ValueError(f"Unsupported file format: {data_path.suffix}")
+
+    columns = ["subject_id", "timestamp", *predicates]
+    missing_columns = [col for col in columns if col not in data.columns]
+    if missing_columns:
+        raise ValueError(f"Missing columns: {missing_columns}")
+
+    data = data.select(*columns)
+    ts_type = dict(data.dtypes)["timestamp"]
+    if ts_type == "string":
+        if ts_format is None:
+            raise ValueError("Must provide a timestamp format for direct predicates with str timestamps.")
+        spark_fmt = _strptime_to_spark(ts_format)
+        data = data.withColumn("timestamp", F.to_timestamp(F.col("timestamp"), spark_fmt))
+    elif ts_type.startswith("timestamp") or ts_type == "date":
+        if ts_format is not None:
+            logger.info("Ignoring timestamp format %s; timestamps are already %s", ts_format, ts_type)
+        data = data.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    else:
+        raise TypeError(f"Passed predicates have timestamps of invalid type {ts_type}.")
+
+    return (
+        data.withColumn("subject_id", F.col("subject_id").cast("long"))
+        .groupBy("subject_id", "timestamp")
+        .agg(*[F.sum(F.col(c)).cast(PRED_CNT_TYPE).alias(c) for c in predicates])
+    )
+
+
+def _strptime_to_spark(fmt: str) -> str:
+    """Translate the strptime-style format the reference accepts
+    (``%m/%d/%Y %H:%M``, ``tests/test_e2e.py:11``) into a Spark/Java
+    datetime pattern."""
+    mapping = {
+        "%Y": "yyyy",
+        "%y": "yy",
+        "%m": "MM",
+        "%d": "dd",
+        "%H": "HH",
+        "%M": "mm",
+        "%S": "ss",
+        "%f": "SSSSSS",
+    }
+    out = fmt
+    for k, v in mapping.items():
+        out = out.replace(k, v)
+    return out
+
+
+def generate_plain_predicates_from_meds(
+    spark: SparkSession,
+    data_path: str | Path,
+    predicates: dict,
+) -> DataFrame:
+    """MEDS parquet → predicate counts (reference
+    ``src/aces/predicates.py:229-288``): rename ``time`` → ``timestamp``,
+    evaluate each plain predicate as a boolean Column over
+    ``code``/``numeric_value``, and collapse per ``(subject_id, timestamp)``.
+
+    ``data_path`` may be a single parquet file, a shard directory, or a
+    glob — all become one distributed scan.
+    """
+    data = spark.read.parquet(str(data_path))
+    data = data.withColumnRenamed("time", "timestamp")
+
+    # column pruning: only read source columns some predicate references
+    needed = {"subject_id", "timestamp"}
+    for p in predicates.values():
+        needed.update(p.source_columns)
+    data = data.select(*[c for c in data.columns if c in needed])
+    data = data.withColumn("code", F.col("code").cast("string"))
+
+    pred_exprs = {
+        name: F.coalesce(p.spark_expr().cast(PRED_CNT_TYPE), F.lit(0)).alias(name)
+        for name, p in predicates.items()
+    }
+    data = data.select(
+        F.col("subject_id").cast("long").alias("subject_id"),
+        F.col("timestamp").cast("timestamp").alias("timestamp"),
+        *pred_exprs.values(),
+    )
+
+    return data.groupBy("subject_id", "timestamp").agg(
+        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).cast(PRED_CNT_TYPE).alias(c) for c in predicates]
+    )
+
+
+def get_predicates_df(
+    cfg: TaskExtractorConfig,
+    spark: SparkSession,
+    data_path: str | Path,
+    standard: str = "meds",
+    ts_format: str | None = None,
+) -> DataFrame:
+    """Build the full predicates DataFrame for a task config (reference
+    ``src/aces/predicates.py:677-792``): load plain predicates, evaluate
+    derived predicates in topological order (propagating static values
+    per subject first where needed), and synthesize the special
+    ``_ANY_EVENT`` / ``_RECORD_START`` / ``_RECORD_END`` columns on demand.
+    """
+    plain_predicates = cfg.plain_predicates
+    match standard.lower():
+        case "direct":
+            data = direct_load_plain_predicates(
+                spark, data_path, list(plain_predicates.keys()), ts_format
+            )
+        case "meds":
+            data = generate_plain_predicates_from_meds(spark, data_path, plain_predicates)
+        case "esgpt":
+            raise NotImplementedError(
+                "The ESGPT standard is not supported by the Spark engine "
+                "(optional in the reference as well, src/aces/predicates.py:442-450)."
+            )
+        case _:
+            raise ValueError(f"Invalid data standard: {standard}. Options are 'direct', 'MEDS'.")
+
+    w_subj = Window.partitionBy("subject_id")
+    # deterministic "first row" per subject = null-timestamp row first, then
+    # earliest event (reference sorts nulls-first then takes first();
+    # src/aces/predicates.py:718, :727-729)
+    w_first = (
+        Window.partitionBy("subject_id")
+        .orderBy(F.col("timestamp").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+    # derived predicates in topological order (src/aces/predicates.py:722-736)
+    static_variables = [p for p, c in plain_predicates.items() if c.static]
+    for name, code in cfg.derived_predicates.items():
+        if any(x in static_variables for x in code.input_predicates):
+            # broadcast each subject's static value to all its rows
+            data = data.withColumns(
+                {sv: F.first(F.col(sv)).over(w_first) for sv in static_variables}
+            )
+        data = data.withColumn(name, code.spark_expr().cast(PRED_CNT_TYPE))
+
+    # special predicate columns, synthesized only if referenced
+    # (src/aces/predicates.py:742-789)
+    special_predicates: list[str] = []
+    for window in cfg.windows.values():
+        if ANY_EVENT_COLUMN in window.referenced_predicates and ANY_EVENT_COLUMN not in special_predicates:
+            special_predicates.append(ANY_EVENT_COLUMN)
+        for key in (START_OF_RECORD_KEY, END_OF_RECORD_KEY):
+            if key in window.constraint_predicates and key not in special_predicates:
+                special_predicates.append(key)
+    if (
+        cfg.trigger.predicate in (ANY_EVENT_COLUMN, START_OF_RECORD_KEY, END_OF_RECORD_KEY)
+        and cfg.trigger.predicate not in special_predicates
+    ):
+        special_predicates.append(cfg.trigger.predicate)
+
+    if ANY_EVENT_COLUMN in special_predicates:
+        data = data.withColumn(
+            ANY_EVENT_COLUMN,
+            F.when(F.col("timestamp").isNotNull(), F.lit(1)).cast(PRED_CNT_TYPE),
+        )
+    if START_OF_RECORD_KEY in special_predicates:
+        data = data.withColumn(
+            START_OF_RECORD_KEY,
+            (F.col("timestamp") == F.min("timestamp").over(w_subj)).cast(PRED_CNT_TYPE),
+        )
+    if END_OF_RECORD_KEY in special_predicates:
+        data = data.withColumn(
+            END_OF_RECORD_KEY,
+            (F.col("timestamp") == F.max("timestamp").over(w_subj)).cast(PRED_CNT_TYPE),
+        )
+
+    return data
