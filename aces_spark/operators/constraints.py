@@ -81,8 +81,11 @@ def check_static_variables(patient_demographics: list[str], predicates_df: DataF
     ]
     keep = reduce(lambda a, b: a & b, constraints)
 
+    # window functions cannot appear in a WHERE clause — materialize the
+    # per-subject flag as a column first, then filter on it
     return (
-        predicates_df.filter(keep)
+        predicates_df.withColumn("__keep_subject", keep)
+        .filter(F.col("__keep_subject"))
         .filter(F.col("timestamp").isNotNull())
-        .drop(*patient_demographics)
+        .drop("__keep_subject", *patient_demographics)
     )

@@ -98,14 +98,17 @@ def _strptime_to_spark(fmt: str) -> str:
     """Translate the strptime-style format the reference accepts
     (``%m/%d/%Y %H:%M``, ``tests/test_e2e.py:11``) into a Spark/Java
     datetime pattern."""
+    # single-letter Java patterns accept 1-2 digits, matching strptime's
+    # tolerance for unpadded fields (the reference fixtures use e.g.
+    # "12/1/1989 2:24" with %m/%d/%Y %H:%M)
     mapping = {
         "%Y": "yyyy",
         "%y": "yy",
-        "%m": "MM",
-        "%d": "dd",
-        "%H": "HH",
-        "%M": "mm",
-        "%S": "ss",
+        "%m": "M",
+        "%d": "d",
+        "%H": "H",
+        "%M": "m",
+        "%S": "s",
         "%f": "SSSSSS",
     }
     out = fmt
