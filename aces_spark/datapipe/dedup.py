@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Designed for 100 TB corpora:
+
+* **exact** — hash-groupBy on a content fingerprint; one shuffle keyed by
+  the digest (uniform keys, no skew).
+* **n-gram Jaccard** — inverted-index join: explode word shingles, drop
+  ultra-common shingles (a document-frequency cap kills the quadratic
+  blowup on boilerplate), self-join on shingle, group by pair. Shuffle is
+  keyed by shingle digest; the DF cap bounds per-key fanout.
+* **MinHash-LSH** — b×r banded signatures from md5-derived hash values
+  (deterministic, engine-portable), candidate pairs from band-bucket
+  groupBy. Linear in corpus size; only same-bucket pairs are compared.
+* **SimHash** — 32-bit signature from per-token md5 bits; near-dups are
+  pairs within Hamming distance k found by block rotation (here: exact
+  signature match buckets, the scalable first stage).
+
+Everything is Column-expression-only (no Python UDFs); md5 is used as the
+portable hash everywhere so a DuckDB oracle can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def _norm_tokens(text_col: str) -> Column:
+    """Lowercased alphanumeric word tokens (engine-portable normalization)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    return F.when(F.length(normalized) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(normalized, " ")
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles:
+    ``(doc_id, shingle)``."""
+    tokens = _norm_tokens(text_col)
+    # guard: Spark sequence(0, negative) counts DOWN — docs shorter than n
+    # tokens must yield no shingles, not a descending index range
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    return df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact (normalized) duplicate groups: fingerprint → group → keep the
+    min doc_id as canonical. Returns
+    ``(fingerprint, n_dups, canonical_doc_id)`` for groups with ≥2 docs."""
+    fp = fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by word-n-gram Jaccard similarity via
+    an inverted-index self-join. Returns ``(doc_a, doc_b, jaccard)`` with
+    ``doc_a < doc_b`` and ``jaccard ≥ threshold`` (rounded to 4 dp).
+
+    ``max_doc_freq`` drops shingles shared by more than that many documents
+    — the boilerplate guard that keeps the join linear at corpus scale.
+    """
+    sh = word_shingles(df, n, text_col)
+
+    if max_doc_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _portable_hash(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit-ish hash portable across Spark and SQL oracles:
+    the first 8 hex chars of ``md5(seed || value)`` as a bigint."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded
+    hash functions, the min hash over the document's shingles. Output:
+    ``(doc_id, h0 .. h{num_hashes-1})``."""
+    sh = word_shingles(df, n, text_col)
+    aggs = [
+        F.min(_portable_hash(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures split into ``bands`` bands of
+    ``num_hashes // bands`` rows; documents sharing any band bucket become a
+    candidate pair. Returns distinct ``(doc_a, doc_b)`` with ``doc_a <
+    doc_b``.
+
+    Scale path: the band bucket is the shuffle key (uniform by
+    construction); no pairwise comparison outside buckets.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    sig = minhash_signatures(df, n, num_hashes, text_col)
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bucket"))
+        )
+    banded = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(b2, on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """Per-document SimHash signature over word tokens.
+
+    Each token contributes ±1 to each bit position according to its md5;
+    the signature's bit i is 1 iff the weighted sum is positive. Computed
+    as pure expressions: tokens explode → per-bit votes → groupBy doc.
+    Returns ``(doc_id, simhash)`` with a ``bits``-wide bigint signature.
+    """
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits (portable-hash width)")
+    tokens = df.select("doc_id", F.explode(_norm_tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = tokens.select(
+        "doc_id",
+        *[
+            F.when((F.shiftright(h, i) % 2) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(F.col(f"b{i}")).alias(f"b{i}") for i in range(bits)]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else (sig + bit)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical SimHash signature (the scalable
+    bucket stage of SimHash dedup). Returns
+    ``(simhash, n_dups, canonical_doc_id)`` for groups of ≥2."""
+    return (
+        simhash(df, bits, text_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_dups") >= 2)
+    )

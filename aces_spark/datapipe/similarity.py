@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set against the corpus, compute cosine with JVM-side higher-order
+  functions (``zip_with`` + ``aggregate``: no Python in the loop), take
+  top-k per query with a rank window. One shuffle (by query) of size
+  |queries| × |corpus| rows *after* predicate pushdown — at 100 TB the
+  corpus side stays partition-local because the query side is broadcast.
+* **LSH-bucketed (IVF-style) ANN** — the scale path: assign every vector to
+  its nearest of K deterministic seed centroids (coarse quantizer), search
+  only within the query's probe cells. Turns the crossJoin into a
+  bucket-equi-join keyed by cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k most similar corpus
+    vectors (excluding itself). Returns
+    ``(query_id, neighbor_id, cosine_sim)`` with deterministic tie-breaking
+    (similarity desc, neighbor id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (by cosine). ``centroids`` is ``(cell_id, centroid)`` and must be small
+    (broadcast). Deterministic ties: lowest cell_id wins."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
+    c = centroids.select("cell_id", F.col("centroid").alias("__cent"))
+    scored = F.broadcast(c).crossJoin(v).select(
+        "vec_id",
+        "cell_id",
+        F.round(cosine(F.col("__vec"), F.col("__cent")), 9).alias("__sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+def seed_centroids(vectors: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: the first ``k`` vectors by id (a
+    fixed, iteration-free quantizer — replace with k-means offline when
+    quality matters; the plumbing is identical)."""
+    w = Window.orderBy(F.col("__sid").asc())
+    return (
+        vectors.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("centroid"))
+        .withColumn("cell_id", F.row_number().over(w) - 1)
+        .filter(F.col("cell_id") < k)
+        .select("cell_id", "centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: quantize corpus + queries into ``n_cells`` cells,
+    then brute-force only within the query's own cell (1-probe IVF).
+    Same output shape as :func:`brute_force_topk`."""
+    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
+    query_cells = assign_cells(queries, cents, id_col, vec_col).withColumnRenamed("vec_id", "query_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).join(
+        query_cells, "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
+        corpus_cells, "neighbor_id"
+    )
+
+    sims = (
+        F.broadcast(q)
+        .join(c, on="cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

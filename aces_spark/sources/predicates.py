@@ -130,8 +130,18 @@ def generate_plain_predicates_from_meds(
     ``data_path`` may be a single parquet file, a shard directory, or a
     glob — all become one distributed scan.
     """
-    data = spark.read.parquet(str(data_path))
-    data = data.withColumnRenamed("time", "timestamp")
+    # MEDS shard directories nest (train/0, held_out/0/0, ...); recurse so
+    # one scan covers the whole dataset (shards become input splits)
+    data = spark.read.option("recursiveFileLookup", "true").parquet(str(data_path))
+    return plain_predicates_from_meds_df(data, predicates)
+
+
+def plain_predicates_from_meds_df(data: DataFrame, predicates: dict) -> DataFrame:
+    """Evaluate plain predicates over an already-loaded MEDS-shaped
+    DataFrame (``subject_id, time|timestamp, code, numeric_value, ...``)
+    and collapse per ``(subject_id, timestamp)``."""
+    if "time" in data.columns and "timestamp" not in data.columns:
+        data = data.withColumnRenamed("time", "timestamp")
 
     # column pruning: only read source columns some predicate references
     needed = {"subject_id", "timestamp"}

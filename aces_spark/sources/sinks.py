@@ -1,0 +1,74 @@
+"""Sinks: result writing and the MEDS label schema (SURVEY §2.1 S5-S7).
+
+Reimplements the reference's output coercion (``src/aces/run.py:22-118``,
+``:146-167``): the cohort result is renamed/cast to the public MEDS label
+schema — mandatory ``subject_id: long``; optional ``prediction_time:
+timestamp``, ``boolean_value: boolean``, ``integer_value: long``,
+``float_value: double``, ``categorical_value: string`` — with extra columns
+(the window structs) dropped, or optionally persisted separately as the
+"window stats" output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDS_LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("subject_id", T.LongType(), False),
+        T.StructField("prediction_time", T.TimestampType(), True),
+        T.StructField("boolean_value", T.BooleanType(), True),
+        T.StructField("integer_value", T.LongType(), True),
+        T.StructField("float_value", T.DoubleType(), True),
+        T.StructField("categorical_value", T.StringType(), True),
+    ]
+)
+
+_RENAME = {
+    "subject_id": "subject_id",
+    "index_timestamp": "prediction_time",
+    "label": "boolean_value",
+}
+
+
+def to_meds_labels(result: DataFrame) -> DataFrame:
+    """Coerce a cohort-extraction result to the MEDS label schema
+    (reference ``src/aces/run.py:146-165``): rename
+    ``index_timestamp`` → ``prediction_time`` and ``label`` →
+    ``boolean_value`` (count > 0), add missing optional columns as nulls,
+    drop everything else."""
+    if "subject_id" not in result.columns:
+        raise ValueError("Output dataframe is missing a 'subject_id' column.")
+
+    for src, dst in _RENAME.items():
+        if src in result.columns and src != dst:
+            result = result.withColumnRenamed(src, dst)
+
+    cols = []
+    for field in MEDS_LABEL_SCHEMA.fields:
+        if field.name in result.columns:
+            col = F.col(f"`{field.name}`")
+            if field.name == "boolean_value":
+                col = (col.cast("long") > 0)
+            cols.append(col.cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return result.select(*cols)
+
+
+def write_result(
+    result: DataFrame,
+    output_path: str,
+    meds_labels: bool = False,
+    window_stats_path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the cohort result as parquet; optionally as MEDS labels with
+    the raw window-struct frame persisted separately
+    (reference ``src/aces/run.py:161-167``)."""
+    if window_stats_path:
+        result.write.mode(mode).parquet(window_stats_path)
+    out = to_meds_labels(result) if meds_labels else result
+    out.write.mode(mode).parquet(output_path)
