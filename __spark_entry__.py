@@ -60,11 +60,30 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 # ---------------------------------------------------------------- helpers
 
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with sane parallelism.
+
+    The driver's tables are single parquet files with one row group, so the
+    scan yields ONE input split regardless of core count; without
+    intervention every downstream stage before the first shuffle runs
+    single-threaded. Repartition when (and only when) the scan is starved —
+    at production scale a table has many splits and this no-ops.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table. Its ``ts`` is parquet TIMESTAMP(NANOS), which
     Spark rejects natively — read nanos as long and truncate to μs exactly
     as DuckDB/pyarrow do."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # no round-robin repartition here: every events consumer immediately
+    # hash-partitions by its own key (subject_id/user_id), which both
+    # provides the parallelism and avoids a second shuffle
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         # integer division — going through double would lose sub-ms precision
@@ -295,7 +314,7 @@ def q_sessionization(spark, sf_dir):
 
 def q_lineitem_pricing_summary(spark, sf_dir):
     """A1/A7-style wide aggregation (TPC-H Q1 shape) in exact decimal."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_table(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -317,13 +336,13 @@ def q_lineitem_pricing_summary(spark, sf_dir):
 def q_revenue_join(spark, sf_dir):
     """J-ops: 3-way join customer ⋈ orders ⋈ lineitem with selective filter
     (TPC-H Q3 shape), exact decimal revenue."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    c = _read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = _read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
@@ -338,9 +357,9 @@ def q_revenue_join(spark, sf_dir):
 
 def q_region_rollup(spark, sf_dir):
     """J-ops with broadcast dims: customer ⋈ nation ⋈ region rollup."""
-    cst = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cst = _read_table(spark, sf_dir, "customer")
+    nat = _read_table(spark, sf_dir, "nation")
+    reg = _read_table(spark, sf_dir, "region")
     return (
         cst.join(F.broadcast(nat), cst["c_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
@@ -354,7 +373,7 @@ def q_region_rollup(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: normalized-content fingerprint groups over documents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     fp = fingerprint(docs)
     return fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -364,58 +383,58 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_exact_groups(spark, sf_dir):
     """Exact dedup groups (≥ 2 members only)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     return dedup_exact(docs).withColumnRenamed("n_dups", "n_docs")
 
 
 def q_text_char_stats(spark, sf_dir):
     """Text analysis: character/token statistics and ratios."""
-    return char_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return char_stats(_read_table(spark, sf_dir, "documents"))
 
 
 def q_text_quality(spark, sf_dir):
     """Text analysis: heuristic quality score."""
-    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return quality_score(_read_table(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark, sf_dir):
     """Text analysis: stopword-marker language identification."""
-    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return lang_id(_read_table(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
     """Text analysis: md5 document fingerprint."""
-    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return fingerprint(_read_table(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup: word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=None)
 
 
 def q_minhash_signatures(spark, sf_dir):
     """Near-dup: 8-hash MinHash signatures (md5-derived, portable)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     return minhash_signatures(docs, n=3, num_hashes=8)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Near-dup: MinHash-LSH candidate pairs (8 hashes × 4 bands)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4)
 
 
 def q_simhash_groups(spark, sf_dir):
     """Near-dup: SimHash signature buckets with ≥2 members (16-bit)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     return simhash_dup_groups(docs, bits=16)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Similarity search: exact brute-force cosine top-5 for queries
     vec_id < 5, ranked on the rounded score for determinism."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5)
@@ -424,7 +443,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """Similarity search: IVF-bucketed approximate top-5 (scale path)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5)
@@ -433,7 +452,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_embedding_label_stats(spark, sf_dir):
     """Per-label embedding stats: count + first-component mean."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_table(spark, sf_dir, "embeddings")
     return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("mean_dim0"),
@@ -443,7 +462,7 @@ def q_embedding_label_stats(spark, sf_dir):
 def q_multimodal_payload_stats(spark, sf_dir):
     """Multimodal plumbing (JVM fast path): binary payload sizes/digests —
     document text encoded as the opaque payload."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -462,12 +481,15 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal slow path: Arrow-batched mapInPandas feature extraction
     over binary payloads (decode stubbed — see datapipe.multimodal).
     Not SQL-expressible; driver records a rows-only check."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("text").alias("media_type"),
     )
+    # Python workers are the expensive resource here, not CPU: size the
+    # stage by Arrow batch volume, not core count
+    media = media.coalesce(8)
     return extract_features(media).select("media_id", "n_bytes", "payload_digest")
 
 
@@ -853,8 +875,14 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.2
 """
 
+    # mirrors minhash_signatures: hash `seed` = 32-bit slice j of
+    # md5(g || shingle) with (g, j) = divmod(seed, 4)
     minhash_cols = ",\n  ".join(
-        "MIN(CAST(concat('0x', substring(md5(concat('" + str(seed) + "|', shingle)), 1, 8)) AS BIGINT)) "
+        "MIN(CAST(concat('0x', substring(md5(concat('"
+        + str(seed // 4)
+        + "|', shingle)), "
+        + str(8 * (seed % 4) + 1)
+        + ", 8)) AS BIGINT)) "
         f"AS h{seed}"
         for seed in range(8)
     )

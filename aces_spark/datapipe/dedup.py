@@ -77,7 +77,10 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles shared by more than that many documents
     — the boilerplate guard that keeps the join linear at corpus scale.
     """
-    sh = word_shingles(df, n, text_col)
+    # the shingle relation feeds three consumers (both join sides + the
+    # per-doc size agg) — persist it so the explode runs once; Spark's LRU
+    # evicts it under memory pressure (MEMORY_AND_DISK default)
+    sh = word_shingles(df, n, text_col).persist()
 
     if max_doc_freq is not None:
         freq_w = Window.partitionBy("shingle")
@@ -126,11 +129,22 @@ def minhash_signatures(
     hash functions, the min hash over the document's shingles. Output:
     ``(doc_id, h0 .. h{num_hashes-1})``."""
     sh = word_shingles(df, n, text_col)
-    aggs = [
-        F.min(_portable_hash(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # one md5 yields 32 hex chars = FOUR independent 32-bit hashes; compute
+    # ceil(num_hashes/4) digests per shingle instead of num_hashes
+    groups = (num_hashes + 3) // 4
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle"))).alias(f"__m{g}")
+            for g in range(groups)
+        ],
+    )
+    aggs = []
+    for seed in range(num_hashes):
+        g, j = divmod(seed, 4)
+        h = F.conv(F.substring(F.col(f"__m{g}"), 8 * j + 1, 8), 16, 10).cast("long")
+        aggs.append(F.min(h).alias(f"h{seed}"))
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -203,72 +203,60 @@ def boolean_expr_bound_sum(
     cum_cols = {f"__cum_{c}": F.sum(F.col(c)).over(w_cum) for c in pred_cols}
     base = df.withColumns({**cum_cols, **with_offset_cols, "__bexpr": boundary_col})
 
-    # --- step 2: boundary side-relation with epsilon-shifted sort key ---
+    # --- steps 2+3: nearest-qualifying-boundary resolution ---
+    # The reference interleaves epsilon-shifted boundary pseudo-rows and
+    # directionally fills (ref :1012-1017, :1032-1036, :1052-1072). Because
+    # every timestamp is integral μs, that interleave is EXACTLY a
+    # conditional first/last over a range frame on unix_micros: a boundary
+    # at ts_b is eligible for the row at ts_r iff its shifted sort key
+    # ``ts_b - offset + eps`` falls strictly before (forward fill) / at-or-
+    # after (backward fill) the row's key — i.e. iff ts_b - ts_r lies in a
+    # closed half-line whose finite bound folds in offset, eps, and the
+    # real-before-pseudo tie rule. This keeps the kernel union-free: one
+    # window stage instead of union + re-sort + fill over a doubled
+    # relation (the Spark-first reformulation SURVEY §2.5 anticipates).
     exclude_boundary_counts = (mode == "bound_to_row" and closed in ("left", "both")) or (
         mode == "row_to_bound" and closed not in ("right", "both")
     )  # ref :1004-1010
     if mode == "bound_to_row":
         eps = -1 if closed in ("left", "both") else 1  # ref :1013-1017
+        # eligible iff ts_b - offset + eps sorts before the row (ties: real
+        # row first) ⟺ ts_b - ts_r ≤ offset - eps - 1
+        w_fill = w_subj.orderBy(ts_us.asc()).rangeBetween(
+            Window.unboundedPreceding, off_us - eps - 1
+        )
+
+        def fill(col: Column) -> Column:
+            return F.last(col, ignorenulls=True).over(w_fill)
+
     else:
         eps = 1 if closed in ("right", "both") else -1  # ref :1032-1036
+        # eligible iff ts_b - offset + eps sorts at-or-after the row
+        # ⟺ ts_b - ts_r ≥ offset - eps
+        w_fill = w_subj.orderBy(ts_us.asc()).rangeBetween(
+            off_us - eps, Window.unboundedFollowing
+        )
 
-    bcum_exprs = [
-        (F.col(f"__cum_{c}") - (F.col(c) if exclude_boundary_counts else F.lit(0))).alias(f"__bcum_{c}")
-        for c in pred_cols
-    ]
-    null_ts = F.lit(None).cast("timestamp")
-    null_long = F.lit(None).cast("long")
+        def fill(col: Column) -> Column:
+            return F.first(col, ignorenulls=True).over(w_fill)
 
-    boundary_rel = base.filter(F.col("__bexpr")).select(
-        "subject_id",
-        null_ts.alias("timestamp"),
-        (ts_us - F.lit(off_us) + F.lit(eps)).alias("__sort_us"),
-        F.col("timestamp").alias("__ts_at_boundary"),
-        *bcum_exprs,
-        F.lit(0).alias("__is_real"),
-        *[null_long.alias(f"__cum_{c}") for c in pred_cols],
-        *[null_long.alias(c) for c in pred_cols],
-        *[null_long.alias(k) for k in with_offset_cols],
-    )
-    real_rel = base.select(
+    bnd_ts = F.when(F.col("__bexpr"), F.col("timestamp"))
+
+    def bnd_cum(c: str) -> Column:
+        val = F.col(f"__cum_{c}")
+        if exclude_boundary_counts:
+            val = val - F.col(c)
+        return F.when(F.col("__bexpr"), val)
+
+    filled = base.select(
         "subject_id",
         "timestamp",
-        ts_us.alias("__sort_us"),
-        null_ts.alias("__ts_at_boundary"),
-        *[null_long.alias(f"__bcum_{c}") for c in pred_cols],
-        F.lit(1).alias("__is_real"),
+        fill(bnd_ts).alias("__ts_at_boundary"),
+        *[fill(bnd_cum(c)).alias(f"__bcum_{c}") for c in pred_cols],
         *[F.col(f"__cum_{c}") for c in pred_cols],
         *[F.col(c).cast("long").alias(c) for c in pred_cols],
-        *[F.col(k) for k in with_offset_cols],
-    )
-    unioned = real_rel.unionByName(boundary_rel)
-
-    # --- step 3: directional fill of boundary info onto real rows ---
-    # Tie order: real rows sort before boundary pseudo-rows at an equal key,
-    # reproducing the reference's stable concat-then-sort (ref :1060-1062).
-    order = [F.col("__sort_us").asc(), F.col("__is_real").desc()]
-    if mode == "bound_to_row":
-        w_fill = w_subj.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-        def fill(col: str) -> Column:
-            return F.last(F.col(col), ignorenulls=True).over(w_fill)
-
-    else:
-        w_fill = w_subj.orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-        def fill(col: str) -> Column:
-            return F.first(F.col(col), ignorenulls=True).over(w_fill)
-
-    filled = unioned.select(
-        "subject_id",
-        "timestamp",
-        fill("__ts_at_boundary").alias("__ts_at_boundary"),
-        *[fill(f"__bcum_{c}").alias(f"__bcum_{c}") for c in pred_cols],
-        "__is_real",
-        *[F.col(f"__cum_{c}") for c in pred_cols],
-        *pred_cols,
         *list(with_offset_cols.keys()),
-    ).filter(F.col("__is_real") == 1)
+    )
 
     # --- step 4: cumsum differences + endpoint corrections ---
     def window_sum(c: str) -> Column:

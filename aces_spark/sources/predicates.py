@@ -87,8 +87,14 @@ def direct_load_plain_predicates(
     else:
         raise TypeError(f"Passed predicates have timestamps of invalid type {ts_type}.")
 
+    # ONE exchange for the whole engine: hash-partitioning by subject_id
+    # satisfies the (subject_id, timestamp) clustering the collapse needs,
+    # and every downstream window/groupBy/join is keyed by subject_id, so
+    # no further shuffle is ever required (SURVEY §4: "embarrassingly
+    # parallel by subject").
     return (
         data.withColumn("subject_id", F.col("subject_id").cast("long"))
+        .repartition("subject_id")
         .groupBy("subject_id", "timestamp")
         .agg(*[F.sum(F.col(c)).cast(PRED_CNT_TYPE).alias(c) for c in predicates])
     )
@@ -160,7 +166,10 @@ def plain_predicates_from_meds_df(data: DataFrame, predicates: dict) -> DataFram
         *pred_exprs.values(),
     )
 
-    return data.groupBy("subject_id", "timestamp").agg(
+    # single-exchange strategy: partition by subject_id once; the
+    # (subject_id, timestamp) collapse then aggregates partition-locally
+    # and all downstream per-subject windows reuse the same partitioning
+    return data.repartition("subject_id").groupBy("subject_id", "timestamp").agg(
         *[F.coalesce(F.sum(F.col(c)), F.lit(0)).cast(PRED_CNT_TYPE).alias(c) for c in predicates]
     )
 
