@@ -1,0 +1,107 @@
+"""Structured Streaming surface.
+
+The reference engine is pure batch (SURVEY §2.11) — its trigger/window
+model needs each subject's whole history. What IS streamable, and what a
+production deployment of this engine needs, is the front half of the
+pipeline: continuous predicate evaluation, windowed counting, gap
+sessionization, and trigger alerting over a live event stream. These are
+thin, watermarked Structured-Streaming formulations of the same Column
+expressions the batch engine uses — one definition of each predicate,
+two execution modes.
+
+All transformations here accept either a batch or a streaming DataFrame
+(they are pure DataFrame → DataFrame functions); tests run them both ways
+and assert agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..types import PRED_CNT_TYPE
+
+
+def evaluate_predicates_stream(
+    events: DataFrame,
+    predicates: dict,
+    ts_col: str = "timestamp",
+    subject_col: str = "subject_id",
+) -> DataFrame:
+    """Row-level predicate evaluation over a (possibly streaming) MEDS-shaped
+    event frame — the stateless map stage of the batch source
+    (``sources/predicates.py``), reusable under ``readStream``."""
+    cols = [
+        F.col(subject_col).cast("long").alias("subject_id"),
+        F.col(ts_col).cast("timestamp").alias("timestamp"),
+    ]
+    for name, p in predicates.items():
+        cols.append(F.coalesce(p.spark_expr().cast(PRED_CNT_TYPE), F.lit(0)).alias(name))
+    return events.select(*cols)
+
+
+def windowed_predicate_counts(
+    pred_events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-subject tumbling/sliding-window predicate counts with late-data
+    handling: ``withWatermark`` + ``window()`` grouping — the streaming
+    analog of the temporal kernel's fixed-width case. Output columns:
+    ``subject_id, window_start, window_end, <pred sums...>``."""
+    pred_cols = [c for c in pred_events.columns if c not in ("subject_id", "timestamp")]
+    stream = pred_events
+    if stream.isStreaming:
+        stream = stream.withWatermark("timestamp", watermark)
+    win = F.window("timestamp", window, slide) if slide else F.window("timestamp", window)
+    return (
+        stream.groupBy("subject_id", win.alias("w"))
+        .agg(*[F.sum(F.col(c)).cast(PRED_CNT_TYPE).alias(c) for c in pred_cols])
+        .select(
+            "subject_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *pred_cols,
+        )
+    )
+
+
+def sessionized_counts(
+    pred_events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-subject gap-session aggregation via ``session_window`` — the
+    streaming analog of ``datapipe.sessions.sessionize`` (which uses
+    lag+cumsum in batch where ordering is available)."""
+    pred_cols = [c for c in pred_events.columns if c not in ("subject_id", "timestamp")]
+    stream = pred_events
+    if stream.isStreaming:
+        stream = stream.withWatermark("timestamp", watermark)
+    return (
+        stream.groupBy("subject_id", F.session_window("timestamp", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            *[F.sum(F.col(c)).cast(PRED_CNT_TYPE).alias(c) for c in pred_cols],
+        )
+        .select(
+            "subject_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *pred_cols,
+        )
+    )
+
+
+def trigger_alerts(
+    pred_events: DataFrame,
+    trigger_predicate: str,
+) -> DataFrame:
+    """Continuous trigger-anchor detection: emit one row per event where the
+    trigger predicate fires (the streaming analog of C3 anchor selection —
+    stateless, so it runs in append mode with no watermark needed)."""
+    return pred_events.filter(F.col(trigger_predicate) > 0).select(
+        "subject_id", F.col("timestamp").alias("subtree_anchor_timestamp")
+    )
