@@ -292,7 +292,7 @@ def q_cohort_flagship(spark, sf_dir):
     label + index_timestamp, struct summary flattened for comparison."""
     cfg = _flagship_cfg()
     pred_df = _pred_df(spark, sf_dir, _plain(["signup", "click", "purchase"]))
-    result = aces_query(cfg, pred_df, cache=False)
+    result = aces_query(cfg, pred_df)
     s = "`obs.end_summary`"
     return result.select(
         "subject_id",
@@ -932,6 +932,63 @@ r AS (
 SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
 """
 
+    # IVF: deterministic seed centroids (first 8 vec_ids), argmax-cosine
+    # cell assignment (ties → lowest cell), search restricted to the
+    # query's cell — mirrors datapipe.similarity.ivf_topk exactly.
+    sql["ann_ivf_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                 c.cell_id ASC) AS rk
+    FROM e CROSS JOIN cents c)
+  WHERE rk = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, a.cell_id
+  FROM e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE q.query_id <> e.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # SimHash: per-token md5-derived 32-bit hash, ±1 votes per bit,
+    # signature bit i set iff the vote sum is positive (16-bit here).
+    simhash_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(16)
+    )
+    sql["simhash_groups"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS tok
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks),
+sig AS (
+  SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+  FROM h GROUP BY doc_id)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS canonical_doc_id
+FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
+"""
+
     sql["embedding_label_stats"] = """
 SELECT CAST(label AS BIGINT) AS label,
   CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -946,6 +1003,6 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-    # ann_ivf_topk, simhash_groups, multimodal_features: intentionally no
-    # oracle — approximate / not SQL-expressible; rows-only check.
+    # multimodal_features: intentionally no oracle — Arrow-batched
+    # mapInPandas is not SQL-expressible; rows-only check.
     return sql
