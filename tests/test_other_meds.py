@@ -209,3 +209,76 @@ def test_other_meds_hf_readmission(spark, meds_dir, tmp_path):
         (1, datetime(2022, 1, 20, 8, 0), True),
     ]
     assert got == want, f"got {got}"
+
+
+def _nested_cfg() -> str:
+    """The reference's nested_preds_readmission task shape: 59 plain
+    admission predicates + 14 discharge predicates OR-ed into derived
+    `admission`/`discharge`, then `discharge_or_death` on top (3-deep
+    derived nesting) over a 75-column predicate frame. Only the codes
+    present in the fixture matter for results; the rest are inert
+    placeholders at the same indices as the reference config."""
+    adm_codes = {0: "ADMISSION//ED", 2: "ADMISSION//SURGICAL", 47: "ADMISSION//MEDICAL"}
+    dis_codes = {0: "DISCHARGE//HOME", 8: "DISCHARGE//HOME_AMA"}
+    lines = ["predicates:"]
+    for i in range(59):
+        lines += [f"  hospital_admission_{i}:", f"    code: {adm_codes.get(i, f'ADMISSION//SYN//{i}')}"]
+    adm_expr = ",".join(f"hospital_admission_{i}" for i in range(59))
+    lines += ["  admission:", f"    expr: or({adm_expr})"]
+    for i in range(14):
+        lines += [f"  hospital_discharge_{i}:", f"    code: {dis_codes.get(i, f'DISCHARGE//SYN//{i}')}"]
+    dis_expr = ",".join(f"hospital_discharge_{i}" for i in range(14))
+    lines += ["  discharge:", f"    expr: or({dis_expr})"]
+    lines += ["  death:", "    code: DEATH"]
+    lines += ["  discharge_or_death:", "    expr: or(discharge, death)"]
+    lines += [
+        "",
+        "trigger: discharge",
+        "",
+        "windows:",
+        "  data_within_5yr_of_admit:",
+        "    start: end - 1825d",
+        "    end: prior_admission.start",
+        "    start_inclusive: True",
+        "    end_inclusive: False",
+        "    has:",
+        "      _ANY_EVENT: (1, None)",
+        "  prior_admission:",
+        "    start: end <- admission",
+        "    end: trigger",
+        "    start_inclusive: True",
+        "    end_inclusive: False",
+        "    has:",
+        "      discharge_or_death: (None, 0)",
+        "  input:",
+        "    start: NULL",
+        "    end: trigger",
+        "    start_inclusive: True",
+        "    end_inclusive: True",
+        "    index_timestamp: end",
+        "  target:",
+        "    start: input.end",
+        "    end: start + 30d",
+        "    start_inclusive: False",
+        "    end_inclusive: True",
+        "    label: admission",
+        "  censor_protection:",
+        "    start: target.end",
+        "    end: null",
+        "    start_inclusive: False",
+        "    end_inclusive: True",
+        "    has:",
+        "      _ANY_EVENT: (1, None)",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def test_other_meds_nested_preds_readmission(spark, meds_dir, tmp_path):
+    got = _run(spark, meds_dir, _nested_cfg(), tmp_path)
+    want = [
+        (1, datetime(2022, 1, 20, 8, 0), True),
+        (3, datetime(2020, 1, 20, 15, 18), False),
+        (3, datetime(2024, 3, 28, 10, 0), True),
+        (3, datetime(2024, 4, 19, 13, 32), False),
+    ]
+    assert got == want, f"got {got}"
