@@ -48,11 +48,19 @@ from aces_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_dup_groups,
+    winnowing_fingerprints,
 )
 from aces_spark.datapipe.multimodal import extract_features, payload_stats
 from aces_spark.datapipe.sessions import session_stats
-from aces_spark.datapipe.similarity import brute_force_topk, ivf_topk
-from aces_spark.datapipe.text import char_stats, fingerprint, lang_id, quality_score
+from aces_spark.datapipe.similarity import brute_force_topk, cosine_dup_pairs, ivf_topk
+from aces_spark.datapipe.text import (
+    bpe_ish_token_count,
+    char_stats,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
 from aces_spark.sources.predicates import plain_predicates_from_meds_df
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -431,6 +439,32 @@ def q_simhash_groups(spark, sf_dir):
     return simhash_dup_groups(docs, bits=16)
 
 
+def q_token_counts(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish regex token counts."""
+    docs = _read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Near-dup: rolling-hash (winnowing) fingerprints, 4-gram k, window 4."""
+    docs = _read_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=4, window=4)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within IVF cells at threshold 0.2
+    (synthetic embeddings are near-orthogonal; a low threshold keeps the
+    result non-trivial while exercising the real pipeline)."""
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_dup_pairs(emb, threshold=0.2, n_cells=8)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Similarity search: exact brute-force cosine top-5 for queries
     vec_id < 5, ranked on the rounded score for determinism."""
@@ -518,6 +552,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "token_counts": q_token_counts,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -854,6 +891,57 @@ FROM h
 
     sql["doc_fingerprint"] = f"""
 SELECT doc_id, md5({_DOC_NORM_SQL}) AS fingerprint FROM documents
+"""
+
+    sql["token_counts"] = """
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+    # winnowing: 4-gram rolling hashes, min of each 4-window, full windows
+    # only — mirrors datapipe.dedup.winnowing_fingerprints(k=4, window=4)
+    sql["winnowing_fingerprints"] = f"""
+WITH toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+    CAST(concat('0x', substring(md5(concat('0|', array_to_string(t[i:i+3], ' '))), 1, 8)) AS BIGINT)
+      AS gram_hash
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 4),
+w AS (
+  SELECT doc_id, pos,
+    MIN(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+    MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM grams)
+SELECT DISTINCT doc_id, fingerprint FROM w WHERE pos <= max_pos - 3
+"""
+
+    sql["embedding_dup_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                 c.cell_id ASC) AS rk
+    FROM e CROSS JOIN cents c)
+  WHERE rk = 1),
+v AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a ON e.vec_id = a.vec_id)
+SELECT vec_a, vec_b, cosine_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.2
 """
 
     sql["ngram_jaccard_pairs"] = f"""

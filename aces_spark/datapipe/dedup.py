@@ -228,3 +228,39 @@ def simhash_dup_groups(df: DataFrame, bits: int = 32, text_col: str = "text") ->
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): hash every word
+    k-gram, then keep the minimum hash of each sliding window of ``window``
+    consecutive k-grams. Near-identical documents share most fingerprints;
+    the fingerprint is the shuffle key, so matching is an equi-join.
+    Returns distinct ``(doc_id, fingerprint)`` rows.
+    """
+    # k-gram ORDER matters for winnowing windows, so posexplode the ordered
+    # (non-distinct) gram array rather than reusing the distinct shingles
+    tokens = _norm_tokens(text_col)
+    idx = F.when(
+        F.size(tokens) >= k, F.sequence(F.lit(0), F.size(tokens) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, k), " "))
+    pos = df.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    hashed = pos.withColumn("gram_hash", _portable_hash(F.col("gram"), 0)).drop("gram")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(0, window - 1)
+    )
+    n_w = Window.partitionBy("doc_id")
+    return (
+        hashed.withColumn("fingerprint", F.min("gram_hash").over(w))
+        .withColumn("__n", F.max("pos").over(n_w))
+        .filter(F.col("pos") <= F.col("__n") - (window - 1))  # full windows only
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

@@ -144,3 +144,42 @@ def ivf_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates are restricted to
+    vectors sharing an IVF cell (the linear-scale stage), then exact cosine
+    filters at ``threshold``. Returns ``(vec_a, vec_b, cosine_sim)`` with
+    ``vec_a < vec_b``, similarity rounded to 6 dp.
+
+    At corpus scale this is a bucket equi-join on cell id — never an
+    all-pairs crossJoin; recall is tuned with ``n_cells`` (fewer cells =
+    higher recall, bigger buckets).
+    """
+    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    cells = assign_cells(vectors, cents, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")).join(
+        cells, "vec_id"
+    )
+    a = v.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("__vec").alias("__va")
+    )
+    b = v.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_b"), F.col("__vec").alias("__vb")
+    )
+    return (
+        a.join(b, on="cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
