@@ -242,8 +242,11 @@ def winnowing_fingerprints(
     the fingerprint is the shuffle key, so matching is an equi-join.
     Returns distinct ``(doc_id, fingerprint)`` rows.
     """
-    # k-gram ORDER matters for winnowing windows, so posexplode the ordered
-    # (non-distinct) gram array rather than reusing the distinct shingles
+    # k-gram ORDER matters, so posexplode the ordered gram array and take
+    # window minima with a rows frame. (A fully array-native variant —
+    # nested transform/slice/array_min — measured 6× slower: higher-order
+    # functions fall out of whole-stage codegen, so the per-doc shuffle
+    # with codegen'd window minima wins.)
     tokens = _norm_tokens(text_col)
     idx = F.when(
         F.size(tokens) >= k, F.sequence(F.lit(0), F.size(tokens) - k)

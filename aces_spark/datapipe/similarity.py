@@ -164,22 +164,31 @@ def cosine_dup_pairs(
     """
     cents = seed_centroids(vectors, n_cells, id_col, vec_col)
     cells = assign_cells(vectors, cents, id_col, vec_col)
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")).join(
-        cells, "vec_id"
+    # precompute each vector's norm ONCE — inside the pair join it would be
+    # recomputed |pairs| times (3× the arithmetic for 64-dim vectors)
+    v = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
+        .withColumn("__norm", _norm(F.col("__vec")))
+        .join(cells, "vec_id")
     )
     a = v.select(
-        F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("__vec").alias("__va")
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
     )
     b = v.select(
-        F.col("cell_id"), F.col("vec_id").alias("vec_b"), F.col("__vec").alias("__vb")
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
     )
     return (
         a.join(b, on="cell_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
-        )
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

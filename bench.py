@@ -53,6 +53,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
+        # queries persist intermediates (shingles, predicate frames); drop
+        # them between queries so timings are independent and GC-stable
+        spark.catalog.clearCache()
         start = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
