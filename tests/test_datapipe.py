@@ -1,0 +1,194 @@
+"""Unit tests for the datapipe operators: hand-checkable fixtures for
+dedup, similarity, text analysis, sessions, and the multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from aces_spark.datapipe.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    winnowing_fingerprints,
+    word_shingles,
+)
+from aces_spark.datapipe.multimodal import extract_features, frame_sample_plan, payload_stats
+from aces_spark.datapipe.sessions import session_stats, sessionize
+from aces_spark.datapipe.similarity import brute_force_topk, cosine_dup_pairs
+from aces_spark.datapipe.text import char_stats, fingerprint, lang_id, token_count
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog!"),  # = 1 modulo case/punct
+    (3, "The quick brown fox jumps over the sleepy cat"),  # near-dup of 1
+    (4, "completely different content about spark engines and data"),
+    (5, ""),
+    (6, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_shingles_short_docs(docs):
+    sh = word_shingles(docs, n=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 5 not in by_doc and 6 not in by_doc  # < 3 tokens → no shingles
+    assert "the quick brown" in by_doc[1]
+    assert len(by_doc[1]) == 7  # 9 tokens → 7 trigrams
+
+
+def test_dedup_exact_groups(docs):
+    groups = dedup_exact(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["canonical_doc_id"] == 1
+
+
+def test_fingerprint_normalization(docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=None).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidate_pairs(docs):
+    sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(docs, n=3, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_for_same_tokens(docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    assert s[1] == s[2]
+    assert 0 <= s[1] < 2 ** 16
+
+
+def test_winnowing_overlap(docs):
+    fp = winnowing_fingerprints(docs, k=2, window=2).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2]
+    # near-dup shares some but not all fingerprints
+    inter = by_doc[1] & by_doc[3]
+    assert inter and by_doc[1] != by_doc[3]
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r["neighbor_id"]) for r in out] == [1, 2]
+    sim01 = out[0]["cosine_sim"]
+    assert abs(sim01 - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
+
+
+def test_cosine_dup_pairs_threshold(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.01]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(vecs, threshold=0.99, n_cells=1).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_text_stats_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of to"),
+            (2, "der hund und die katze das nicht"),
+            (3, "le chat et la les des"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert langs == {1: "en", 2: "de", 3: "fr"}
+    stats = {r["doc_id"]: r for r in char_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 8
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "  "), (3, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_sessionize_and_stats(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + timedelta(minutes=10)),
+        (1, base + timedelta(minutes=70)),  # gap > 30min → new session
+        (2, base),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(ev, gap_minutes=30).collect()
+    sess = {(r["user_id"], r["ts"]): r["session_id"] for r in s}
+    assert sess[(1, base)] == 0 and sess[(1, base + timedelta(minutes=10))] == 0
+    assert sess[(1, base + timedelta(minutes=70))] == 1
+    stats = {r["user_id"]: r for r in session_stats(ev, gap_minutes=30).collect()}
+    assert stats[1]["n_sessions"] == 2 and stats[1]["n_events"] == 3
+    assert stats[1]["avg_session_secs"] == 300.0  # (600 + 0) / 2
+    assert stats[2]["n_sessions"] == 1
+
+
+def test_multimodal_payload_and_features(spark):
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"abc"), "image", (10, 20, None, "png")),
+            (2, None, "audio", (None, None, 5000, "wav")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    stats = {r["media_id"]: r for r in payload_stats(media).collect()}
+    assert stats[1]["n_bytes"] == 3 and stats[1]["width"] == 10
+    assert stats[2]["n_bytes"] is None
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3 and len(feats[1]["feature"]) == 8
+    assert feats[2]["payload_digest"] is None and feats[2]["feature"] == []
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, None, "video", (None, None, 3500, "h264")), (2, None, "image", (1, 1, None, "png"))],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert sorted(r["sample_at_ms"] for r in plan) == [0, 1000, 2000, 3000]
+    assert {r["media_id"] for r in plan} == {1}
