@@ -49,6 +49,7 @@ def extract_subtree(
     subtree_anchor_realizations: DataFrame,
     predicates_df: DataFrame,
     subtree_root_offset: timedelta = timedelta(0),
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Evaluate the subtree rooted at ``subtree`` against candidate anchors.
 
@@ -119,7 +120,7 @@ def extract_subtree(
 
         # Step 5: recurse
         recursive_result = extract_subtree(
-            child, child_anchor_realizations, predicates_df, child_root_offset
+            child, child_anchor_realizations, predicates_df, child_root_offset, checkpoint
         )
 
         # Step 6.1: remap the recursive result to this subtree's anchor space (J2)
@@ -152,5 +153,10 @@ def extract_subtree(
     all_children = recursive_results[0]
     for df in recursive_results[1:]:
         all_children = all_children.join(df, on=["subject_id", ANCHOR], how="inner")
+
+    if checkpoint:
+        # truncate lineage between tree levels on deep trees (SURVEY §4
+        # physical-design note d); lazy so no extra job is forced here
+        all_children = all_children.localCheckpoint(eager=False)
 
     return all_children

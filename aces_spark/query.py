@@ -40,6 +40,7 @@ def query(
     predicates_df: DataFrame,
     validate_uniqueness: bool = False,
     cache: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Extract the cohort realizations for ``cfg`` from ``predicates_df``.
 
@@ -69,7 +70,9 @@ def query(
         {cfg.trigger.predicate: (1, None)}, predicates_df
     ).select("subject_id", F.col("timestamp").alias("subtree_anchor_timestamp"))
 
-    result = extract_subtree(cfg.window_tree, prospective_root_anchors, predicates_df)
+    result = extract_subtree(
+        cfg.window_tree, prospective_root_anchors, predicates_df, checkpoint=checkpoint
+    )
 
     result = result.withColumnRenamed("subtree_anchor_timestamp", "trigger")
 
