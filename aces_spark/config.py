@@ -113,6 +113,68 @@ class PlainPredicateConfig:
 
         return reduce(lambda a, b: a & b, criteria)
 
+    def esgpt_spark_expr(self, values_column: str | None = None):
+        """Boolean pyspark Column evaluating this predicate on one ESGPT
+        table (events / measurements / subjects). Mirrors ``ESGPT_eval_expr``
+        (``src/aces/config.py:150-234``):
+
+        * ``measurement//value`` → ``col(measurement) == value`` (value may
+          itself contain ``//``);
+        * ``event_type//X`` → the ``&``-joined ``event_type`` string split
+          and searched for ``X`` (``array_contains(split(cast(str), "&"))``);
+        * a bare column name with no value range → ``isNotNull()``;
+        * a bare column name with a range → the range applies to that
+          column itself;
+        * value ranges on ``measurement//value`` predicates need the
+          measurement's ``values_column``.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if isinstance(self.code, dict):
+            raise ValueError(
+                f"ESGPT predicates must use a plain 'measurement//value' code string. Got: {self.code}."
+            )
+
+        criteria = []
+        if "//" in self.code:
+            measurement_name, _, code = self.code.partition("//")
+            if measurement_name.lower() == "event_type":
+                criteria.append(
+                    F.array_contains(F.split(F.col("event_type").cast("string"), "&", -1), code)
+                )
+            else:
+                criteria.append(F.col(measurement_name) == code)
+        elif self.value_min is None and self.value_max is None:
+            return F.col(self.code).isNotNull()
+        else:
+            values_column = self.code
+
+        if self.value_min is not None:
+            if values_column is None:
+                raise ValueError(
+                    f"Must specify a values column for ESGPT predicates with a value_min = {self.value_min}"
+                )
+            if self.value_min_inclusive:
+                criteria.append(F.col(values_column) >= self.value_min)
+            else:
+                criteria.append(F.col(values_column) > self.value_min)
+        if self.value_max is not None:
+            if values_column is None:
+                raise ValueError(
+                    f"Must specify a values column for ESGPT predicates with a value_max = {self.value_max}"
+                )
+            if self.value_max_inclusive:
+                criteria.append(F.col(values_column) <= self.value_max)
+            else:
+                criteria.append(F.col(values_column) < self.value_max)
+
+        for col, value in self.other_cols.items():
+            criteria.append(F.col(col) == value)
+
+        return reduce(lambda a, b: a & b, criteria)
+
     @property
     def is_plain(self) -> bool:
         return True

@@ -18,8 +18,11 @@ Supported standards (dispatch mirrors ``src/aces/predicates.py:693-715``):
   (shards become input splits) — the reference's per-shard Hydra multirun
   (``src/aces/configs/data/sharded.yaml``) collapses into native
   partitioning.
-* ``esgpt`` — not supported (optional in the reference too,
-  ``src/aces/predicates.py:442-450``); raises ``NotImplementedError``.
+* ``esgpt`` — the three-table EventStream model (subjects / events /
+  dynamic measurements); per-table predicate eval, per-event measurement
+  aggregation, event join, static-row concat (reference ``:291-474``).
+  Loaded from the on-disk parquet artifacts directly — no EventStream
+  package dependency.
 
 Scale notes: only the source columns referenced by some predicate are
 selected before any compute (column pruning reaches the parquet scan), the
@@ -174,12 +177,132 @@ def plain_predicates_from_meds_df(data: DataFrame, predicates: dict) -> DataFram
     )
 
 
+def process_esgpt_data(
+    subjects_df: DataFrame,
+    events_df: DataFrame,
+    dynamic_measurements_df: DataFrame,
+    value_columns: dict[str, str | None],
+    predicates: dict,
+) -> DataFrame:
+    """ESGPT three-table model → predicates DataFrame (reference
+    ``src/aces/predicates.py:291-474``).
+
+    Each predicate is evaluated on the table that carries its source data
+    (``event_type`` codes on ``events_df``, ``static`` predicates on
+    ``subjects_df``, everything else on ``dynamic_measurements_df`` with its
+    measurement's ``values_column``); measurement-level counts are summed
+    per ``event_id`` (A2), left-joined onto events (J5), and the subjects
+    table contributes one null-timestamp static row per subject (O3).
+
+    Scale notes: the per-event aggregation and the event join both key on
+    ``event_id``, so Spark needs exactly one hash exchange per side and AQE
+    picks broadcast when the aggregated measurements side is small; the
+    static-row union is shuffle-free.
+    """
+    pred_cols = list(predicates.keys())
+    dynamic_preds = [n for n in pred_cols if not predicates[n].static]
+    static_preds = [n for n in pred_cols if predicates[n].static]
+
+    event_level: list[str] = []
+    meas_level: list[str] = []
+    for name, pred in predicates.items():
+        # dispatch mirrors the reference exactly (substring test on the
+        # whole code, src/aces/predicates.py:374-385)
+        if "event_type" in str(pred.code):
+            events_df = events_df.withColumn(
+                name, pred.esgpt_spark_expr().cast(PRED_CNT_TYPE)
+            )
+            event_level.append(name)
+        elif pred.static:
+            subjects_df = subjects_df.withColumn(
+                name, pred.esgpt_spark_expr().cast(PRED_CNT_TYPE)
+            )
+        else:
+            dynamic_measurements_df = dynamic_measurements_df.withColumn(
+                name, pred.esgpt_spark_expr(value_columns.get(name)).cast(PRED_CNT_TYPE)
+            )
+            meas_level.append(name)
+
+    # per-event measurement counts (reference :390-400). Polars' sum treats
+    # an all-null group as 0, so coalesce the Spark sums to match.
+    if meas_level:
+        meas_counts = (
+            dynamic_measurements_df.groupBy("event_id")
+            .agg(*[F.coalesce(F.sum(c), F.lit(0)).cast(PRED_CNT_TYPE).alias(c) for c in meas_level])
+        )
+        data = events_df.join(meas_counts, on="event_id", how="left")
+    else:
+        data = events_df
+
+    event_rows = data.select(
+        F.col("subject_id").cast("long").alias("subject_id"),
+        F.col("timestamp").cast("timestamp").alias("timestamp"),
+        *[F.col(c) for c in dynamic_preds],
+        *[F.lit(0).cast(PRED_CNT_TYPE).alias(c) for c in static_preds],
+    )
+    static_rows = subjects_df.select(
+        F.col("subject_id").cast("long").alias("subject_id"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        *[F.lit(0).cast(PRED_CNT_TYPE).alias(c) for c in dynamic_preds],
+        *[F.col(c) for c in static_preds],
+    )
+    return static_rows.unionByName(event_rows)
+
+
+def generate_plain_predicates_from_esgpt(
+    spark: SparkSession,
+    data_path: str | Path,
+    predicates: dict,
+    value_columns: dict[str, str | None] | None = None,
+) -> DataFrame:
+    """Load an ESGPT dataset directory and build the predicates DataFrame
+    (reference ``src/aces/predicates.py:428-474``).
+
+    The reference loads via the optional ``EventStream`` package; this
+    engine reads the same on-disk artifacts directly — parquet files named
+    ``subjects_df`` / ``events_df`` / ``dynamic_measurements_df`` in
+    ``data_path``. ``value_columns`` maps each measurement-level predicate
+    to the column holding its numeric values (the reference pulls this from
+    the ESGPT dataset config); when omitted it is read from a
+    ``value_columns`` mapping in ``{data_path}/config.json`` if present.
+    """
+    data_path = Path(data_path)
+    tables = {}
+    for stem in ("subjects_df", "events_df", "dynamic_measurements_df"):
+        path = data_path / f"{stem}.parquet"
+        if not path.exists():
+            raise ValueError(
+                f"{path} not found. Please ensure the path provided is a valid ESGPT dataset "
+                "directory. If you mean to use a MEDS dataset, please specify the 'MEDS' standard."
+            )
+        tables[stem] = spark.read.parquet(str(path))
+
+    if value_columns is None:
+        value_columns = {}
+        config_path = data_path / "config.json"
+        if config_path.exists():
+            import json
+
+            with config_path.open() as f:
+                raw = json.load(f)
+            value_columns = dict(raw.get("value_columns", {}))
+
+    return process_esgpt_data(
+        tables["subjects_df"],
+        tables["events_df"],
+        tables["dynamic_measurements_df"],
+        value_columns,
+        predicates,
+    )
+
+
 def get_predicates_df(
     cfg: TaskExtractorConfig,
     spark: SparkSession,
     data_path: str | Path,
     standard: str = "meds",
     ts_format: str | None = None,
+    value_columns: dict[str, str | None] | None = None,
 ) -> DataFrame:
     """Build the full predicates DataFrame for a task config (reference
     ``src/aces/predicates.py:677-792``): load plain predicates, evaluate
@@ -196,12 +319,13 @@ def get_predicates_df(
         case "meds":
             data = generate_plain_predicates_from_meds(spark, data_path, plain_predicates)
         case "esgpt":
-            raise NotImplementedError(
-                "The ESGPT standard is not supported by the Spark engine "
-                "(optional in the reference as well, src/aces/predicates.py:442-450)."
+            data = generate_plain_predicates_from_esgpt(
+                spark, data_path, plain_predicates, value_columns
             )
         case _:
-            raise ValueError(f"Invalid data standard: {standard}. Options are 'direct', 'MEDS'.")
+            raise ValueError(
+                f"Invalid data standard: {standard}. Options are 'direct', 'MEDS', 'ESGPT'."
+            )
 
     w_subj = Window.partitionBy("subject_id")
     # deterministic "first row" per subject = null-timestamp row first, then

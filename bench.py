@@ -42,6 +42,9 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects natively;
+    # read nanos as long (queries truncate to μs themselves)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # warm-up: touch every table once (JVM classload + file listing)
     for t in ("events", "documents", "embeddings", "lineitem", "orders", "customer",
