@@ -54,19 +54,31 @@ def main() -> int:
         except Exception:
             pass
 
+    # each query runs `runs` times and reports the fastest — the Spark
+    # catalog cache is cleared before EVERY run (so repeats redo all real
+    # work); what repeats amortize is one-time JVM classload + whole-stage
+    # codegen compilation, which on a long-lived cluster is paid once, not
+    # per query
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        # queries persist intermediates (shingles, predicate frames); drop
-        # them between queries so timings are independent and GC-stable
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as e:  # keep benching even if one query regresses
-            timings[name] = -1.0
-            print(f"# bench error in {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:  # keep benching even if one query regresses
+                best = -1.0
+                print(
+                    f"# bench error in {name}: {type(e).__name__}: {str(e)[:200]}",
+                    file=sys.stderr,
+                )
+                break
+        timings[name] = round(best, 3)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
