@@ -64,6 +64,17 @@ def query(
         )
 
     if cache:
+        # the recursion re-reads this frame at every tree edge through the
+        # cache; without this conf AQE treats the cached plan's output
+        # partitioning as unknown and re-shuffles the FULL frame once per
+        # window kernel (3 redundant exchanges on the flagship task, ~2×
+        # wall). Dynamic conf, safe to set per-session.
+        try:
+            predicates_df.sparkSession.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+            )
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass
         predicates_df = predicates_df.cache()
 
     prospective_root_anchors = check_constraints(
