@@ -158,6 +158,32 @@ def q_predicates_meds_scan(spark, sf_dir):
     )
 
 
+def q_esgpt_predicates(spark, sf_dir):
+    """S3 + P6 + A2 + J5: the events table viewed as an ESGPT three-table
+    dataset (events carry `event_type`, measurements carry `value` keyed by
+    `event_id`, subjects are the distinct users) → predicates DataFrame via
+    the ESGPT loader: per-table predicate eval, per-event measurement
+    aggregation, event join, null-timestamp static rows."""
+    from aces_spark.sources.predicates import process_esgpt_data
+
+    ev = _read_events(spark, sf_dir)
+    events_df = ev.select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.col("ts").alias("timestamp"),
+        "event_type",
+    )
+    measurements_df = ev.select("event_id", "value")
+    subjects_df = ev.select(F.col("user_id").alias("subject_id")).distinct()
+    preds = {
+        "is_purchase": PlainPredicateConfig("event_type//purchase"),
+        "high_value": PlainPredicateConfig("value", value_min=75.0),
+    }
+    return process_esgpt_data(
+        subjects_df, events_df, measurements_df, {"high_value": None}, preds
+    )
+
+
 def q_predicate_value_range(spark, sf_dir):
     """P4: value-range predicates with per-side inclusivity."""
     preds = {
@@ -527,8 +553,29 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "n_bytes", "payload_digest")
 
 
+def q_cohort_feature_vectors(spark, sf_dir):
+    """ML feature engineering: flagship cohort output → flattened per-window
+    predicate counts + durations → MLlib VectorAssembler ``features`` column
+    (functions/features.py). Vector-typed output is not SQL-expressible;
+    driver records a rows-only check."""
+    from aces_spark.functions.features import cohort_feature_vectors
+
+    cfg = _flagship_cfg()
+    pred_df = _pred_df(spark, sf_dir, _plain(["signup", "click", "purchase"]))
+    return cohort_feature_vectors(aces_query(cfg, pred_df))
+
+
+def q_tfidf_features(spark, sf_dir):
+    """MLlib text features: Tokenizer → HashingTF → IDF over documents.
+    Sparse-vector output; rows-only check."""
+    from aces_spark.functions.features import tfidf_features
+
+    return tfidf_features(_read_table(spark, sf_dir, "documents"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predicates_meds_scan": q_predicates_meds_scan,
+    "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "derived_and_or": q_derived_and_or,
@@ -564,6 +611,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_features": q_multimodal_features,
+    "cohort_feature_vectors": q_cohort_feature_vectors,
+    "tfidf_features": q_tfidf_features,
 }
 
 
@@ -585,6 +634,24 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["predicates_meds_scan"] = f"WITH pred AS ({preds3}) SELECT * FROM pred"
+
+    sql["esgpt_predicates"] = """
+    SELECT user_id AS subject_id, CAST(NULL AS TIMESTAMP) AS timestamp,
+           CAST(0 AS BIGINT) AS is_purchase, CAST(0 AS BIGINT) AS high_value
+      FROM (SELECT DISTINCT user_id FROM events)
+    UNION ALL
+    SELECT e.user_id AS subject_id, e.ts AS timestamp,
+           CAST(list_contains(string_split(e.event_type, '&'), 'purchase') AS BIGINT)
+             AS is_purchase,
+           m.high_value
+      FROM events e
+      LEFT JOIN (
+        SELECT event_id,
+               CAST(COALESCE(SUM(CASE WHEN value > 75.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS high_value
+          FROM events GROUP BY event_id
+      ) m USING (event_id)
+    """
 
     sql["predicate_value_range"] = """
 SELECT user_id AS subject_id, ts AS timestamp,

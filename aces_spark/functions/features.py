@@ -1,0 +1,144 @@
+"""ML feature engineering over cohort-extraction output (beyond-reference,
+per the brief's training-data-pipeline mandate).
+
+The reference stops at the label frame (``run.py`` writes MEDS labels); a
+training pipeline then needs model-ready features. This module turns the
+engine's output into them, staying JVM-side:
+
+* :func:`flatten_window_summaries` — explode each ``{node}_summary`` struct
+  into flat numeric columns (per-window predicate counts + window duration
+  in seconds): the tabular feature frame.
+* :func:`assemble_feature_vectors` — ``pyspark.ml`` VectorAssembler over
+  those columns → a ``features`` vector column ready for any MLlib
+  estimator (logistic regression on the label, GBTs, ...).
+* :func:`tfidf_features` — Tokenizer → HashingTF → IDF over a text column
+  (documents table), the standard sparse-text baseline.
+* :func:`mllib_minhash_dup_pairs` — MinHashLSH ``approxSimilarityJoin`` as
+  the MLlib-native alternative to ``datapipe.dedup.minhash_lsh_pairs``
+  (same contract: near-dup pairs under Jaccard distance).
+
+Scale notes: flattening is a pure projection (no shuffle); VectorAssembler
+is a row-local transform; HashingTF/IDF shuffle once for the document-
+frequency aggregate; MinHashLSH's join shuffles on hash buckets — identical
+shape to the hand-rolled LSH band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_window_summaries(result: DataFrame, duration: bool = True) -> DataFrame:
+    """Flatten every ``{node}_summary`` struct column of a query() result
+    into ``{window}__{predicate}`` count columns (plus
+    ``{window}__duration_s`` when ``duration``). Window-name metadata and
+    the raw structs are dropped; id/label/timestamp columns pass through."""
+    flat_cols = []
+    for field in result.schema.fields:
+        name = field.name
+        if not name.endswith("_summary"):
+            flat_cols.append(F.col(f"`{name}`"))
+            continue
+        node = name[: -len("_summary")]
+        prefix = node.replace(".", "_")
+        sub = [f.name for f in field.dataType.fields]
+        for sf in sub:
+            if sf == "window_name":
+                continue
+            if sf in ("timestamp_at_start", "timestamp_at_end"):
+                continue
+            flat_cols.append(F.col(f"`{name}`.`{sf}`").alias(f"{prefix}__{sf}"))
+        if duration:
+            dur_us = F.unix_micros(F.col(f"`{name}`.`timestamp_at_end`")) - F.unix_micros(
+                F.col(f"`{name}`.`timestamp_at_start`")
+            )
+            flat_cols.append(
+                (dur_us.cast("double") / F.lit(1_000_000.0)).alias(f"{prefix}__duration_s")
+            )
+    return result.select(*flat_cols)
+
+
+def assemble_feature_vectors(
+    flat: DataFrame,
+    feature_cols: list[str] | None = None,
+    output_col: str = "features",
+) -> DataFrame:
+    """VectorAssembler over the numeric feature columns (default: every
+    double/long column except ids/labels) → ``features`` vector column."""
+    from pyspark.ml.feature import VectorAssembler
+
+    if feature_cols is None:
+        skip = {"subject_id", "label", "trigger", "index_timestamp"}
+        feature_cols = [
+            f.name
+            for f in flat.schema.fields
+            if f.name not in skip and f.dataType.typeName() in ("long", "double", "integer", "float")
+        ]
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol=output_col, handleInvalid="keep"
+    )
+    return assembler.transform(flat)
+
+
+def cohort_feature_vectors(result: DataFrame) -> DataFrame:
+    """query() output → (subject_id, trigger, label?, features vector):
+    the end-to-end cohort-to-training-set hop."""
+    flat = flatten_window_summaries(result)
+    vec = assemble_feature_vectors(flat)
+    keep = [c for c in ("subject_id", "trigger", "index_timestamp", "label") if c in vec.columns]
+    return vec.select(*keep, "features")
+
+
+def tfidf_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1 << 14,
+) -> DataFrame:
+    """Tokenizer → HashingTF → IDF pipeline over a text column. Returns
+    ``(id_col, tfidf)`` with a sparse vector column."""
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__tokens", pattern="[^a-z0-9]+").setToLowercase(True)
+    tf = HashingTF(inputCol="__tokens", outputCol="__tf", numFeatures=num_features)
+    tokens = tok.transform(docs.select(id_col, text_col))
+    tfv = tf.transform(tokens)
+    idf = IDF(inputCol="__tf", outputCol="tfidf").fit(tfv)
+    return idf.transform(tfv).select(id_col, "tfidf")
+
+
+def mllib_minhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 14,
+) -> DataFrame:
+    """MinHashLSH ``approxSimilarityJoin`` near-dup pairs: the MLlib-native
+    scale path (same contract as ``datapipe.dedup.minhash_lsh_pairs``).
+    Returns ``(doc_a, doc_b, jaccard_dist)`` with ``doc_a < doc_b``;
+    ``threshold`` is a Jaccard *distance* ceiling."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__tokens", pattern="[^a-z0-9]+").setToLowercase(True)
+    tokens = tok.transform(docs.select(id_col, text_col)).filter(F.size("__tokens") > 0)
+    cv = CountVectorizer(inputCol="__tokens", outputCol="__tf", binary=True, vocabSize=num_features).fit(
+        tokens
+    )
+    # tokens were non-empty and the vocab is fitted on this same data, so
+    # every vector has ≥1 non-zero entry (MinHashLSH's requirement)
+    tfv = cv.transform(tokens)
+    lsh = MinHashLSH(inputCol="__tf", outputCol="__hashes", numHashTables=num_hash_tables, seed=13).fit(
+        tfv
+    )
+    joined = lsh.approxSimilarityJoin(tfv, tfv, threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
