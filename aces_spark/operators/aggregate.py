@@ -62,6 +62,9 @@ def _pred_cols(df: DataFrame) -> list[str]:
 def aggregate_temporal_window(
     predicates_df: DataFrame,
     endpoint_expr: TemporalWindowBounds | tuple,
+    prefix: str = "",
+    append: bool = False,
+    value_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-row fixed-duration window sums (reference
     ``src/aces/aggregate.py:91-315``).
@@ -72,6 +75,13 @@ def aggregate_temporal_window(
     negative window sizes, matching the reference's emitted bounds at
     ``aggregate.py:305-313``).
 
+    ``append=True`` keeps every input column and ADDS the outputs under
+    ``{prefix}{name}`` instead — the fused linear-chain planner
+    (``plans/fused.py``) stacks several window nodes onto one relation this
+    way, all sharing the single subject_id partitioning (zero joins).
+    ``value_cols`` restricts which columns are summed (default: every
+    non-meta column — only valid when the frame carries nothing else).
+
     The reference special-cases ≤1-row inputs because Polars ``rolling``
     cannot handle them (``aggregate.py:10-88``); Spark window functions
     handle 1-row partitions natively so no special case exists here.
@@ -79,7 +89,7 @@ def aggregate_temporal_window(
     if not isinstance(endpoint_expr, TemporalWindowBounds):
         endpoint_expr = TemporalWindowBounds(*endpoint_expr)
 
-    pred_cols = _pred_cols(predicates_df)
+    pred_cols = value_cols if value_cols is not None else _pred_cols(predicates_df)
     lo, hi = endpoint_expr.spark_range_bounds
     ts_us = F.unix_micros(F.col("timestamp"))
     off_us = td_to_us(endpoint_expr.offset)
@@ -91,20 +101,21 @@ def aggregate_temporal_window(
         # degenerate window (e.g. zero-length with an open endpoint): frame
         # is empty for every row; Spark rejects start > end frames, so emit
         # literal zeros directly.
-        sums = [F.lit(0).cast(PRED_CNT_TYPE).alias(c) for c in pred_cols]
+        sums = [F.lit(0).cast(PRED_CNT_TYPE).alias(f"{prefix}{c}") for c in pred_cols]
     else:
         sums = [
-            F.coalesce(F.sum(F.col(c)).over(w), F.lit(0)).cast(PRED_CNT_TYPE).alias(c)
+            F.coalesce(F.sum(F.col(c)).over(w), F.lit(0)).cast(PRED_CNT_TYPE).alias(f"{prefix}{c}")
             for c in pred_cols
         ]
 
-    return predicates_df.select(
-        "subject_id",
-        "timestamp",
-        F.timestamp_micros(ts_us + off_us).alias("timestamp_at_start"),
-        F.timestamp_micros(ts_us + off_us + ws_us).alias("timestamp_at_end"),
+    out_cols = [
+        F.timestamp_micros(ts_us + off_us).alias(f"{prefix}timestamp_at_start"),
+        F.timestamp_micros(ts_us + off_us + ws_us).alias(f"{prefix}timestamp_at_end"),
         *sums,
-    )
+    ]
+    if append:
+        return predicates_df.select("*", *out_cols)
+    return predicates_df.select("subject_id", "timestamp", *out_cols)
 
 
 def _resolve_boundary(boundary) -> Column:
@@ -132,6 +143,9 @@ def boolean_expr_bound_sum(
     mode: str,
     closed: str,
     offset: timedelta = timedelta(0),
+    prefix: str = "",
+    append: bool = False,
+    value_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sum all predicate columns between each row (± ``offset``) and the
     nearest per-subject boundary row (reference
@@ -160,6 +174,11 @@ def boolean_expr_bound_sum(
        left join.
     6. No qualifying boundary ⇒ null window timestamps, zero counts
        (ref ``:1085-1092``).
+
+    ``prefix``/``append``/``value_cols`` behave as in
+    :func:`aggregate_temporal_window` (fused-planner support: outputs — and
+    all internal temp columns — are namespaced so several kernel
+    applications can stack on one relation).
     """
     if mode not in ("bound_to_row", "row_to_bound"):
         raise ValueError(f"Mode '{mode}' invalid!")
@@ -167,8 +186,9 @@ def boolean_expr_bound_sum(
         raise ValueError(f"Closed '{closed}' invalid!")
 
     zero = timedelta(0)
-    pred_cols = _pred_cols(df)
+    pred_cols = value_cols if value_cols is not None else _pred_cols(df)
     boundary_col = _resolve_boundary(boundary_expr)
+    tp = f"__{prefix}" if prefix else "__"  # temp-column namespace
 
     w_subj = Window.partitionBy("subject_id")
     ts_us = F.unix_micros(F.col("timestamp"))
@@ -191,17 +211,17 @@ def boolean_expr_bound_sum(
                 left_inclusive = closed not in ("right", "both")
         lo, hi = TemporalWindowBounds(left_inclusive, offset, right_inclusive, None).spark_range_bounds
         if lo > hi:
-            with_offset_cols = {f"__off_{c}": F.lit(0).cast("long") for c in pred_cols}
+            with_offset_cols = {f"{tp}off_{c}": F.lit(0).cast("long") for c in pred_cols}
         else:
             w_off = w_subj.orderBy(ts_us.asc()).rangeBetween(lo, hi)
             with_offset_cols = {
-                f"__off_{c}": F.coalesce(F.sum(F.col(c)).over(w_off), F.lit(0)) for c in pred_cols
+                f"{tp}off_{c}": F.coalesce(F.sum(F.col(c)).over(w_off), F.lit(0)) for c in pred_cols
             }
 
     # --- step 1: per-subject cumulative sums (ref :999-1000) ---
     w_cum = w_subj.orderBy(ts_us.asc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum_cols = {f"__cum_{c}": F.sum(F.col(c)).over(w_cum) for c in pred_cols}
-    base = df.withColumns({**cum_cols, **with_offset_cols, "__bexpr": boundary_col})
+    cum_cols = {f"{tp}cum_{c}": F.sum(F.col(c)).over(w_cum) for c in pred_cols}
+    base = df.withColumns({**cum_cols, **with_offset_cols, f"{tp}bexpr": boundary_col})
 
     # --- steps 2+3: nearest-qualifying-boundary resolution ---
     # The reference interleaves epsilon-shifted boundary pseudo-rows and
@@ -240,32 +260,28 @@ def boolean_expr_bound_sum(
         def fill(col: Column) -> Column:
             return F.first(col, ignorenulls=True).over(w_fill)
 
-    bnd_ts = F.when(F.col("__bexpr"), F.col("timestamp"))
+    bnd_ts = F.when(F.col(f"{tp}bexpr"), F.col("timestamp"))
 
     def bnd_cum(c: str) -> Column:
-        val = F.col(f"__cum_{c}")
+        val = F.col(f"{tp}cum_{c}")
         if exclude_boundary_counts:
             val = val - F.col(c)
-        return F.when(F.col("__bexpr"), val)
+        return F.when(F.col(f"{tp}bexpr"), val)
 
-    filled = base.select(
-        "subject_id",
-        "timestamp",
-        fill(bnd_ts).alias("__ts_at_boundary"),
-        *[fill(bnd_cum(c)).alias(f"__bcum_{c}") for c in pred_cols],
-        *[F.col(f"__cum_{c}") for c in pred_cols],
-        *[F.col(c).cast("long").alias(c) for c in pred_cols],
-        *list(with_offset_cols.keys()),
-    )
+    fill_cols = {
+        f"{tp}ts_at_boundary": fill(bnd_ts),
+        **{f"{tp}bcum_{c}": fill(bnd_cum(c)) for c in pred_cols},
+    }
+    filled = base.withColumns(fill_cols)
 
     # --- step 4: cumsum differences + endpoint corrections ---
     def window_sum(c: str) -> Column:
         if mode == "bound_to_row":
-            val = F.col(f"__cum_{c}") - F.col(f"__bcum_{c}")
+            val = F.col(f"{tp}cum_{c}") - F.col(f"{tp}bcum_{c}")
             if (closed in ("left", "none") and offset <= zero) or offset < zero:
                 val = val - F.col(c)  # ref :1027-1031
         else:
-            val = F.col(f"__bcum_{c}") - F.col(f"__cum_{c}")
+            val = F.col(f"{tp}bcum_{c}") - F.col(f"{tp}cum_{c}")
             if (closed in ("left", "both") and offset <= zero) or offset < zero:
                 val = val + F.col(c)  # ref :1046-1050
         return val
@@ -275,30 +291,33 @@ def boolean_expr_bound_sum(
         if offset == zero:
             return val
         if mode == "bound_to_row" and offset > zero:
-            return val + F.col(f"__off_{c}")
+            return val + F.col(f"{tp}off_{c}")
         if (mode == "bound_to_row" and offset < zero) or (mode == "row_to_bound" and offset > zero):
-            return val - F.col(f"__off_{c}")
-        return val + F.col(f"__off_{c}")  # row_to_bound, offset < 0
+            return val - F.col(f"{tp}off_{c}")
+        return val + F.col(f"{tp}off_{c}")  # row_to_bound, offset < 0
 
     row_ts_shifted = F.timestamp_micros(F.unix_micros(F.col("timestamp")) + F.lit(off_us))
-    has_bound = F.col("__ts_at_boundary").isNotNull()
+    has_bound = F.col(f"{tp}ts_at_boundary").isNotNull()
     if mode == "bound_to_row":
-        st_ts = F.col("__ts_at_boundary")
+        st_ts = F.col(f"{tp}ts_at_boundary")
         end_ts = F.when(has_bound, row_ts_shifted)
     else:
         st_ts = F.when(has_bound, row_ts_shifted)
-        end_ts = F.col("__ts_at_boundary")
+        end_ts = F.col(f"{tp}ts_at_boundary")
 
-    return filled.select(
-        "subject_id",
-        "timestamp",
-        st_ts.alias("timestamp_at_start"),
-        end_ts.alias("timestamp_at_end"),
+    out_cols = [
+        st_ts.alias(f"{prefix}timestamp_at_start"),
+        end_ts.alias(f"{prefix}timestamp_at_end"),
         *[
-            F.coalesce(with_offset(c, window_sum(c)).cast(PRED_CNT_TYPE), F.lit(0)).alias(c)
+            F.coalesce(with_offset(c, window_sum(c)).cast(PRED_CNT_TYPE), F.lit(0)).alias(
+                f"{prefix}{c}"
+            )
             for c in pred_cols
         ],
-    )
+    ]
+    if append:
+        return filled.select(*df.columns, *out_cols)
+    return filled.select("subject_id", "timestamp", *out_cols)
 
 
 def aggregate_event_bound_window(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .config import TaskExtractorConfig
 from .operators.constraints import check_constraints, check_static_variables
 from .plans.extract_subtree import extract_subtree
+from .plans.fused import can_fuse, extract_subtree_fused
 from .utils import preorder_iter
 
 logger = logging.getLogger(__name__)
@@ -41,6 +42,7 @@ def query(
     validate_uniqueness: bool = False,
     cache: bool = True,
     checkpoint: bool = False,
+    fused: bool | None = None,
 ) -> DataFrame:
     """Extract the cohort realizations for ``cfg`` from ``predicates_df``.
 
@@ -63,27 +65,35 @@ def query(
             F.col("subject_id").isNotNull() & F.col("timestamp").isNotNull()
         )
 
-    if cache:
-        # the recursion re-reads this frame at every tree edge through the
-        # cache; without this conf AQE treats the cached plan's output
-        # partitioning as unknown and re-shuffles the FULL frame once per
-        # window kernel (3 redundant exchanges on the flagship task, ~2×
-        # wall). Dynamic conf, safe to set per-session.
-        try:
-            predicates_df.sparkSession.conf.set(
-                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-            )
-        except Exception:  # pragma: no cover - conf may be static on some builds
-            pass
-        predicates_df = predicates_df.cache()
+    use_fused = can_fuse(cfg.window_tree) if fused is None else fused
+    if use_fused:
+        # anchor-stable tree (all internal edges temporal): evaluate as ONE
+        # windowed pipeline with zero joins and no cache — see plans/fused.py
+        result = extract_subtree_fused(
+            cfg.window_tree, predicates_df, F.col(cfg.trigger.predicate) >= 1
+        )
+    else:
+        if cache:
+            # the recursion re-reads this frame at every tree edge through
+            # the cache; without this conf AQE treats the cached plan's
+            # output partitioning as unknown and re-shuffles the FULL frame
+            # once per window kernel (3 redundant exchanges on the flagship
+            # task, ~2× wall). Dynamic conf, safe to set per-session.
+            try:
+                predicates_df.sparkSession.conf.set(
+                    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+                )
+            except Exception:  # pragma: no cover - conf may be static on some builds
+                pass
+            predicates_df = predicates_df.cache()
 
-    prospective_root_anchors = check_constraints(
-        {cfg.trigger.predicate: (1, None)}, predicates_df
-    ).select("subject_id", F.col("timestamp").alias("subtree_anchor_timestamp"))
+        prospective_root_anchors = check_constraints(
+            {cfg.trigger.predicate: (1, None)}, predicates_df
+        ).select("subject_id", F.col("timestamp").alias("subtree_anchor_timestamp"))
 
-    result = extract_subtree(
-        cfg.window_tree, prospective_root_anchors, predicates_df, checkpoint=checkpoint
-    )
+        result = extract_subtree(
+            cfg.window_tree, prospective_root_anchors, predicates_df, checkpoint=checkpoint
+        )
 
     result = result.withColumnRenamed("subtree_anchor_timestamp", "trigger")
 

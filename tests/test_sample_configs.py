@@ -501,8 +501,9 @@ def meds_path(tmp_path_factory):
     return path
 
 
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "general"])
 @pytest.mark.parametrize("task", list(CONFIGS))
-def test_sample_config_vs_brute_force(spark, tmp_path, meds_path, task):
+def test_sample_config_vs_brute_force(spark, tmp_path, meds_path, task, fused):
     cfg_path = tmp_path / f"{task}.yaml"
     cfg_path.write_text(CONFIGS[task])
     cfg = TaskExtractorConfig.load(cfg_path)
@@ -510,7 +511,7 @@ def test_sample_config_vs_brute_force(spark, tmp_path, meds_path, task):
     cols, node_names, want = brute_query(cfg, make_meds_rows())
     pred_df = get_predicates_df(cfg, spark, meds_path, standard="meds")
     assert [c for c in pred_df.columns if c not in ("subject_id", "timestamp")] == cols
-    got = engine_rows(cfg, query(cfg, pred_df).collect(), cols, node_names)
+    got = engine_rows(cfg, query(cfg, pred_df, fused=fused).collect(), cols, node_names)
 
     assert len(got) > 0, f"{task}: engine produced no realizations — fixture too sparse"
     assert got == want

@@ -1,0 +1,130 @@
+"""Scale probe: synthesize an N-row predicates frame (no I/O bound) and
+time the two window kernels plus a full flagship-shaped query() end-to-end.
+
+This is the evidence run for the 100 TB story: per-subject algebra means
+throughput is kernel-bound and embarrassingly parallel by subject, so
+rows/s measured here extrapolates linearly with executors until shuffle
+I/O dominates. Compare against the reference baseline (BASELINE.md):
+0.22-0.44M event rows/s end-to-end on 36 cores.
+
+Usage: python tools/scale_probe.py [n_rows] [n_subjects]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import timedelta
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    subj = int(sys.argv[2]) if len(sys.argv) > 2 else max(1000, n // 100)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aces-spark-scale-probe")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from aces_spark.config import (
+        EventConfig,
+        PlainPredicateConfig,
+        TaskExtractorConfig,
+        WindowConfig,
+    )
+    from aces_spark.operators.aggregate import (
+        aggregate_temporal_window,
+        boolean_expr_bound_sum,
+    )
+    from aces_spark.query import query
+    from aces_spark.types import TemporalWindowBounds
+
+    # synthetic per-subject event stream: ~n/subj events per subject, hourly
+    # cadence with minute jitter; p_trig fires 1/3, p_bound 1/11
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % subj).alias("subject_id"),
+            F.timestamp_micros(
+                (F.col("id") / subj).cast("long") * 3_600_000_000
+                + (F.col("id") % 7) * 60_000_000
+            ).alias("timestamp"),
+            (F.col("id") % 3 == 0).cast("long").alias("p_trig"),
+            (F.col("id") % 11 == 0).cast("long").alias("p_bound"),
+        )
+        .repartition(int(cpus) * 2, "subject_id")
+        .persist()
+    )
+    df.count()  # materialize
+
+    def timed(fn):
+        t = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t, 2)
+
+    t1 = timed(
+        lambda: aggregate_temporal_window(
+            df, TemporalWindowBounds(True, timedelta(hours=24), True, None)
+        )
+    )
+    e1 = timed(lambda: boolean_expr_bound_sum(df, F.col("p_bound") > 0, "row_to_bound", "both"))
+
+    cfg = TaskExtractorConfig(
+        predicates={"p_trig": PlainPredicateConfig("x"), "p_bound": PlainPredicateConfig("y")},
+        trigger=EventConfig("p_trig"),
+        windows={
+            "obs": WindowConfig(
+                start="trigger", end="start + 24h",
+                start_inclusive=True, end_inclusive=True,
+                has={"p_bound": "(1, None)"},
+            ),
+            "fu": WindowConfig(
+                start="obs.end", end="start -> p_bound",
+                start_inclusive=False, end_inclusive=True,
+            ),
+        },
+    )
+    t = time.perf_counter()
+    query(cfg, df).write.format("noop").mode("overwrite").save()
+    full = round(time.perf_counter() - t, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "rows": n,
+                "subjects": subj,
+                "cpus": int(cpus),
+                "temporal_kernel_sec": t1,
+                "event_bound_kernel_sec": e1,
+                "full_query_sec": full,
+                "temporal_mrows_per_sec": round(n / t1 / 1e6, 2),
+                "event_bound_mrows_per_sec": round(n / e1 / 1e6, 2),
+                "full_query_mrows_per_sec": round(n / full / 1e6, 2),
+                "baseline_mrows_per_sec": "0.22-0.44 (reference, 36 cores, BASELINE.md)",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
