@@ -75,14 +75,33 @@ def _constraint_keep(
     return ~should_drop
 
 
+def fusible_without_junk(tree: Node) -> bool:
+    """Fuse-eligible AND free of the chain-censoring junk-row case — the
+    shape where a fused subtree can substitute for the general recursion
+    mid-tree (its result is then inner-joined to the anchor set once,
+    which would wrongly drop junk rows if any were emitted)."""
+    if not can_fuse(tree):
+        return False
+    if not _is_chain(tree):
+        return True
+    node = tree
+    while node.children:
+        node = node.children[0]
+    return isinstance(node.endpoint_expr, TemporalWindowBounds)
+
+
 def extract_subtree_fused(
-    subtree: Node, predicates_df: DataFrame, root_valid: Column
+    subtree: Node,
+    predicates_df: DataFrame,
+    root_valid: Column,
+    initial_offset: timedelta = timedelta(0),
 ) -> DataFrame:
     """Evaluate a fuse-eligible window tree in one windowed pipeline.
 
     Returns the same shape as the general ``extract_subtree`` after anchor
     selection: ``(subject_id, subtree_anchor_timestamp, {node}_summary...)``
-    with one row per valid trigger realization.
+    with one row per valid trigger realization. ``initial_offset`` folds an
+    accumulated parent offset in when a subtree is fused mid-recursion.
     """
     pred_cols = [c for c in predicates_df.columns if c not in ("subject_id", "timestamp")]
 
@@ -146,7 +165,7 @@ def extract_subtree_fused(
             else:
                 leaf_valid_cols.append(vcol)
 
-    walk(subtree, timedelta(0), "__valid_root")
+    walk(subtree, initial_offset, "__valid_root")
 
     all_valid = F.col(leaf_valid_cols[0])
     for vc in leaf_valid_cols[1:]:

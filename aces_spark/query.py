@@ -92,7 +92,10 @@ def query(
         ).select("subject_id", F.col("timestamp").alias("subtree_anchor_timestamp"))
 
         result = extract_subtree(
-            cfg.window_tree, prospective_root_anchors, predicates_df, checkpoint=checkpoint
+            cfg.window_tree, prospective_root_anchors, predicates_df, checkpoint=checkpoint,
+            # an explicit fused=False means "pure general path" (the
+            # differential tests rely on the two planners being independent)
+            subtree_fusion=fused is None,
         )
 
     result = result.withColumnRenamed("subtree_anchor_timestamp", "trigger")

@@ -199,9 +199,10 @@ def test_fused_is_join_free_single_exchange(spark):
     assert plan.count(") Exchange") <= 2
 
 
-def test_fused_not_used_for_internal_event_bound(spark):
-    """Trees with event-bound INTERNAL nodes are not fuse-eligible."""
-    cfg = TaskExtractorConfig(
+def _mixed_tree_cfg():
+    """Event-bound INTERNAL node (not fuse-eligible as a whole) with a
+    temporal subtree hanging below it."""
+    return TaskExtractorConfig(
         predicates=PREDS,
         trigger=EventConfig("trig"),
         windows={
@@ -212,7 +213,29 @@ def test_fused_not_used_for_internal_event_bound(spark):
             "post": WindowConfig(
                 start="adm.end", end="start + 24h",
                 start_inclusive=False, end_inclusive=True,
+                has={"x": "(1, None)"}, label="bnd",
+            ),
+            "tail": WindowConfig(
+                start="post.end", end="start + 48h",
+                start_inclusive=False, end_inclusive=True,
             ),
         },
     )
-    assert not can_fuse(cfg.window_tree)
+
+
+def test_fused_not_used_for_internal_event_bound(spark):
+    """Trees with event-bound INTERNAL nodes are not fuse-eligible as a
+    whole."""
+    assert not can_fuse(_mixed_tree_cfg().window_tree)
+
+
+@pytest.mark.parametrize("seed", [1, 5])
+def test_subtree_fusion_matches_pure_general(spark, seed):
+    """The auto path fuses the temporal subtree below the event-bound hop;
+    results must match the pure general recursion exactly."""
+    cfg = _mixed_tree_cfg()
+    df = _rand_frame(spark, seed)
+    got = _rows_key(query(cfg, df, fused=None))  # auto: general + subtree fusion
+    want = _rows_key(query(cfg, df, fused=False))  # pure general
+    assert got == want
+    assert len(got) > 0
