@@ -105,3 +105,96 @@ def trigger_alerts(
     return pred_events.filter(F.col(trigger_predicate) > 0).select(
         "subject_id", F.col("timestamp").alias("subtree_anchor_timestamp")
     )
+
+
+def open_window_tracker(
+    pred_events: DataFrame,
+    trigger_predicate: str,
+    boundary_predicate: str,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): the streaming
+    analog of the event-bound kernel's forward case.
+
+    Per subject, every trigger event opens a window; predicate counts
+    accumulate into every open window; a boundary event closes ALL open
+    windows, emitting ``(subject_id, trigger_ts, boundary_ts, <counts>)``
+    per closed window. Semantics match the batch kernel
+    ``boolean_expr_bound_sum(mode='row_to_bound', closed='right')``
+    restricted to trigger rows with a resolved boundary — counts cover
+    ``(trigger_ts, boundary_ts]`` and a row that is both trigger and
+    boundary closes itself with zero counts. Stream/batch parity is
+    asserted in tests.
+
+    State per subject = the open windows' trigger timestamps + running
+    counts (bounded by trigger density between boundaries). Events are
+    assumed in timestamp order per subject across micro-batches (the
+    standard contract for a key-partitioned log); within a micro-batch
+    they are sorted here.
+
+    At scale: state shuffles once on ``subject_id`` (same key as the whole
+    engine) and the per-group pandas hop is Arrow-batched.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    pred_cols = [c for c in pred_events.columns if c not in ("subject_id", "timestamp")]
+    n = len(pred_cols)
+    ti = pred_cols.index(trigger_predicate)
+    bi = pred_cols.index(boundary_predicate)
+
+    out_schema = StructType(
+        [
+            StructField("subject_id", LongType()),
+            StructField("trigger_ts", TimestampType()),
+            StructField("boundary_ts", TimestampType()),
+            *[StructField(c, LongType()) for c in pred_cols],
+        ]
+    )
+    state_schema = "open_ts array<long>, open_counts array<array<long>>"
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            stored_ts, stored_counts = state.get
+            open_ts = list(stored_ts)
+            open_counts = [list(c) for c in stored_counts]
+        else:
+            open_ts, open_counts = [], []
+
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for row in pdf.itertuples(index=False):
+                ts = pd.Timestamp(row.timestamp)
+                counts = [int(getattr(row, c)) for c in pred_cols]
+                # counts accumulate into previously-open windows — the
+                # boundary row's own counts are included (closed='right')
+                for oc in open_counts:
+                    for k in range(n):
+                        oc[k] += counts[k]
+                if counts[ti] > 0:
+                    open_ts.append(ts.value // 1000)
+                    open_counts.append([0] * n)
+                if counts[bi] > 0:
+                    for ots, oc in zip(open_ts, open_counts):
+                        out.append(
+                            (key[0], pd.to_datetime(ots, unit="us"), ts, *oc)
+                        )
+                    open_ts, open_counts = [], []
+
+        state.update((open_ts, open_counts))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["subject_id", "trigger_ts", "boundary_ts", *pred_cols]
+            )
+
+    return pred_events.groupBy("subject_id").applyInPandasWithState(
+        track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

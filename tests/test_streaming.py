@@ -84,3 +84,74 @@ def test_trigger_alerts_stream(spark, events_dir, tmp_path):
     want = _batch(spark, events_dir, transform)
     assert _sorted_rows(got) == _sorted_rows(want)
     assert len(_sorted_rows(got)) == 24  # 8 admissions x 3 subjects
+
+
+def test_open_window_tracker_matches_batch_kernel(spark, tmp_path):
+    """The stateful tracker (applyInPandasWithState) must agree with the
+    batch event-bound kernel (row_to_bound, closed='right') on trigger rows
+    with a resolved boundary — including windows that span micro-batch
+    boundaries (state carried across files via maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from aces_spark.operators.aggregate import boolean_expr_bound_sum
+    from aces_spark.streaming.pipeline import open_window_tracker
+
+    base = datetime(2024, 3, 1)
+    schema = "subject_id long, timestamp timestamp, adm long, dis long, lab long"
+    # file 1: admissions + labs (windows left OPEN at the batch boundary);
+    # file 2: more labs + discharges (close them), plus a same-row
+    # trigger+boundary event and a never-closed admission
+    f1 = [
+        (1, base + timedelta(hours=0), 1, 0, 0),
+        (1, base + timedelta(hours=2), 0, 0, 1),
+        (2, base + timedelta(hours=1), 1, 0, 0),
+        (2, base + timedelta(hours=3), 0, 0, 1),
+    ]
+    f2 = [
+        (1, base + timedelta(hours=5), 0, 0, 1),
+        (1, base + timedelta(hours=6), 0, 1, 0),
+        (2, base + timedelta(hours=4), 1, 1, 0),  # trigger+boundary same row
+        (2, base + timedelta(hours=8), 1, 0, 0),  # never closed
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(in_dir / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = (
+        open_window_tracker(stream, "adm", "dis")
+        .writeStream.format("memory")
+        .queryName("tracker")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.subject_id, r.trigger_ts, r.boundary_ts, r.adm, r.dis, r.lab)
+        for r in spark.sql("SELECT * FROM tracker").collect()
+    )
+
+    batch = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(str(in_dir))
+    kernel = boolean_expr_bound_sum(batch, F.col("dis") > 0, "row_to_bound", "right")
+    want = sorted(
+        (r.subject_id, r.timestamp_at_start, r.timestamp_at_end, r.adm, r.dis, r.lab)
+        for r in kernel.join(
+            batch.filter(F.col("adm") > 0).select("subject_id", "timestamp"),
+            ["subject_id", "timestamp"],
+        )
+        .filter(F.col("timestamp_at_end").isNotNull())
+        .collect()
+    )
+    assert got == want
+    # cross-batch window actually happened: subject 1's admission (file 1)
+    # closed by the discharge in file 2 with both labs counted
+    assert (1, base, base + timedelta(hours=6), 0, 1, 2) in got
+    # same-row trigger+boundary closes itself with zero counts
+    assert (2, base + timedelta(hours=4), base + timedelta(hours=4), 0, 0, 0) in got
