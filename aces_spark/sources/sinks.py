@@ -21,7 +21,9 @@ MEDS_LABEL_SCHEMA = T.StructType(
         T.StructField("prediction_time", T.TimestampType(), True),
         T.StructField("boolean_value", T.BooleanType(), True),
         T.StructField("integer_value", T.LongType(), True),
-        T.StructField("float_value", T.DoubleType(), True),
+        # float32, matching the MEDS LabelSchema arrow type the reference
+        # aligns to (src/aces/run.py:118 LabelSchema.align)
+        T.StructField("float_value", T.FloatType(), True),
         T.StructField("categorical_value", T.StringType(), True),
     ]
 )
@@ -68,6 +70,11 @@ def write_result(
     """Write the cohort result as parquet; optionally as MEDS labels with
     the raw window-struct frame persisted separately
     (reference ``src/aces/run.py:161-167``)."""
+    try:
+        # MEDS timestamps are μs; Spark's default INT96 reads back as nanos
+        result.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    except Exception:  # pragma: no cover
+        pass
     if window_stats_path:
         result.write.mode(mode).parquet(window_stats_path)
     out = to_meds_labels(result) if meds_labels else result
