@@ -442,6 +442,9 @@ def brute_query(cfg, meds_rows):
     results = set()
     for (sid, ats), m in res:
         if ats is None:
+            # junk row from an unresolved event-bound chain (null-key join
+            # semantics): null trigger, label, index, and summaries
+            results.add(tuple([sid, None, None, None] + [None] * len(node_names)))
             continue
         row = [sid, ats]
         if cfg.label_window:
@@ -473,7 +476,11 @@ def engine_rows(cfg, result_rows, cols, node_names):
         d = r.asDict()
         row = [d["subject_id"], us(d["trigger"]), d.get("label"), us(d.get("index_timestamp"))]
         for name in node_names:
-            s = d[f"{name}_summary"].asDict()
+            struct = d[f"{name}_summary"]
+            if struct is None:
+                row.append(None)
+                continue
+            s = struct.asDict()
             assert s["window_name"] == name
             row.append(
                 (
