@@ -252,13 +252,19 @@ def boolean_expr_bound_sum(
     else:
         eps = 1 if closed in ("right", "both") else -1  # ref :1032-1036
         # eligible iff ts_b - offset + eps sorts at-or-after the row
-        # ⟺ ts_b - ts_r ≥ offset - eps
-        w_fill = w_subj.orderBy(ts_us.asc()).rangeBetween(
-            off_us - eps, Window.unboundedFollowing
+        # ⟺ ts_b - ts_r ≥ offset - eps. Written as a GROWING frame over the
+        # negated key (k = -ts: k_b ≤ k_r - (offset - eps)) rather than the
+        # direct shrinking frame (off_us - eps, unboundedFollowing): Spark
+        # evaluates growing frames incrementally but re-scans the remaining
+        # partition per row for shrinking ones — O(n) vs O(n²) per subject,
+        # which is the difference between a skewed 100k-event subject
+        # finishing in milliseconds and stalling its whole task.
+        w_fill = w_subj.orderBy((-ts_us).asc()).rangeBetween(
+            Window.unboundedPreceding, -(off_us - eps)
         )
 
         def fill(col: Column) -> Column:
-            return F.first(col, ignorenulls=True).over(w_fill)
+            return F.last(col, ignorenulls=True).over(w_fill)
 
     bnd_ts = F.when(F.col(f"{tp}bexpr"), F.col("timestamp"))
 

@@ -68,6 +68,21 @@ def test_event_bound_kernel_single_exchange_and_no_joins(pred_df):
     assert not any("Join" in k for k in counts), counts
 
 
+@pytest.mark.parametrize("mode_name", ["fwd", "bwd"])
+def test_event_bound_kernel_no_shrinking_frames(pred_df, mode_name):
+    """Neither kernel direction may emit an unboundedfollowing range frame:
+    Spark evaluates those by re-scanning the rest of the partition for every
+    row (O(n²) per subject — a skewed 100k-event subject stalls its task).
+    The backward fill is expressed as a growing frame over the negated key
+    instead; this guard keeps it that way."""
+    end_event = "is_a" if mode_name == "fwd" else "-is_a"
+    out = aggregate_event_bound_window(
+        pred_df, ToEventWindowBounds(True, end_event, True, None)
+    )
+    plan = _plan(out).lower()
+    assert "unboundedfollowing$()" not in plan.replace(" ", ""), plan
+
+
 def test_meds_scan_column_pruning(spark, tmp_path):
     """Only predicate-referenced source columns reach the parquet scan."""
     rows = [(1, datetime(2020, 1, 1), "a", 1.0, "extra", 42)]
