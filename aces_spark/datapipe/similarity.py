@@ -97,11 +97,16 @@ def seed_centroids(vectors: DataFrame, k: int = 8, id_col: str = "vec_id", vec_c
     """Deterministic coarse centroids: the first ``k`` vectors by id (a
     fixed, iteration-free quantizer — replace with k-means offline when
     quality matters; the plumbing is identical)."""
+    # orderBy().limit(k) first: Spark plans it as a distributed top-k
+    # (TakeOrderedAndProject), so the global row_number window — which
+    # funnels its input through ONE partition — only ever sees k rows,
+    # not the corpus.
     w = Window.orderBy(F.col("__sid").asc())
     return (
         vectors.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("centroid"))
+        .orderBy(F.col("__sid").asc())
+        .limit(k)
         .withColumn("cell_id", F.row_number().over(w) - 1)
-        .filter(F.col("cell_id") < k)
         .select("cell_id", "centroid")
     )
 
