@@ -74,10 +74,13 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest centroid
-    (by cosine). ``centroids`` is ``(cell_id, centroid)`` and must be small
-    (broadcast). Deterministic ties: lowest cell_id wins."""
+    """IVF coarse quantization: assign each vector to its ``n_probes``
+    nearest centroids (by cosine). ``centroids`` is ``(cell_id, centroid)``
+    and must be small (broadcast). Deterministic ties: lowest cell_id wins.
+    ``n_probes=1`` (storage-side assignment) emits one row per vector;
+    higher values are the query-side multi-probe expansion."""
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
     c = centroids.select("cell_id", F.col("centroid").alias("__cent"))
     scored = F.broadcast(c).crossJoin(v).select(
@@ -88,7 +91,7 @@ def assign_cells(
     w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id").asc())
     return (
         scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        .filter(F.col("__rk") <= n_probes)
         .select("vec_id", "cell_id")
     )
 
@@ -118,13 +121,18 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: quantize corpus + queries into ``n_cells`` cells,
-    then brute-force only within the query's own cell (1-probe IVF).
+    then brute-force only within the query's ``n_probes`` nearest cells.
+    Each corpus vector lives in exactly one cell, so multi-probe needs no
+    candidate dedup; ``n_probes = n_cells`` recovers exact brute force.
     Same output shape as :func:`brute_force_topk`."""
     cents = seed_centroids(corpus, n_cells, id_col, vec_col)
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
-    query_cells = assign_cells(queries, cents, id_col, vec_col).withColumnRenamed("vec_id", "query_id")
+    query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
+        "vec_id", "query_id"
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).join(
         query_cells, "query_id"

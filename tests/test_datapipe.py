@@ -111,6 +111,30 @@ def test_brute_force_topk_exact(spark):
     assert abs(sim01 - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
 
 
+def test_ivf_multiprobe_recall(spark):
+    """Probing every cell recovers exact brute force; more probes never
+    lose recall."""
+    import random
+
+    from aces_spark.datapipe.similarity import ivf_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.filter(F.col("vec_id") < 5)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(brute_force_topk(vecs, qs, k=3))
+    full_probe = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=4))
+    assert full_probe == exact
+
+    one = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=1))
+    two = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=2))
+    assert len(two & exact) >= len(one & exact)
+
+
 def test_cosine_dup_pairs_threshold(spark):
     vecs = spark.createDataFrame(
         [
