@@ -405,6 +405,60 @@ def q_region_rollup(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    ordering customer share a nation, restricted to one region. Tiny dims
+    (nation, region) are broadcast; supplier joins by shuffle — at 100 TB
+    supplier scales with the corpus and must not be broadcast (AQE may
+    still choose to at small SF)."""
+    cst = _read_table(spark, sf_dir, "customer")
+    orders = _read_table(spark, sf_dir, "orders")
+    li = _read_table(spark, sf_dir, "lineitem")
+    sup = _read_table(spark, sf_dir, "supplier")
+    nat = _read_table(spark, sf_dir, "nation")
+    reg = _read_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        cst.join(orders, cst["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def q_brand_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: revenue per part brand over a shipdate slice —
+    exercises the part dimension and shipdate predicate pushdown."""
+    li = _read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    part = _read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: normalized-content fingerprint groups over documents."""
     docs = _read_table(spark, sf_dir, "documents")
@@ -593,6 +647,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
+    "local_supplier_volume": q_local_supplier_volume,
+    "brand_revenue": q_brand_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
     "text_char_stats": q_text_char_stats,
@@ -890,6 +946,30 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+    sql["local_supplier_volume"] = """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    sql["brand_revenue"] = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY p_brand
 """
 
     sql["dedup_exact"] = f"""
