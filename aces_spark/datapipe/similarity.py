@@ -96,10 +96,38 @@ def assign_cells(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Trained coarse centroids for the IVF quantizer: MLlib k-means over
+    the corpus (distributed Lloyd iterations; the model's k centers — a
+    k×dim matrix — are the only driver-side materialization). Same output
+    shape as :func:`seed_centroids`, so it drops into :func:`ivf_topk` /
+    :func:`cosine_dup_pairs` via their ``centroids`` hooks or standalone
+    :func:`assign_cells`. Deterministic for a fixed ``seed``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features").fit(feats)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+
+
 def seed_centroids(vectors: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic coarse centroids: the first ``k`` vectors by id (a
-    fixed, iteration-free quantizer — replace with k-means offline when
-    quality matters; the plumbing is identical)."""
+    fixed, iteration-free quantizer — :func:`kmeans_centroids` is the
+    trained alternative when quality matters; the plumbing is identical)."""
     # orderBy().limit(k) first: Spark plans it as a distributed top-k
     # (TakeOrderedAndProject), so the global row_number window — which
     # funnels its input through ONE partition — only ever sees k rows,
@@ -122,13 +150,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: quantize corpus + queries into ``n_cells`` cells,
     then brute-force only within the query's ``n_probes`` nearest cells.
     Each corpus vector lives in exactly one cell, so multi-probe needs no
     candidate dedup; ``n_probes = n_cells`` recovers exact brute force.
+    Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to use a
+    trained quantizer instead of the deterministic seeds.
     Same output shape as :func:`brute_force_topk`."""
-    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    cents = centroids if centroids is not None else seed_centroids(corpus, n_cells, id_col, vec_col)
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
     query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
         "vec_id", "query_id"
@@ -165,6 +196,7 @@ def cosine_dup_pairs(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates are restricted to
     vectors sharing an IVF cell (the linear-scale stage), then exact cosine
@@ -173,9 +205,10 @@ def cosine_dup_pairs(
 
     At corpus scale this is a bucket equi-join on cell id — never an
     all-pairs crossJoin; recall is tuned with ``n_cells`` (fewer cells =
-    higher recall, bigger buckets).
+    higher recall, bigger buckets), or pass trained ``centroids`` from
+    :func:`kmeans_centroids`.
     """
-    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    cents = centroids if centroids is not None else seed_centroids(vectors, n_cells, id_col, vec_col)
     cells = assign_cells(vectors, cents, id_col, vec_col)
     # precompute each vector's norm ONCE — inside the pair join it would be
     # recomputed |pairs| times (3× the arithmetic for 64-dim vectors)

@@ -135,6 +135,32 @@ def test_ivf_multiprobe_recall(spark):
     assert len(two & exact) >= len(one & exact)
 
 
+def test_kmeans_centroids_quantizer(spark):
+    """MLlib-trained centroids drop into the IVF plumbing: two well-
+    separated clusters get distinct cells, and ivf_topk with trained
+    centroids finds the within-cluster neighbors."""
+    import random
+
+    from aces_spark.datapipe.similarity import assign_cells, ivf_topk, kmeans_centroids
+
+    rng = random.Random(3)
+    rows = [(i, [10.0 + rng.uniform(-0.5, 0.5), 0.0 + rng.uniform(-0.5, 0.5)]) for i in range(10)]
+    rows += [(i, [-10.0 + rng.uniform(-0.5, 0.5), 5.0 + rng.uniform(-0.5, 0.5)]) for i in range(10, 20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(vecs, k=2, seed=1)
+    assert cents.count() == 2
+
+    cells = {r["vec_id"]: r["cell_id"] for r in assign_cells(vecs, cents).collect()}
+    left = {cells[i] for i in range(10)}
+    right = {cells[i] for i in range(10, 20)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    out = ivf_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3, centroids=cents).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] < 10 for r in out)  # same-cluster neighbors only
+
+
 def test_cosine_dup_pairs_threshold(spark):
     vecs = spark.createDataFrame(
         [
