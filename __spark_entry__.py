@@ -48,6 +48,7 @@ from aces_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_dup_groups,
+    simhash_near_pairs,
     winnowing_fingerprints,
 )
 from aces_spark.datapipe.multimodal import extract_features, payload_stats
@@ -140,6 +141,45 @@ _DOC_TOKENS_SQL = (
     "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
 )
 _DOC_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+# The driver's synthetic documents contain no duplicates, which made the
+# round-1 dedup oracles vacuous (0 matching groups). The dedup queries now
+# union deterministically perturbed copies so the oracles exercise real
+# group/pair structure: every 5th doc reappears with doc_id+1e6 and either
+# case/punctuation noise (same normalized content → exact dup) or its last
+# ~10% truncated (high-Jaccard near dup).
+_DOCS_EXACT_DUPS_SQL = """SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(upper(text), ' !!') AS text
+  FROM documents WHERE doc_id % 5 = 0"""
+
+_DOCS_NEAR_DUPS_SQL = """SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+  FROM documents WHERE doc_id % 5 = 0"""
+
+
+def _docs_with_exact_dups(spark, sf_dir):
+    """documents ∪ case/punctuation-perturbed copies: identical normalized
+    content → identical fingerprint (mirrors ``_DOCS_EXACT_DUPS_SQL``)."""
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return docs.unionByName(pert)
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    """documents ∪ truncated near-copies (~90% prefix): high-but-not-1.0
+    Jaccard overlap (mirrors ``_DOCS_NEAR_DUPS_SQL``)."""
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.9) as int))").alias("text"),
+    )
+    return docs.unionByName(pert)
 
 
 # ---------------------------------------------------------------- entry
@@ -470,9 +510,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_exact_groups(spark, sf_dir):
-    """Exact dedup groups (≥ 2 members only)."""
-    docs = _read_table(spark, sf_dir, "documents")
-    return dedup_exact(docs).withColumnRenamed("n_dups", "n_docs")
+    """Exact dedup groups (≥ 2 members only) over the corpus plus
+    deterministic case/punctuation-perturbed copies — non-vacuous grouping
+    (the raw corpus has no duplicates)."""
+    return dedup_exact(_docs_with_exact_dups(spark, sf_dir)).withColumnRenamed(
+        "n_dups", "n_docs"
+    )
 
 
 def q_text_char_stats(spark, sf_dir):
@@ -496,9 +539,13 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup: word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join."""
-    docs = _read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=None)
+    """Near-dup: word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join
+    WITH the boilerplate document-frequency cap on (the linear-scale plan —
+    unbounded per-shingle fanout is quadratic on boilerplate), over the
+    near-dup-augmented corpus."""
+    return ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.2, max_doc_freq=1000
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -508,8 +555,10 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Near-dup: MinHash-LSH candidate pairs (8 hashes × 4 bands)."""
-    docs = _read_table(spark, sf_dir, "documents")
+    """Near-dup: MinHash-LSH candidate pairs (8 hashes × 4 bands) over the
+    near-dup-augmented corpus — real high-Jaccard pairs, not just band
+    noise."""
+    docs = _docs_with_near_dups(spark, sf_dir)
     return minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4)
 
 
@@ -517,6 +566,14 @@ def q_simhash_groups(spark, sf_dir):
     """Near-dup: SimHash signature buckets with ≥2 members (16-bit)."""
     docs = _read_table(spark, sf_dir, "documents")
     return simhash_dup_groups(docs, bits=16)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Near-dup: SimHash pairs within Hamming distance 3 of a 32-bit
+    signature via block rotation (pigeonhole bucketing + bit_count verify),
+    over the near-dup-augmented corpus."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return simhash_near_pairs(docs, bits=32, k=3)
 
 
 def q_token_counts(spark, sf_dir):
@@ -610,21 +667,38 @@ def q_multimodal_features(spark, sf_dir):
 def q_cohort_feature_vectors(spark, sf_dir):
     """ML feature engineering: flagship cohort output → flattened per-window
     predicate counts + durations → MLlib VectorAssembler ``features`` column
-    (functions/features.py). Vector-typed output is not SQL-expressible;
-    driver records a rows-only check."""
+    (functions/features.py). The Vector-typed column is exercised end-to-end,
+    then converted with ``vector_to_array`` and projected to named scalar
+    components so the harness can canonicalize rows (Vector cells are not
+    sortable) and a DuckDB oracle can hash-check every value."""
+    from pyspark.ml.functions import vector_to_array
+
     from aces_spark.functions.features import cohort_feature_vectors
 
     cfg = _flagship_cfg()
     pred_df = _pred_df(spark, sf_dir, _plain(["signup", "click", "purchase"]))
-    return cohort_feature_vectors(aces_query(cfg, pred_df))
+    vec = cohort_feature_vectors(aces_query(cfg, pred_df))
+    # VectorAssembler input order on the flagship task: the obs.end summary
+    # counts in predicate order (signup, click, purchase), then the window
+    # duration in seconds — pinned here so the oracle can name components.
+    arr = vector_to_array(F.col("features"))
+    names = ["f_signup", "f_click", "f_purchase", "f_duration_s"]
+    return vec.select(
+        "subject_id",
+        "trigger",
+        "label",
+        *[F.round(arr[i], 4).alias(nm) for i, nm in enumerate(names)],
+    )
 
 
 def q_tfidf_features(spark, sf_dir):
-    """MLlib text features: Tokenizer → HashingTF → IDF over documents.
-    Sparse-vector output; rows-only check."""
-    from aces_spark.functions.features import tfidf_features
+    """Text features: exact (collision-free) TF-IDF over documents with
+    MLlib's idf formula — pure DataFrame ops, fully oracle-checkable. The
+    HashingTF/IDF MLlib pipeline (murmur3 bucketing, not engine-portable)
+    is covered by pytest instead (functions/features.py::tfidf_features)."""
+    from aces_spark.functions.features import tfidf_exact
 
-    return tfidf_features(_read_table(spark, sf_dir, "documents"))
+    return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -662,6 +736,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_groups": q_simhash_groups,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
@@ -979,7 +1054,8 @@ FROM fp GROUP BY fingerprint
 """
 
     sql["dedup_exact_groups"] = f"""
-WITH fp AS (SELECT doc_id, md5({_DOC_NORM_SQL}) AS fingerprint FROM documents)
+WITH docs_aug AS ({_DOCS_EXACT_DUPS_SQL}),
+fp AS (SELECT doc_id, md5({_DOC_NORM_SQL}) AS fingerprint FROM docs_aug)
 SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_doc_id
 FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
 """
@@ -1092,11 +1168,16 @@ WHERE cosine_sim >= 0.2
 """
 
     sql["ngram_jaccard_pairs"] = f"""
-WITH toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM documents),
-sh AS (
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh_all)
+  WHERE df <= 1000),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -1138,7 +1219,8 @@ FROM sh GROUP BY doc_id
         band_select.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
     bands_union = "\nUNION ALL\n".join(band_select)
     sql["minhash_lsh_pairs"] = f"""
-WITH toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM documents),
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
@@ -1224,6 +1306,37 @@ SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS canonical_doc
 FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
 """
 
+    # SimHash Hamming-≤3 pairs: 32-bit signature, k+1 = 4 pigeonhole blocks
+    # of 8 bits; candidates from (block, value) buckets, verified with
+    # bit_count(xor) — mirrors datapipe.dedup.simhash_near_pairs exactly.
+    simhash_bits32 = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(32)
+    )
+    block_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS block, (simhash >> {8 * b}) & 255 AS val FROM sig"
+        for b in range(4)
+    )
+    sql["simhash_near_pairs"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS tok
+  FROM docs_aug WHERE length({_DOC_NORM_SQL}) > 0),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks),
+sig AS (
+  SELECT doc_id, CAST({simhash_bits32} AS BIGINT) AS simhash
+  FROM h GROUP BY doc_id),
+blocks AS ({block_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blocks a
+JOIN blocks b ON a.block = b.block AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
     sql["embedding_label_stats"] = """
 SELECT CAST(label AS BIGINT) AS label,
   CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -1238,6 +1351,51 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-    # multimodal_features: intentionally no oracle — Arrow-batched
-    # mapInPandas is not SQL-expressible; rows-only check.
+    # multimodal_features runs the Arrow-batched mapInPandas slow path, but
+    # the columns it RETURNS (sizes + digests; the stub feature array is
+    # projected away) are plain SQL — so the Python-worker path itself gets
+    # hash-checked against the oracle.
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_digest
+FROM documents
+"""
+
+    # flagship cohort → feature vectors: the assembled vector's components
+    # in VectorAssembler input order (predicate counts, then duration)
+    sql["cohort_feature_vectors"] = f"""
+WITH pred AS ({pred_scp}),
+w AS (
+  SELECT subject_id, timestamp, signup,
+    CAST(SUM(signup) OVER win AS BIGINT) AS w_signup,
+    CAST(SUM(click) OVER win AS BIGINT) AS w_click,
+    CAST(SUM(purchase) OVER win AS BIGINT) AS w_purchase
+  FROM pred
+  WINDOW win AS (PARTITION BY subject_id ORDER BY timestamp
+                 RANGE BETWEEN CURRENT ROW AND INTERVAL 72 HOURS FOLLOWING))
+SELECT subject_id,
+  timestamp AS trigger,
+  w_purchase AS label,
+  ROUND(CAST(w_signup AS DOUBLE), 4) AS f_signup,
+  ROUND(CAST(w_click AS DOUBLE), 4) AS f_click,
+  ROUND(CAST(w_purchase AS DOUBLE), 4) AS f_purchase,
+  CAST(259200.0 AS DOUBLE) AS f_duration_s
+FROM w WHERE signup >= 1 AND w_click >= 1
+"""
+
+    # exact TF-IDF: tf rows are unique per (doc, term), so a window count
+    # over term IS the document frequency; idf = ln((N+1)/(df+1))
+    sql["tfidf_features"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS term
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, tf,
+  ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
+FROM tf, n
+"""
     return sql

@@ -12,8 +12,12 @@ Designed for 100 TB corpora:
   (deterministic, engine-portable), candidate pairs from band-bucket
   groupBy. Linear in corpus size; only same-bucket pairs are compared.
 * **SimHash** — 32-bit signature from per-token md5 bits; near-dups are
-  pairs within Hamming distance k found by block rotation (here: exact
-  signature match buckets, the scalable first stage).
+  pairs within Hamming distance k found by block rotation
+  (:func:`simhash_near_pairs`): split the signature into k+1 blocks —
+  any pair at distance ≤ k agrees exactly on ≥ 1 block (pigeonhole), so
+  bucketing on (block, value) finds EVERY such pair; verify with
+  ``bit_count(a ^ b)``. :func:`simhash_dup_groups` is the cheaper
+  exact-signature bucket stage.
 
 Everything is Column-expression-only (no Python UDFs); md5 is used as the
 portable hash everywhere so a DuckDB oracle can reproduce values bit-for-bit.
@@ -76,6 +80,12 @@ def ngram_jaccard_pairs(
 
     ``max_doc_freq`` drops shingles shared by more than that many documents
     — the boilerplate guard that keeps the join linear at corpus scale.
+
+    Caching note: the shingle relation is persisted (it feeds both join
+    sides and the size aggregate inside ONE job) and the caller owns the
+    lifecycle — in a long-lived session, ``spark.catalog.clearCache()`` or
+    LRU eviction (MEMORY_AND_DISK) reclaims it; there is no safe point to
+    unpersist inside this function because the returned plan is lazy.
     """
     # the shingle relation feeds three consumers (both join sides + the
     # per-doc size agg) — persist it so the explode runs once; Spark's LRU
@@ -227,6 +237,61 @@ def simhash_dup_groups(df: DataFrame, bits: int = 32, text_col: str = "text") ->
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n_dups") >= 2)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``k`` of the SimHash
+    signature, via block rotation (the pigeonhole trick): split the
+    ``bits``-wide signature into ``k + 1`` contiguous blocks; any two
+    signatures at distance ≤ k differ in at most k blocks, so they agree
+    EXACTLY on at least one — bucketing on ``(block_idx, block_value)``
+    therefore finds every qualifying pair (recall 1.0 within k), and
+    ``bit_count(a ^ b)`` verifies candidates. Returns distinct
+    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+
+    Scale shape: one signature aggregation, then a bucket equi-join keyed
+    by (block, value) — k+1 rows per doc, never all-pairs. Wider signatures
+    shrink buckets (32 bits / k=3 → 8-bit blocks → 256 buckets per block);
+    candidate verification is a codegen'd xor+popcount.
+    """
+    if not 0 <= k < bits:
+        raise ValueError("need 0 <= k < bits")
+    n_blocks = k + 1
+    sig = simhash(df, bits, text_col)
+    bounds = [bits * b // n_blocks for b in range(n_blocks + 1)]
+    block_structs = []
+    for blk in range(n_blocks):
+        lo, width = bounds[blk], bounds[blk + 1] - bounds[blk]
+        mask = (1 << width) - 1
+        block_structs.append(
+            F.struct(
+                F.lit(blk).alias("block"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.block").alias("block"), F.col("bb.val").alias("val"))
+
+    a = blocks.alias("a")
+    b2 = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b2, on=["block", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
 
 

@@ -25,7 +25,7 @@ shape to the hand-rolled LSH band join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -106,6 +106,53 @@ def tfidf_features(
     tfv = tf.transform(tokens)
     idf = IDF(inputCol="__tf", outputCol="tfidf").fit(tfv)
     return idf.transform(tfv).select(id_col, "tfidf")
+
+
+def tfidf_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact (collision-free) TF-IDF over normalized word tokens, computed
+    with pure DataFrame ops — no feature hashing, so a SQL oracle can
+    reproduce every value bit-for-bit (HashingTF's murmur3 bucketing in
+    :func:`tfidf_features` is not engine-portable; that MLlib pipeline is
+    pytest-covered instead).
+
+    ``idf = ln((N + 1) / (df + 1))`` — MLlib ``IDF``'s formula with
+    ``minDocFreq=0`` — where N counts ALL input docs (including token-less
+    ones, matching MLlib's row count). Returns
+    ``(doc_id, term, tf, tfidf)`` with ``tf`` BIGINT and ``tfidf`` rounded
+    to 6 dp.
+
+    Scale shape: explode → hash-aggregate by (doc, term) → per-term doc
+    frequency as a window over ``term`` (tf rows are unique per (doc, term),
+    so a plain count is the doc frequency). The shuffle key is the term;
+    heavy-hitter terms are the same boilerplate story as
+    ``ngram_jaccard_pairs`` and can be capped upstream. N arrives as a
+    broadcast 1-row aggregate, not a driver-side collect.
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    tokens = F.when(
+        F.length(normalized) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(normalized, " "))
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return (
+        tf.withColumn("__df", doc_freq)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
 
 
 def mllib_minhash_dup_pairs(

@@ -15,6 +15,7 @@ from aces_spark.datapipe.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
     winnowing_fingerprints,
     word_shingles,
 )
@@ -82,6 +83,34 @@ def test_simhash_identical_for_same_tokens(docs):
     s = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
     assert s[1] == s[2]
     assert 0 <= s[1] < 2 ** 16
+
+
+def test_simhash_near_pairs_exact_recall(spark):
+    """The block-rotation bucketing must find EVERY pair within Hamming
+    distance k (pigeonhole guarantees recall 1.0) — compare against an
+    all-pairs brute force over the same signatures."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota", "kappa"]
+    rows = []
+    for i in range(30):
+        # overlapping word subsets → a spread of pairwise Hamming distances
+        toks = [words[(i + j) % len(words)] for j in range(5)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k, bits = 3, 32
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=bits).collect()}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(df, bits=bits, k=k).collect()
+    }
+    assert got == expected
+    assert expected  # fixture must actually produce close pairs
 
 
 def test_winnowing_overlap(docs):

@@ -17,6 +17,7 @@ from aces_spark.functions.features import (
     cohort_feature_vectors,
     flatten_window_summaries,
     mllib_minhash_dup_pairs,
+    tfidf_exact,
     tfidf_features,
 )
 from aces_spark.query import query
@@ -98,6 +99,25 @@ def test_tfidf_features(spark):
     d3 = dict(zip(rows[3].indices.tolist(), rows[3].values.tolist()))
     assert set(d1) & set(d2)
     assert not set(d1) & set(d3)
+
+
+def test_tfidf_exact_values(spark):
+    """tfidf_exact reproduces MLlib's idf formula ln((N+1)/(df+1)) with
+    collision-free terms — hand-checkable on a 3-doc corpus."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "Entirely different words!")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf_exact(docs).collect()}
+    # "the": df=2, N=3 → idf = ln(4/3)
+    assert out[(1, "the")] == (1, round(math.log(4 / 3), 6))
+    # "cat": df=1 → idf = ln(4/2)
+    assert out[(1, "cat")] == (1, round(math.log(2.0), 6))
+    # normalization: punctuation stripped, lowercased
+    assert (3, "entirely") in out and (3, "Entirely") not in out
+    assert len([k for k in out if k[0] == 3]) == 3
 
 
 def test_mllib_minhash_dup_pairs(spark):

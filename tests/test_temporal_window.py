@@ -99,3 +99,81 @@ def test_singleton_subject(spark):
     assert both.collect()[0]["p"] == 5
     none = aggregate_temporal_window(df, TemporalWindowBounds(False, timedelta(days=1), False, None))
     assert none.collect()[0]["p"] == 0
+
+
+# ----- exact golden frames ported verbatim from the reference's doctest
+# corpus (``/root/reference/src/aces/aggregate.py:142-283``). The
+# differential oracle above is stronger, but these pin the reference's
+# exact frames — cheap insurance against a shared bug in kernel + oracle.
+
+DOCTEST_ROWS = [
+    (1, datetime(1989, 12, 1, 12, 3), 1, 0, 1),
+    (1, datetime(1989, 12, 2, 5, 17), 0, 1, 1),
+    (1, datetime(1989, 12, 2, 12, 3), 1, 0, 0),
+    (1, datetime(1989, 12, 6, 11, 0), 0, 1, 0),
+    (2, datetime(1989, 12, 1, 13, 14), 0, 1, 1),
+    (2, datetime(1989, 12, 3, 15, 17), 0, 0, 0),
+]
+
+# (bounds, [(is_A, is_B, is_C) per row in (subject_id, timestamp) order])
+DOCTEST_FRAMES = [
+    (
+        TemporalWindowBounds(True, timedelta(days=7), True, None),
+        [(2, 2, 2), (1, 2, 1), (1, 1, 0), (0, 1, 0), (0, 1, 1), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(True, timedelta(days=1), True, timedelta(days=0)),
+        [(2, 1, 2), (1, 1, 1), (1, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(True, timedelta(days=1), False, timedelta(days=0)),
+        [(1, 1, 2), (1, 1, 1), (1, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(False, timedelta(days=1), False, timedelta(days=0)),
+        [(0, 1, 1), (1, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(False, timedelta(days=-1), False, timedelta(days=0)),
+        [(0, 0, 0), (1, 0, 1), (0, 1, 1), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(False, timedelta(hours=12), False, timedelta(hours=12)),
+        [(0, 1, 1), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(False, timedelta(days=-1), True, timedelta(days=1)),
+        [(1, 1, 1), (1, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+    ),
+    (
+        TemporalWindowBounds(True, timedelta(days=-1), False, timedelta(days=1)),
+        [(1, 1, 2), (1, 1, 1), (1, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 0)],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    ("bounds", "expected"),
+    DOCTEST_FRAMES,
+    ids=[
+        f"li{b.left_inclusive}-ws{b.window_size}-ri{b.right_inclusive}-off{b.offset}"
+        for b, _ in DOCTEST_FRAMES
+    ],
+)
+def test_temporal_window_reference_doctest_frames(spark, bounds, expected):
+    df = spark.createDataFrame(
+        DOCTEST_ROWS, "subject_id long, timestamp timestamp, is_A long, is_B long, is_C long"
+    )
+    got = as_sorted_pdf(aggregate_temporal_window(df, bounds), ["subject_id", "timestamp"])
+    assert len(got) == len(DOCTEST_ROWS)
+    off = bounds.offset or timedelta(0)
+    for i, (sid, ts, *_vals) in enumerate(DOCTEST_ROWS):
+        assert got.loc[i, "subject_id"] == sid
+        assert got.loc[i, "timestamp"].to_pydatetime() == ts
+        assert got.loc[i, "timestamp_at_start"].to_pydatetime() == ts + off
+        assert got.loc[i, "timestamp_at_end"].to_pydatetime() == ts + off + bounds.window_size
+        assert (
+            got.loc[i, "is_A"],
+            got.loc[i, "is_B"],
+            got.loc[i, "is_C"],
+        ) == expected[i], f"row {i} ({sid}, {ts})"
