@@ -599,7 +599,10 @@ def q_embedding_dup_pairs(spark, sf_dir):
     emb = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return cosine_dup_pairs(emb, threshold=0.2, n_cells=8)
+    # quantizer="seed": deterministic first-k centroids so DuckDB can mirror
+    # the cell assignment exactly; production default is trained k-means
+    # with corpus-proportional n_cells (similarity.py::_resolve_centroids)
+    return cosine_dup_pairs(emb, threshold=0.2, n_cells=8, quantizer="seed")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -618,7 +621,8 @@ def q_ann_ivf_topk(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, n_cells=8)
+    # seed quantizer → SQL-mirrorable cell assignment (see q_embedding_dup_pairs)
+    return ivf_topk(emb, queries, k=5, n_cells=8, quantizer="seed")
 
 
 def q_embedding_label_stats(spark, sf_dir):

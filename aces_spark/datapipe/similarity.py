@@ -18,6 +18,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Target vectors-per-cell for the auto-sized IVF quantizer. With cells
+#: sized to a constant, candidate-pair work per cell is O(target²) and the
+#: number of cells grows linearly with the corpus — the whole near-dup /
+#: ANN pass stays linear at 100 TB instead of O(n²/k) with a fixed k.
+DEFAULT_TARGET_BUCKET_SIZE = 1024
+
+
+def auto_n_cells(n_vectors: int, target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE) -> int:
+    """Corpus-proportional cell count: ``max(8, n // target_bucket_size)``."""
+    return max(8, n_vectors // max(1, target_bucket_size))
+
+
+def _resolve_centroids(
+    vectors: DataFrame,
+    n_cells: int | None,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    quantizer: str,
+    target_bucket_size: int,
+) -> DataFrame:
+    """Default-centroid policy shared by :func:`ivf_topk` and
+    :func:`cosine_dup_pairs`.
+
+    * explicit ``centroids`` frame → used as-is;
+    * otherwise ``n_cells`` defaults to corpus-proportional sizing
+      (:func:`auto_n_cells`; the ``count()`` is one cheap metadata-heavy
+      job, paid once at plan-build);
+    * ``quantizer="kmeans"`` (default) → MLlib-trained centers, which
+      split dense regions so no cell degenerates into an O(n²) bucket on
+      skewed corpora; ``quantizer="seed"`` → the deterministic
+      first-k-by-id quantizer (iteration-free, exactly reproducible in a
+      SQL oracle — the right choice for differential testing, NOT for
+      skewed production corpora).
+    """
+    if centroids is not None:
+        return centroids
+    if n_cells is None:
+        n_cells = auto_n_cells(vectors.count(), target_bucket_size)
+    if quantizer == "kmeans":
+        return kmeans_centroids(vectors, k=n_cells, id_col=id_col, vec_col=vec_col)
+    if quantizer == "seed":
+        return seed_centroids(vectors, n_cells, id_col, vec_col)
+    raise ValueError(f"unknown quantizer {quantizer!r} (expected 'kmeans' or 'seed')")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -146,20 +192,27 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
     centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
 ) -> DataFrame:
     """Approximate top-k: quantize corpus + queries into ``n_cells`` cells,
     then brute-force only within the query's ``n_probes`` nearest cells.
     Each corpus vector lives in exactly one cell, so multi-probe needs no
     candidate dedup; ``n_probes = n_cells`` recovers exact brute force.
-    Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to use a
-    trained quantizer instead of the deterministic seeds.
-    Same output shape as :func:`brute_force_topk`."""
-    cents = centroids if centroids is not None else seed_centroids(corpus, n_cells, id_col, vec_col)
+
+    Defaults are scale-safe: ``n_cells`` sizes itself to the corpus
+    (:func:`auto_n_cells`, ~``target_bucket_size`` vectors per cell) and
+    the quantizer is MLlib-trained k-means; pass ``quantizer="seed"`` for
+    the deterministic iteration-free variant or ``centroids`` for a
+    pre-trained frame. Same output shape as :func:`brute_force_topk`."""
+    cents = _resolve_centroids(
+        corpus, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
+    )
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
     query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
         "vec_id", "query_id"
@@ -193,10 +246,12 @@ def ivf_topk(
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates are restricted to
     vectors sharing an IVF cell (the linear-scale stage), then exact cosine
@@ -204,11 +259,17 @@ def cosine_dup_pairs(
     ``vec_a < vec_b``, similarity rounded to 6 dp.
 
     At corpus scale this is a bucket equi-join on cell id — never an
-    all-pairs crossJoin; recall is tuned with ``n_cells`` (fewer cells =
-    higher recall, bigger buckets), or pass trained ``centroids`` from
-    :func:`kmeans_centroids`.
+    all-pairs crossJoin. Defaults are scale-safe: ``n_cells`` tracks the
+    corpus size (~``target_bucket_size`` vectors per cell, so per-cell
+    pair work stays O(target²) and total work linear) and the trained
+    k-means quantizer splits dense regions instead of letting one hot cell
+    go quadratic; ``quantizer="seed"`` is the deterministic oracle-able
+    variant. Recall is tuned with ``n_cells`` (fewer cells = higher
+    recall, bigger buckets).
     """
-    cents = centroids if centroids is not None else seed_centroids(vectors, n_cells, id_col, vec_col)
+    cents = _resolve_centroids(
+        vectors, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
+    )
     cells = assign_cells(vectors, cents, id_col, vec_col)
     # precompute each vector's norm ONCE — inside the pair join it would be
     # recomputed |pairs| times (3× the arithmetic for 64-dim vectors)

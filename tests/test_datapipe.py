@@ -156,11 +156,11 @@ def test_ivf_multiprobe_recall(spark):
         return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
     exact = pairs(brute_force_topk(vecs, qs, k=3))
-    full_probe = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=4))
+    full_probe = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=4, quantizer="seed"))
     assert full_probe == exact
 
-    one = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=1))
-    two = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=2))
+    one = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=1, quantizer="seed"))
+    two = pairs(ivf_topk(vecs, qs, k=3, n_cells=4, n_probes=2, quantizer="seed"))
     assert len(two & exact) >= len(one & exact)
 
 
@@ -199,9 +199,54 @@ def test_cosine_dup_pairs_threshold(spark):
         ],
         "vec_id long, embedding array<double>",
     )
-    pairs = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(vecs, threshold=0.99, n_cells=1).collect()}
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_dup_pairs(vecs, threshold=0.99, n_cells=1, quantizer="seed").collect()
+    }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_auto_n_cells_and_bucket_bound(spark):
+    """Scale-safe quantizer defaults: n_cells tracks corpus size, and on a
+    SKEWED corpus the trained k-means quantizer splits the dense region so
+    no cell degenerates into a quadratic bucket (the seed quantizer's
+    failure mode)."""
+    import random
+
+    from aces_spark.datapipe.similarity import (
+        assign_cells,
+        auto_n_cells,
+        kmeans_centroids,
+    )
+
+    assert auto_n_cells(100) == 8          # floor
+    assert auto_n_cells(1 << 20) == 1024   # 1M vectors / 1024 → 1024 cells
+    assert auto_n_cells(10_000, target_bucket_size=100) == 100
+
+    # skewed corpus: one dense blob of 300 + three sparse blobs of 30
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        rows.append((i, [rng.gauss(5.0, 1.0), rng.gauss(5.0, 1.0)]))
+    for c, (cx, cy) in enumerate([(-8.0, 0.0), (0.0, -8.0), (8.0, -8.0)]):
+        for j in range(30):
+            rows.append((300 + c * 30 + j, [rng.gauss(cx, 0.3), rng.gauss(cy, 0.3)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    target = 60
+    n_cells = auto_n_cells(len(rows), target_bucket_size=target)  # 390 // 60 = 8 (floor)
+    cents = kmeans_centroids(vecs, k=n_cells, seed=2, max_iter=10)
+    sizes = (
+        assign_cells(vecs, cents)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    max_bucket = max(r["count"] for r in sizes)
+    # trained centroids must split the 300-vector blob across cells: the
+    # biggest bucket stays near the target, nowhere near the blob size
+    assert max_bucket <= 2 * target, f"hot cell of {max_bucket} vectors"
 
 
 def test_text_stats_and_langid(spark):
