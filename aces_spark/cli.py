@@ -36,10 +36,22 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # surface the engine's sanity lines (cohort size, label-uniformity
+    # warning) on the console like the reference CLI does — scoped to the
+    # aces_spark namespace so Spark/py4j INFO chatter stays quiet
+    import logging
+
+    pkg_log = logging.getLogger("aces_spark")
+    if not pkg_log.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+        pkg_log.addHandler(handler)
+        pkg_log.setLevel(logging.INFO)
+
     from pyspark.sql import SparkSession
 
     from .config import TaskExtractorConfig
-    from .query import query
+    from .query import query, report_cohort_stats
     from .sources.predicates import get_predicates_df
     from .sources.sinks import write_result
 
@@ -55,13 +67,19 @@ def main(argv: list[str] | None = None) -> int:
     predicates_df = get_predicates_df(
         cfg, spark, args.data, standard=args.standard, ts_format=args.ts_format
     )
-    result = query(cfg, predicates_df)
-    write_result(
-        result,
-        args.output,
-        meds_labels=args.meds_labels and args.standard == "meds",
-        window_stats_path=args.window_stats,
-    )
+    # persist so the sanity report reuses the written result instead of
+    # re-running the whole extraction
+    result = query(cfg, predicates_df).persist()
+    try:
+        write_result(
+            result,
+            args.output,
+            meds_labels=args.meds_labels and args.standard == "meds",
+            window_stats_path=args.window_stats,
+        )
+        report_cohort_stats(result)
+    finally:
+        result.unpersist()
     return 0
 
 

@@ -172,9 +172,13 @@ def plain_predicates_from_meds_df(data: DataFrame, predicates: dict) -> DataFram
     # single-exchange strategy: partition by subject_id once; the
     # (subject_id, timestamp) collapse then aggregates partition-locally
     # and all downstream per-subject windows reuse the same partitioning
-    return data.repartition("subject_id").groupBy("subject_id", "timestamp").agg(
+    out = data.repartition("subject_id").groupBy("subject_id", "timestamp").agg(
         *[F.coalesce(F.sum(F.col(c)), F.lit(0)).cast(PRED_CNT_TYPE).alias(c) for c in predicates]
     )
+    # unique keys by construction (the collapse) — lets query()'s
+    # default-on uniqueness validation skip its aggregation pass
+    out._aces_keys_unique = True
+    return out
 
 
 def process_esgpt_data(
@@ -378,4 +382,8 @@ def get_predicates_df(
             (F.col("timestamp") == F.max("timestamp").over(w_subj)).cast(PRED_CNT_TYPE),
         )
 
+    # every loader collapses events with groupBy(subject_id, timestamp), so
+    # the keys are unique BY CONSTRUCTION — tag the frame so query()'s
+    # default-on uniqueness validation skips the redundant aggregation pass
+    data._aces_keys_unique = True
     return data

@@ -1,0 +1,103 @@
+"""A7 parity: default-on (subject_id, timestamp) uniqueness validation and
+the reference's post-query sanity report (cohort size + label-uniformity
+warning, ``/root/reference/src/aces/query.py:110-115`` and ``:148-179``).
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime, timedelta
+
+import pytest
+
+from aces_spark import (
+    EventConfig,
+    PlainPredicateConfig,
+    TaskExtractorConfig,
+    WindowConfig,
+    query,
+)
+from aces_spark.query import report_cohort_stats
+
+DT = datetime
+
+
+def _cfg() -> TaskExtractorConfig:
+    return TaskExtractorConfig(
+        predicates={p: PlainPredicateConfig(p) for p in ("signup", "purchase")},
+        trigger=EventConfig("signup"),
+        windows={
+            "obs": WindowConfig(
+                start="trigger",
+                end="start + 24h",
+                start_inclusive=True,
+                end_inclusive=True,
+                has={},
+                label="purchase",
+            )
+        },
+    )
+
+
+def _pred_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subject_id long, timestamp timestamp, signup long, purchase long"
+    )
+
+
+def test_duplicate_keys_raise_by_default(spark):
+    """The reference always enforces key uniqueness; small inputs get the
+    eager check by default (validate_uniqueness='auto')."""
+    rows = [
+        (1, DT(2020, 1, 1, 0), 1, 0),
+        (1, DT(2020, 1, 1, 0), 0, 1),  # duplicate key
+    ]
+    with pytest.raises(ValueError, match="must be unique"):
+        query(_cfg(), _pred_df(spark, rows)).collect()
+
+
+def test_duplicate_keys_allowed_when_disabled(spark):
+    rows = [
+        (1, DT(2020, 1, 1, 0), 1, 0),
+        (1, DT(2020, 1, 1, 0), 0, 1),
+    ]
+    out = query(_cfg(), _pred_df(spark, rows), validate_uniqueness=False)
+    out.collect()  # no raise
+
+
+def test_unique_keys_pass(spark):
+    rows = [
+        (1, DT(2020, 1, 1, 0), 1, 0),
+        (1, DT(2020, 1, 1, 6), 0, 1),
+        (2, DT(2020, 1, 2, 0), 1, 0),
+    ]
+    result = query(_cfg(), _pred_df(spark, rows))
+    assert result.count() == 2
+
+
+def test_report_warns_on_uniform_labels(spark, caplog):
+    """Reference src/aces/query.py:174-179: warn when every label in the
+    cohort is identical."""
+    rows = [
+        (1, DT(2020, 1, 1, 0), 1, 0),
+        (2, DT(2020, 1, 2, 0), 1, 0),
+    ]
+    result = query(_cfg(), _pred_df(spark, rows))
+    with caplog.at_level(logging.INFO, logger="aces_spark.query"):
+        stats = report_cohort_stats(result)
+    assert stats["n_rows"] == 2 and stats["n_labels"] == 1
+    assert any("All labels in the extracted cohort are the same" in r.message for r in caplog.records)
+    assert any("valid rows returned" in r.message for r in caplog.records)
+
+
+def test_report_no_warning_on_mixed_labels(spark, caplog):
+    rows = [
+        (1, DT(2020, 1, 1, 0), 1, 0),
+        (1, DT(2020, 1, 1, 6), 0, 1),
+        (2, DT(2020, 1, 2, 0), 1, 0),
+    ]
+    result = query(_cfg(), _pred_df(spark, rows))
+    with caplog.at_level(logging.INFO, logger="aces_spark.query"):
+        stats = report_cohort_stats(result)
+    assert stats["n_labels"] == 2
+    assert not any("All labels" in r.message for r in caplog.records)
