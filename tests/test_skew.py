@@ -1,0 +1,99 @@
+"""Skew-mitigation operators: chunked cumsum / halo-chunked temporal kernel
+must be BIT-IDENTICAL to the plain per-subject formulations (differential),
+while actually splitting a subject across chunks (plan property).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aces_spark import TemporalWindowBounds, aggregate_temporal_window
+from aces_spark.operators.skew import aggregate_temporal_window_chunked, chunked_cumsum
+
+
+def _rows(seed: int, n_subjects: int = 3, max_rows: int = 60):
+    rng = random.Random(seed)
+    base = datetime(2020, 1, 1)
+    rows = []
+    for sid in range(1, n_subjects + 1):
+        times = sorted(rng.sample(range(0, 50_000), rng.randint(5, max_rows)))
+        for m in times:
+            rows.append((sid, base + timedelta(minutes=m), rng.randint(0, 3), rng.randint(0, 1)))
+    return rows
+
+
+def _key(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_chunked_cumsum_matches_plain(spark):
+    rows = _rows(5)
+    df = spark.createDataFrame(rows, "subject_id long, timestamp timestamp, p1 long, p2 long")
+    w = (
+        Window.partitionBy("subject_id")
+        .orderBy(F.col("timestamp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = df.select(
+        "subject_id",
+        "timestamp",
+        F.sum("p1").over(w).cast("long").alias("cum_p1"),
+        F.sum("p2").over(w).cast("long").alias("cum_p2"),
+    )
+    # tiny chunk (2h over a ~35-day span) → many chunks per subject
+    chunked = chunked_cumsum(df, ["p1", "p2"], chunk=timedelta(hours=2)).select(
+        "subject_id", "timestamp", "cum_p1", "cum_p2"
+    )
+    assert _key(chunked) == _key(plain)
+
+
+BOUNDS = [
+    TemporalWindowBounds(True, timedelta(hours=10), True, None),
+    TemporalWindowBounds(False, timedelta(hours=10), False, None),
+    TemporalWindowBounds(True, timedelta(hours=-10), False, None),
+    TemporalWindowBounds(False, timedelta(hours=6), True, timedelta(hours=3)),
+    TemporalWindowBounds(True, timedelta(hours=-6), True, timedelta(hours=-3)),
+    TemporalWindowBounds(True, timedelta(hours=2), True, timedelta(hours=30)),  # pure-offset reach
+]
+
+
+@pytest.mark.parametrize(
+    "bounds",
+    BOUNDS,
+    ids=lambda b: f"li{b.left_inclusive}-ws{b.window_size}-ri{b.right_inclusive}-off{b.offset}",
+)
+def test_chunked_temporal_kernel_differential(spark, bounds):
+    rows = _rows(11)
+    df = spark.createDataFrame(rows, "subject_id long, timestamp timestamp, p1 long, p2 long")
+    plain = aggregate_temporal_window(df, bounds)
+    # chunk barely above the frame span → maximal halo stress
+    chunked = aggregate_temporal_window_chunked(df, bounds, chunk=timedelta(hours=11))
+    assert chunked.columns == plain.columns
+    assert _key(chunked) == _key(plain)
+
+
+def test_chunked_temporal_kernel_default_chunk(spark):
+    rows = _rows(13)
+    df = spark.createDataFrame(rows, "subject_id long, timestamp timestamp, p1 long, p2 long")
+    bounds = TemporalWindowBounds(True, timedelta(hours=5), False, None)
+    assert _key(aggregate_temporal_window_chunked(df, bounds)) == _key(
+        aggregate_temporal_window(df, bounds)
+    )
+
+
+def test_chunked_kernel_actually_chunks(spark):
+    """The physical plan must partition the window by (subject_id, chunk),
+    not subject_id alone — otherwise the operator silently degrades to the
+    serialized formulation."""
+    rows = _rows(17)
+    df = spark.createDataFrame(rows, "subject_id long, timestamp timestamp, p1 long, p2 long")
+    out = aggregate_temporal_window_chunked(
+        df, TemporalWindowBounds(True, timedelta(hours=10), True, None), chunk=timedelta(hours=12)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan

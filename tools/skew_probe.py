@@ -1,0 +1,120 @@
+"""Skew probe: one pathological subject holding 1M of 2M events vs a
+uniform distribution of the same total, through the temporal kernel.
+
+Measures three runs (noop sink, wall-clock):
+
+* uniform corpus, plain kernel          — the baseline
+* skewed corpus,  plain kernel          — the hot subject serializes
+* skewed corpus,  halo-chunked kernel   — operators/skew.py mitigation
+
+Acceptance (VERDICT r1 #7): the chunked run on the skewed corpus finishes
+within 2× of the uniform baseline.
+
+Usage: python tools/skew_probe.py [n_rows] [hot_fraction]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import timedelta
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    n_hot = int(n * hot_frac)
+    n_cold_subj = 63
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aces-spark-skew-probe")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from aces_spark.operators.aggregate import aggregate_temporal_window
+    from aces_spark.operators.skew import aggregate_temporal_window_chunked
+    from aces_spark.types import TemporalWindowBounds
+
+    # minute cadence (unique timestamps per subject); 1M events ≈ 2 years
+    def corpus(skewed: bool):
+        if skewed:
+            sid = F.when(F.col("id") < n_hot, F.lit(0)).otherwise(
+                F.col("id") % n_cold_subj + 1
+            )
+            seq = F.when(F.col("id") < n_hot, F.col("id")).otherwise(
+                F.floor((F.col("id") - n_hot) / n_cold_subj)
+            )
+        else:
+            sid = F.col("id") % (n_cold_subj + 1)
+            seq = F.floor(F.col("id") / (n_cold_subj + 1))
+        return (
+            spark.range(n)
+            .select(
+                sid.cast("long").alias("subject_id"),
+                F.timestamp_micros(seq * 60_000_000).alias("timestamp"),
+                (F.col("id") % 3 == 0).cast("long").alias("p1"),
+                (F.col("id") % 11 == 0).cast("long").alias("p2"),
+            )
+            .repartition(int(cpus) * 2, "subject_id")
+            .persist()
+        )
+
+    bounds = TemporalWindowBounds(True, timedelta(hours=24), True, None)
+
+    def timed(fn):
+        t = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t, 2)
+
+    uniform = corpus(skewed=False)
+    uniform.count()
+    t_uniform = timed(lambda: aggregate_temporal_window(uniform, bounds))
+    uniform.unpersist()
+
+    skewed = corpus(skewed=True)
+    skewed.count()
+    t_skew_plain = timed(lambda: aggregate_temporal_window(skewed, bounds))
+    t_skew_chunked = timed(
+        lambda: aggregate_temporal_window_chunked(skewed, bounds, chunk=timedelta(days=7))
+    )
+    skewed.unpersist()
+
+    ratio = round(t_skew_chunked / t_uniform, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "skew_probe",
+                "rows": n,
+                "hot_subject_rows": n_hot,
+                "cpus": int(cpus),
+                "uniform_plain_sec": t_uniform,
+                "skewed_plain_sec": t_skew_plain,
+                "skewed_chunked_sec": t_skew_chunked,
+                "chunked_vs_uniform_ratio": ratio,
+                "pass_2x": ratio <= 2.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
