@@ -106,7 +106,13 @@ def direct_load_plain_predicates(
 def _strptime_to_spark(fmt: str) -> str:
     """Translate the strptime-style format the reference accepts
     (``%m/%d/%Y %H:%M``, ``tests/test_e2e.py:11``) into a Spark/Java
-    datetime pattern."""
+    datetime pattern.
+
+    Walks the format left-to-right: known ``%`` directives map to their
+    Java pattern, unknown ones raise immediately (silently passing them
+    through would misparse), and literal text is single-quoted so Java
+    pattern letters inside it (``T``, ``Z``, ...) stay literal.
+    """
     # single-letter Java patterns accept 1-2 digits, matching strptime's
     # tolerance for unpadded fields (the reference fixtures use e.g.
     # "12/1/1989 2:24" with %m/%d/%Y %H:%M)
@@ -119,11 +125,42 @@ def _strptime_to_spark(fmt: str) -> str:
         "%M": "m",
         "%S": "s",
         "%f": "SSSSSS",
+        "%b": "MMM",
+        "%B": "MMMM",
+        "%j": "D",
+        "%p": "a",
+        "%z": "xx",
+        "%%": "'%'",
     }
-    out = fmt
-    for k, v in mapping.items():
-        out = out.replace(k, v)
-    return out
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            text = "".join(literal)
+            if any(ch.isalpha() for ch in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            directive = fmt[i : i + 2]
+            if directive not in mapping:
+                raise ValueError(
+                    f"Unsupported strptime directive {directive!r} in timestamp "
+                    f"format {fmt!r}; supported: {sorted(mapping)}"
+                )
+            flush_literal()
+            out.append(mapping[directive])
+            i += 2
+        else:
+            literal.append(fmt[i])
+            i += 1
+    flush_literal()
+    return "".join(out)
 
 
 def generate_plain_predicates_from_meds(

@@ -101,3 +101,33 @@ def test_report_no_warning_on_mixed_labels(spark, caplog):
         stats = report_cohort_stats(result)
     assert stats["n_labels"] == 2
     assert not any("All labels" in r.message for r in caplog.records)
+
+
+def test_strptime_translation_and_errors():
+    """Known strptime directives translate; unknown ones raise instead of
+    leaking into the Java pattern; literal letters are quoted."""
+    from aces_spark.sources.predicates import _strptime_to_spark
+
+    assert _strptime_to_spark("%m/%d/%Y %H:%M") == "M/d/yyyy H:m"
+    assert _strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-M-d'T'H:m:s"
+    assert _strptime_to_spark("%d %b %Y") == "d MMM yyyy"
+    assert _strptime_to_spark("100%%") == "100'%'"
+    with pytest.raises(ValueError, match="Unsupported strptime directive '%I'"):
+        _strptime_to_spark("%I:%M %p")
+
+
+def test_direct_load_literal_text_format(spark, tmp_path):
+    """ISO-ish format with a literal 'T' parses correctly end-to-end
+    (previously the unquoted T broke the Java pattern)."""
+    csv = tmp_path / "p.csv"
+    csv.write_text(
+        "subject_id,timestamp,a\n"
+        "1,2020-01-02T03:04:05,1\n"
+        "1,2020-01-02T04:00:00,0\n"
+    )
+    from aces_spark.sources.predicates import direct_load_plain_predicates
+
+    df = direct_load_plain_predicates(spark, str(csv), ["a"], "%Y-%m-%dT%H:%M:%S")
+    rows = sorted((r["subject_id"], r["timestamp"], r["a"]) for r in df.collect())
+    assert rows[0][1] == DT(2020, 1, 2, 3, 4, 5)
+    assert [r[2] for r in rows] == [1, 0]
