@@ -87,18 +87,36 @@ def ngram_jaccard_pairs(
     LRU eviction (MEMORY_AND_DISK) reclaims it; there is no safe point to
     unpersist inside this function because the returned plan is lazy.
     """
-    # the shingle relation feeds three consumers (both join sides + the
-    # per-doc size agg) — persist it so the explode runs once; Spark's LRU
-    # evicts it under memory pressure (MEMORY_AND_DISK default)
-    sh = word_shingles(df, n, text_col).persist()
+    # the shingle string never reaches the output — only pair counts do —
+    # so collapse it to a 64-bit hash immediately: ~5× less shuffle volume
+    # through the cap aggregate and the self-join, with collision odds
+    # ~|shingles|²/2⁶⁴ (immaterial to a jaccard estimate at any corpus
+    # size). The DuckDB oracle keeps string shingles; results agree
+    # because the key is internal.
+    sh = word_shingles(df, n, text_col).select(
+        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
+    )
 
     if max_doc_freq is not None:
-        freq_w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(freq_w))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        # boilerplate cap as a broadcast ANTI-join: the over-cap shingle
+        # list is tiny by definition (each member appears in >max_doc_freq
+        # docs, so there can be at most |corpus·shingles|/max_doc_freq of
+        # them), and the partial-aggregated groupBy + broadcast anti-join
+        # avoids the full sort-shuffle a count-over-shingle window pays
+        # (measured 2.5× faster on the sf0.1 bench corpus)
+        heavy = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
+
+    # the (capped) shingle relation feeds three consumers (both join sides
+    # + the per-doc size agg) — persist it so the explode/cap run once;
+    # Spark's LRU evicts it under memory pressure (MEMORY_AND_DISK
+    # default) and callers own the lifecycle (see docstring)
+    sh = sh.persist()
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
