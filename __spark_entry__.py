@@ -305,6 +305,19 @@ def q_temporal_window_fwd(spark, sf_dir):
     )
 
 
+def q_temporal_window_chunked(spark, sf_dir):
+    """T1 via the skew-mitigation path (operators/skew.py): halo-chunked
+    evaluation over (subject, time-chunk) — same semantics as
+    temporal_window_fwd, so it shares that oracle shape; a hot subject
+    spreads across span/chunk parallel tasks."""
+    from aces_spark.operators.skew import aggregate_temporal_window_chunked
+
+    df = _pred_df(spark, sf_dir, _plain(["purchase", "error", "click"]))
+    return aggregate_temporal_window_chunked(
+        df, TemporalWindowBounds(True, timedelta(hours=24), True, None), chunk=timedelta(days=7)
+    )
+
+
 def q_temporal_window_bwd(spark, sf_dir):
     """T1: backward 6h window (negative size), open left endpoint."""
     df = _pred_df(spark, sf_dir, _plain(["purchase", "error"]))
@@ -576,6 +589,15 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(docs, bits=32, k=3)
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composite corpus-cleaning pipeline (datapipe.text.clean_corpus):
+    quality gate ∧ english ∧ exact-dedup canonical in one pass, over the
+    exact-dup-augmented corpus so the dedup stage does real work."""
+    from aces_spark.datapipe.text import clean_corpus
+
+    return clean_corpus(_docs_with_exact_dups(spark, sf_dir), min_quality=0.5)
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: whitespace + BPE-ish regex token counts."""
     docs = _read_table(spark, sf_dir, "documents")
@@ -632,6 +654,30 @@ def q_embedding_label_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("mean_dim0"),
     )
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Multimodal planning (JVM-only): one row per video frame to sample,
+    from metadata alone — documents stand in as media with a deterministic
+    synthetic duration; even doc_ids are 'video'."""
+    from aces_spark.datapipe.multimodal import frame_sample_plan
+
+    docs = _read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("video")).otherwise(F.lit("image")).alias(
+            "media_type"
+        ),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 10) * 1500 + 500).cast("long").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.select("media_id", F.col("sample_at_ms").cast("long").alias("sample_at_ms"))
 
 
 def q_multimodal_payload_stats(spark, sf_dir):
@@ -715,6 +761,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
     "temporal_window_fwd": q_temporal_window_fwd,
+    "temporal_window_chunked": q_temporal_window_chunked,
     "temporal_window_bwd": q_temporal_window_bwd,
     "temporal_window_offset": q_temporal_window_offset,
     "event_bound_fwd": q_event_bound_fwd,
@@ -733,6 +780,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_clean": q_corpus_clean,
     "token_counts": q_token_counts,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -744,6 +792,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_features": q_multimodal_features,
     "cohort_feature_vectors": q_cohort_feature_vectors,
@@ -853,6 +902,10 @@ FROM pred
 WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp
              RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOURS FOLLOWING)
 """
+
+    # the chunked kernel is bit-identical to the plain one, so it shares
+    # the temporal_window_fwd oracle shape
+    sql["temporal_window_chunked"] = sql["temporal_window_fwd"]
 
     sql["temporal_window_bwd"] = f"""
 WITH pred AS ({pred_pe})
@@ -1120,6 +1173,42 @@ FROM h
 SELECT doc_id, md5({_DOC_NORM_SQL}) AS fingerprint FROM documents
 """
 
+    sql["corpus_clean"] = f"""
+WITH docs_aug AS ({_DOCS_EXACT_DUPS_SQL}),
+t AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS en_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS BIGINT) AS de_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS BIGINT) AS fr_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(el|los|que|de|y)\\b')) AS BIGINT) AS es_hits,
+    md5({_DOC_NORM_SQL}) AS fingerprint
+  FROM docs_aug),
+m AS (
+  SELECT doc_id, fingerprint, n_chars,
+    CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE
+      WHEN es_hits > GREATEST(en_hits, de_hits, fr_hits) THEN 'es'
+      WHEN fr_hits > GREATEST(en_hits, de_hits) THEN 'fr'
+      WHEN de_hits > en_hits THEN 'de'
+      ELSE 'en' END AS lang_pred
+  FROM t),
+q AS (
+  SELECT doc_id, fingerprint, lang_pred,
+    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
+      + ROUND(alpha_ratio * 0.3, 4), 4) AS quality
+  FROM m),
+kept AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = 'en')
+SELECT doc_id, quality, lang_pred, fingerprint
+FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS canon FROM kept)
+WHERE doc_id = canon
+"""
+
     sql["token_counts"] = """
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1346,6 +1435,14 @@ SELECT CAST(label AS BIGINT) AS label,
   CAST(COUNT(*) AS BIGINT) AS n_vectors,
   ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
 FROM embeddings GROUP BY label
+"""
+
+    # generate_series(0, dur-1, 1000) ≡ Spark sequence(0, dur-1, 1000):
+    # both are stop-inclusive over the same integral grid
+    sql["multimodal_frame_plan"] = """
+SELECT doc_id AS media_id,
+  CAST(UNNEST(generate_series(0, (doc_id % 10) * 1500 + 499, 1000)) AS BIGINT) AS sample_at_ms
+FROM documents WHERE doc_id % 2 = 0
 """
 
     sql["multimodal_payload_stats"] = """

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small built-in stopword seeds for the n-gram language heuristic
@@ -60,11 +60,10 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite heuristic quality score in [0, 1]: length band + alpha
-    ratio + mean-word-length band (the usual C4/Gopher-style gates,
-    expression-only)."""
-    text = F.col(text_col)
+def quality_expr(text: Column) -> Column:
+    """The heuristic quality score in [0, 1] as a reusable expression:
+    length band + alpha ratio + mean-word-length band (the usual
+    C4/Gopher-style gates), rounded to 4 dp."""
     n_chars = F.length(text).cast("double")
     n_tokens = token_count(text).cast("double")
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
@@ -72,30 +71,44 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     len_ok = (n_chars >= 100) & (n_chars <= 20000)
     word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    score = (
+    return F.round(
         F.when(len_ok, 0.4).otherwise(0.0)
         + F.when(word_len_ok, 0.3).otherwise(0.0)
-        + F.round(alpha_ratio * 0.3, 4)
+        + F.round(alpha_ratio * 0.3, 4),
+        4,
     )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + the composite score
+    (:func:`quality_expr`)."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count(text).cast("double")
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     return df.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("quality"),
+        quality_expr(text).alias("quality"),
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram/stopword-marker language heuristic: count word-boundary hits
-    of per-language marker words; predict the argmax (ties broken by fixed
-    language order en > de > fr > es)."""
-    lower = F.lower(F.col(text_col))
+def lang_hit_exprs(text: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts as reusable expressions."""
+    lower = F.lower(text)
     hit_cols = {}
     for lang, words in LANG_MARKERS.items():
         pattern = r"\b(" + "|".join(words) + r")\b"
         hit_cols[f"{lang}_hits"] = F.regexp_count(lower, F.lit(pattern)).cast("long")
+    return hit_cols
 
+
+def lang_pred_expr(text: Column) -> Column:
+    """Argmax language prediction (ties broken by fixed order
+    en > de > fr > es) as a reusable expression."""
+    hit_cols = lang_hit_exprs(text)
     langs = list(LANG_MARKERS)
     best = F.lit(langs[0])
     best_hits = hit_cols[f"{langs[0]}_hits"]
@@ -103,20 +116,63 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = hit_cols[f"{lang}_hits"] > best_hits
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, hit_cols[f"{lang}_hits"]).otherwise(best_hits)
+    return best
 
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-marker language heuristic: count word-boundary hits
+    of per-language marker words; predict the argmax."""
+    text = F.col(text_col)
+    hit_cols = lang_hit_exprs(text)
     return df.select(
         "doc_id",
         *[c.alias(name) for name, c in hit_cols.items()],
-        best.alias("lang_pred"),
+        lang_pred_expr(text).alias("lang_pred"),
     )
 
 
+def fingerprint_expr(text: Column) -> Column:
+    """md5 of the lowercased/whitespace-normalized alphanumeric text."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic document fingerprint: md5 of the
-    lowercased/whitespace-normalized alphanumeric text. Identical text
-    modulo case/punctuation/whitespace ⇒ identical fingerprint."""
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
-    return df.select(
+    """Deterministic document fingerprint (:func:`fingerprint_expr`).
+    Identical text modulo case/punctuation/whitespace ⇒ identical
+    fingerprint."""
+    return df.select("doc_id", fingerprint_expr(F.col(text_col)).alias("fingerprint"))
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """Composite pretraining-corpus cleaning filter — the shape a
+    production data pipeline actually runs: quality gate ∧ language filter
+    ∧ exact-dedup canonical selection, composed as ONE pass.
+
+    Plan shape (the point of the composition): quality, language, and
+    fingerprint are all computed in a single narrow projection over one
+    scan — no self-joins — the cheap row-local gates filter FIRST, and
+    only survivors pay the fingerprint-keyed exchange where
+    ``min(doc_id) over (partition by fingerprint)`` keeps one canonical
+    copy per content group. Returns
+    ``(doc_id, quality, lang_pred, fingerprint)`` for surviving docs.
+    """
+    text = F.col(text_col)
+    scored = df.select(
         "doc_id",
-        F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"),
+        quality_expr(text).alias("quality"),
+        lang_pred_expr(text).alias("lang_pred"),
+        fingerprint_expr(text).alias("fingerprint"),
+    )
+    kept = scored.filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    w = Window.partitionBy("fingerprint")
+    return (
+        kept.withColumn("__canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
     )

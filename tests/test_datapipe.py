@@ -264,6 +264,29 @@ def test_text_stats_and_langid(spark):
     assert stats[1]["n_tokens"] == 8
 
 
+def test_clean_corpus_gates(spark):
+    """Each gate of the composite cleaner drops the right docs: low
+    quality, wrong language, and non-canonical exact duplicates."""
+    from aces_spark.datapipe.text import clean_corpus
+
+    good = (
+        "The project is one of the larger efforts and the plan is to keep "
+        "the work going while the team and the reviewers iterate on it. " * 3
+    )
+    rows = [
+        (1, good),                        # keeps: quality + en + canonical
+        (2, good.upper() + "!!"),         # exact dup of 1 → dropped (non-canonical)
+        (3, "tiny"),                      # short text scores 0.6 → quality gate drops at 0.7
+        (4, ("der hund und die katze sind nicht das problem und der tag " * 10)),  # german
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, min_quality=0.7)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # with the language gate relaxed to german, only doc 4 survives
+    out_de = clean_corpus(df, min_quality=0.7, lang="de")
+    assert [r["doc_id"] for r in out_de.collect()] == [4]
+
+
 def test_token_count_empty(spark):
     df = spark.createDataFrame([(1, ""), (2, "  "), (3, "a b")], "doc_id long, text string")
     got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
