@@ -132,7 +132,12 @@ def open_window_tracker(
     they are sorted here.
 
     At scale: state shuffles once on ``subject_id`` (same key as the whole
-    engine) and the per-group pandas hop is Arrow-batched.
+    engine), the per-group pandas hop is Arrow-batched, and the per-batch
+    work is VECTORIZED — one numpy cumsum over the predicate matrix plus a
+    ``searchsorted`` of trigger positions into boundary positions replaces
+    the per-row Python loop (a window opened at row t and closed at the
+    first boundary row b ≥ t holds exactly ``cum[b] - cum[t]``; state
+    windows all close at the batch's first boundary).
     """
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -159,6 +164,7 @@ def open_window_tracker(
     state_schema = "open_ts array<long>, open_counts array<array<long>>"
 
     def track(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -168,32 +174,62 @@ def open_window_tracker(
         else:
             open_ts, open_counts = [], []
 
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("timestamp")
-            for row in pdf.itertuples(index=False):
-                ts = pd.Timestamp(row.timestamp)
-                counts = [int(getattr(row, c)) for c in pred_cols]
-                # counts accumulate into previously-open windows — the
-                # boundary row's own counts are included (closed='right')
-                for oc in open_counts:
-                    for k in range(n):
-                        oc[k] += counts[k]
-                if counts[ti] > 0:
-                    open_ts.append(ts.value // 1000)
-                    open_counts.append([0] * n)
-                if counts[bi] > 0:
-                    for ots, oc in zip(open_ts, open_counts):
-                        out.append(
-                            (key[0], pd.to_datetime(ots, unit="us"), ts, *oc)
-                        )
-                    open_ts, open_counts = [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            state.update((open_ts, open_counts))
+            return
+        pdf = pdf.sort_values("timestamp", ignore_index=True)
 
-        state.update((open_ts, open_counts))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["subject_id", "trigger_ts", "boundary_ts", *pred_cols]
+        ts_us = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+        counts = pdf[pred_cols].to_numpy(dtype="int64")
+        cum = counts.cumsum(axis=0)  # inclusive prefix sums, shape (m, n)
+        total = cum[-1]
+        trig = np.flatnonzero(counts[:, ti] > 0)
+        bnd = np.flatnonzero(counts[:, bi] > 0)
+
+        out_t, out_b, out_c = [], [], []
+
+        # carried-over windows: accumulate through the first batch boundary
+        # (closing there) or through the whole batch (staying open)
+        if open_ts:
+            carried = np.asarray(open_counts, dtype="int64")
+            if bnd.size:
+                closed = carried + cum[bnd[0]]
+                out_t.extend(open_ts)
+                out_b.extend([ts_us[bnd[0]]] * len(open_ts))
+                out_c.append(closed)
+                open_ts, open_counts = [], []
+            else:
+                open_counts = (carried + total).tolist()
+
+        # batch triggers: window at row t closes at the first boundary
+        # b ≥ t (side='left': a row that is both trigger and boundary
+        # closes itself with zero counts) and holds cum[b] - cum[t]
+        if trig.size:
+            pos = np.searchsorted(bnd, trig, side="left")
+            has_b = pos < bnd.size
+            closed_t = trig[has_b]
+            if closed_t.size:
+                b_rows = bnd[pos[has_b]]
+                out_t.extend(ts_us[closed_t].tolist())
+                out_b.extend(ts_us[b_rows].tolist())
+                out_c.append(cum[b_rows] - cum[closed_t])
+            still_open = trig[~has_b]
+            open_ts.extend(ts_us[still_open].tolist())
+            open_counts.extend((total - cum[still_open]).tolist())
+
+        state.update((open_ts, [list(map(int, c)) for c in open_counts]))
+        if out_t:
+            mat = np.concatenate(out_c, axis=0)
+            out = pd.DataFrame(
+                {
+                    "subject_id": np.full(len(out_t), key[0], dtype="int64"),
+                    "trigger_ts": pd.to_datetime(np.asarray(out_t), unit="us"),
+                    "boundary_ts": pd.to_datetime(np.asarray(out_b), unit="us"),
+                    **{c: mat[:, k] for k, c in enumerate(pred_cols)},
+                }
             )
+            yield out
 
     return pred_events.groupBy("subject_id").applyInPandasWithState(
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
