@@ -1,0 +1,92 @@
+"""CLI surface test: end-to-end cohort extraction through
+``aces_spark.cli.main`` on a 2-shard MEDS fixture (the verify recipe's
+manual drive, automated). Reuses the session SparkSession via
+``getOrCreate`` — the CLI only adds configs when building a new one.
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aces_spark.cli import main
+
+TASK_YAML = """\
+predicates:
+  signup:
+    code: signup
+  click:
+    code: click
+  purchase:
+    code: purchase
+trigger: signup
+windows:
+  obs:
+    start: trigger
+    end: start + 24h
+    start_inclusive: true
+    end_inclusive: true
+    has:
+      click: (1, None)
+    label: purchase
+"""
+
+
+def _write_meds(root):
+    rows = [
+        (1, None, "GENDER//M", None),
+        (1, datetime(2020, 1, 1, 0), "signup", None),
+        (1, datetime(2020, 1, 1, 6), "click", 1.0),
+        (1, datetime(2020, 1, 1, 12), "purchase", 99.0),
+        (2, None, "GENDER//F", None),
+        (2, datetime(2020, 2, 1, 0), "signup", None),
+        (2, datetime(2020, 2, 1, 1), "click", 2.0),
+    ]
+    t = pa.table(
+        {
+            "subject_id": pa.array([r[0] for r in rows], pa.int64()),
+            "time": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "code": pa.array([r[2] for r in rows], pa.string()),
+            "numeric_value": pa.array([r[3] for r in rows], pa.float32()),
+        }
+    )
+    shard_dir = root / "train"
+    shard_dir.mkdir(parents=True)
+    pq.write_table(t.slice(0, 4), str(shard_dir / "0.parquet"))
+    pq.write_table(t.slice(4), str(shard_dir / "1.parquet"))
+
+
+def test_cli_end_to_end_meds_labels(spark, tmp_path, caplog):
+    meds = tmp_path / "meds"
+    _write_meds(meds)
+    cfg = tmp_path / "task.yaml"
+    cfg.write_text(TASK_YAML)
+    out = tmp_path / "labels.parquet"
+
+    with caplog.at_level(logging.INFO, logger="aces_spark.query"):
+        rc = main(
+            [
+                "--config", str(cfg),
+                "--data", str(meds),
+                "--standard", "meds",
+                "--output", str(out),
+                "--meds-labels",
+            ]
+        )
+    assert rc == 0
+
+    labels = spark.read.parquet(str(out))
+    rows = {r["subject_id"]: r["boolean_value"] for r in labels.collect()}
+    assert rows == {1: True, 2: False}
+    assert any("valid rows returned" in r.message for r in caplog.records)
+
+
+def test_cli_rejects_bad_standard(tmp_path):
+    cfg = tmp_path / "task.yaml"
+    cfg.write_text(TASK_YAML)
+    with pytest.raises(SystemExit):
+        main(["--config", str(cfg), "--data", "x", "--standard", "bogus", "--output", "y"])
