@@ -79,3 +79,32 @@ def write_result(
         result.write.mode(mode).parquet(window_stats_path)
     out = to_meds_labels(result) if meds_labels else result
     out.write.mode(mode).parquet(output_path)
+
+
+def write_bucketed_predicates(
+    predicates_df: DataFrame,
+    table_name: str,
+    n_buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a predicates frame bucketed + sorted by the engine's one
+    shuffle key (``bucketBy(subject_id) / sortBy(subject_id, timestamp)``,
+    saved as a catalog table — Spark only tracks bucketing through the
+    catalog, not bare parquet paths).
+
+    The 100 TB play: the engine's entire cost model is "shuffle the events
+    ONCE by subject, then everything is partition-local". For a predicates
+    frame that is extracted once and queried by many tasks (the common
+    production pattern — one MEDS corpus, dozens of cohort definitions),
+    bucketing moves that one exchange to WRITE time: every later
+    ``spark.table(name)`` query sees hashpartitioning(subject_id) already
+    satisfied and runs zero-exchange end-to-end. Size ``n_buckets`` to the
+    target cluster's parallelism (buckets are the ceiling on scan tasks).
+    """
+    (
+        predicates_df.write.mode(mode)
+        .bucketBy(n_buckets, "subject_id")
+        .sortBy("subject_id", "timestamp")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -153,6 +153,34 @@ def test_meds_labels_empty_frame(spark):
     assert out.count() == 0
 
 
+def test_bucketed_predicates_sink_zero_exchange(spark):
+    """A predicates frame persisted via ``write_bucketed_predicates`` reads
+    back with hashpartitioning(subject_id) already satisfied: a subject-keyed
+    aggregation over ``spark.table(...)`` plans with NO Exchange node.
+
+    This is the write-once/query-many production path — one MEDS corpus,
+    dozens of cohort tasks — where the engine's single subject shuffle moves
+    to write time.
+    """
+    from aces_spark.sources.sinks import write_bucketed_predicates
+
+    df = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1), 1), (1, datetime(2020, 1, 2), 0), (2, datetime(2020, 1, 1), 1)],
+        "subject_id long, timestamp timestamp, lab long",
+    )
+    table = "test_bucketed_preds"
+    try:
+        write_bucketed_predicates(df, table, n_buckets=4)
+        back = spark.table(table)
+        agg = back.groupBy("subject_id").sum("lab")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["subject_id"]: r["sum(lab)"] for r in agg.collect()}
+        assert got == {1: 1, 2: 1}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_window_stats_sink(spark, tmp_path):
     from aces_spark.sources.sinks import write_result
 
