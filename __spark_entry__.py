@@ -340,6 +340,19 @@ def q_event_bound_fwd(spark, sf_dir):
     return aggregate_event_bound_window(df, ToEventWindowBounds(True, "purchase", True, None))
 
 
+def q_event_bound_chunked(spark, sf_dir):
+    """E1 via the skew-mitigation path (operators/skew.py): chunked
+    cumsums + chunk-local boundary fill with cross-chunk carry — same
+    semantics as event_bound_fwd, so it shares that oracle shape; a hot
+    subject's kernel stages spread across span/chunk parallel tasks."""
+    from aces_spark.operators.skew import aggregate_event_bound_window_chunked
+
+    df = _pred_df(spark, sf_dir, _plain(["purchase", "error", "click"]))
+    return aggregate_event_bound_window_chunked(
+        df, ToEventWindowBounds(True, "purchase", True, None), chunk=timedelta(days=7)
+    )
+
+
 def q_event_bound_bwd(spark, sf_dir):
     """E1: previous signup event → row, closed left."""
     df = _pred_df(spark, sf_dir, _plain(["signup", "purchase", "error"]))
@@ -765,6 +778,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_window_bwd": q_temporal_window_bwd,
     "temporal_window_offset": q_temporal_window_offset,
     "event_bound_fwd": q_event_bound_fwd,
+    "event_bound_chunked": q_event_bound_chunked,
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     "cohort_flagship": q_cohort_flagship,
@@ -959,6 +973,10 @@ SELECT subject_id, timestamp,
   CAST(COALESCE(bnd_cum_c - cum_c + click, 0) AS BIGINT) AS click
 FROM b
 """
+
+    # the chunked event-bound kernel is bit-identical to the plain one, so
+    # it shares the event_bound_fwd oracle shape
+    sql["event_bound_chunked"] = sql["event_bound_fwd"]
 
     # E1 backward, closed left: bound = latest boundary at ts <= row ts
     # (self allowed); sum = cum(row) - (cum(bnd) - own(bnd)) - own(row).

@@ -137,6 +137,107 @@ def _resolve_boundary(boundary) -> Column:
             raise ValueError(f"Invalid boundary descriptor: {boundary!r}")
 
 
+def _fill_spec(mode: str, closed: str, off_us: int) -> tuple[int, int, bool]:
+    """Reduce the reference's epsilon-shifted boundary interleave
+    (ref ``:1012-1017``, ``:1032-1036``) to a single eligibility half-line:
+    returns ``(sign, bound, exclude_boundary_counts)`` such that, on the
+    sort key ``k = sign * unix_micros(ts)``, a boundary row is eligible for
+    a given real row iff ``k_boundary <= k_row + bound`` (inclusive), and
+    the NEAREST qualifying boundary is the eligible one with maximal ``k``.
+
+    Valid because all timestamps are integral μs, so the strict/inclusive
+    distinctions and the real-before-pseudo tie rule fold into ±1 μs on the
+    bound. ``exclude_boundary_counts`` is the mode×closed rule for whether
+    the boundary row's own counts leave the window (ref ``:1004-1010``).
+    """
+    exclude_boundary_counts = (mode == "bound_to_row" and closed in ("left", "both")) or (
+        mode == "row_to_bound" and closed not in ("right", "both")
+    )
+    if mode == "bound_to_row":
+        eps = -1 if closed in ("left", "both") else 1  # ref :1013-1017
+        # eligible iff ts_b - offset + eps sorts before the row (ties: real
+        # row first) ⟺ ts_b ≤ ts_r + (offset - eps - 1)
+        return 1, off_us - eps - 1, exclude_boundary_counts
+    eps = 1 if closed in ("right", "both") else -1  # ref :1032-1036
+    # eligible iff ts_b - offset + eps sorts at-or-after the row
+    # ⟺ ts_b ≥ ts_r + offset - eps ⟺ (-ts_b) ≤ (-ts_r) - (offset - eps)
+    return -1, -(off_us - eps), exclude_boundary_counts
+
+
+def _offset_interval_bounds(mode: str, closed: str, offset: timedelta) -> tuple[int, int] | None:
+    """Range-frame μs bounds of the offset-interval correction sums
+    (ref ``:969-995``); ``None`` when ``offset == 0`` (no correction)."""
+    zero = timedelta(0)
+    if offset == zero:
+        return None
+    if offset > zero:
+        left_inclusive = False
+        if mode == "row_to_bound":
+            right_inclusive = closed not in ("left", "both")
+        else:
+            right_inclusive = closed in ("right", "both")
+    else:
+        right_inclusive = False
+        if mode == "row_to_bound":
+            left_inclusive = closed in ("left", "both")
+        else:
+            left_inclusive = closed not in ("right", "both")
+    return TemporalWindowBounds(left_inclusive, offset, right_inclusive, None).spark_range_bounds
+
+
+def _event_bound_outputs(
+    pred_cols: list[str], mode: str, closed: str, offset: timedelta, tp: str, prefix: str = ""
+) -> list[Column]:
+    """Output columns of the event-bound kernel (steps 4+5: cumsum
+    differences, endpoint corrections, offset correction, window
+    timestamps), given a relation carrying the ``{tp}``-namespaced temp
+    columns ``cum_*`` / ``bcum_*`` / ``off_*`` / ``ts_at_boundary``."""
+    zero = timedelta(0)
+    off_us = td_to_us(offset)
+
+    # --- step 4: cumsum differences + endpoint corrections ---
+    def window_sum(c: str) -> Column:
+        if mode == "bound_to_row":
+            val = F.col(f"{tp}cum_{c}") - F.col(f"{tp}bcum_{c}")
+            if (closed in ("left", "none") and offset <= zero) or offset < zero:
+                val = val - F.col(c)  # ref :1027-1031
+        else:
+            val = F.col(f"{tp}bcum_{c}") - F.col(f"{tp}cum_{c}")
+            if (closed in ("left", "both") and offset <= zero) or offset < zero:
+                val = val + F.col(c)  # ref :1046-1050
+        return val
+
+    # --- step 5: offset-interval correction (ref :1094-1113) ---
+    def with_offset(c: str, val: Column) -> Column:
+        if offset == zero:
+            return val
+        if mode == "bound_to_row" and offset > zero:
+            return val + F.col(f"{tp}off_{c}")
+        if (mode == "bound_to_row" and offset < zero) or (mode == "row_to_bound" and offset > zero):
+            return val - F.col(f"{tp}off_{c}")
+        return val + F.col(f"{tp}off_{c}")  # row_to_bound, offset < 0
+
+    row_ts_shifted = F.timestamp_micros(F.unix_micros(F.col("timestamp")) + F.lit(off_us))
+    has_bound = F.col(f"{tp}ts_at_boundary").isNotNull()
+    if mode == "bound_to_row":
+        st_ts = F.col(f"{tp}ts_at_boundary")
+        end_ts = F.when(has_bound, row_ts_shifted)
+    else:
+        st_ts = F.when(has_bound, row_ts_shifted)
+        end_ts = F.col(f"{tp}ts_at_boundary")
+
+    return [
+        st_ts.alias(f"{prefix}timestamp_at_start"),
+        end_ts.alias(f"{prefix}timestamp_at_end"),
+        *[
+            F.coalesce(with_offset(c, window_sum(c)).cast(PRED_CNT_TYPE), F.lit(0)).alias(
+                f"{prefix}{c}"
+            )
+            for c in pred_cols
+        ],
+    ]
+
+
 def boolean_expr_bound_sum(
     df: DataFrame,
     boundary_expr,
@@ -185,7 +286,6 @@ def boolean_expr_bound_sum(
     if closed not in ("both", "none", "left", "right"):
         raise ValueError(f"Closed '{closed}' invalid!")
 
-    zero = timedelta(0)
     pred_cols = value_cols if value_cols is not None else _pred_cols(df)
     boundary_col = _resolve_boundary(boundary_expr)
     tp = f"__{prefix}" if prefix else "__"  # temp-column namespace
@@ -196,20 +296,9 @@ def boolean_expr_bound_sum(
 
     # --- step 5 prep: offset-interval temporal sums, inline (ref :969-995) ---
     with_offset_cols: dict[str, Column] = {}
-    if offset != zero:
-        if offset > zero:
-            left_inclusive = False
-            if mode == "row_to_bound":
-                right_inclusive = closed not in ("left", "both")
-            else:
-                right_inclusive = closed in ("right", "both")
-        else:
-            right_inclusive = False
-            if mode == "row_to_bound":
-                left_inclusive = closed in ("left", "both")
-            else:
-                left_inclusive = closed not in ("right", "both")
-        lo, hi = TemporalWindowBounds(left_inclusive, offset, right_inclusive, None).spark_range_bounds
+    interval = _offset_interval_bounds(mode, closed, offset)
+    if interval is not None:
+        lo, hi = interval
         if lo > hi:
             with_offset_cols = {f"{tp}off_{c}": F.lit(0).cast("long") for c in pred_cols}
         else:
@@ -235,36 +324,19 @@ def boolean_expr_bound_sum(
     # real-before-pseudo tie rule. This keeps the kernel union-free: one
     # window stage instead of union + re-sort + fill over a doubled
     # relation (the Spark-first reformulation SURVEY §2.5 anticipates).
-    exclude_boundary_counts = (mode == "bound_to_row" and closed in ("left", "both")) or (
-        mode == "row_to_bound" and closed not in ("right", "both")
-    )  # ref :1004-1010
-    if mode == "bound_to_row":
-        eps = -1 if closed in ("left", "both") else 1  # ref :1013-1017
-        # eligible iff ts_b - offset + eps sorts before the row (ties: real
-        # row first) ⟺ ts_b - ts_r ≤ offset - eps - 1
-        w_fill = w_subj.orderBy(ts_us.asc()).rangeBetween(
-            Window.unboundedPreceding, off_us - eps - 1
-        )
+    # Eligibility reduced to one half-line on a signed key (see _fill_spec).
+    # For row_to_bound the key is NEGATED so the frame is GROWING rather
+    # than the direct shrinking frame (off_us - eps, unboundedFollowing):
+    # Spark evaluates growing frames incrementally but re-scans the
+    # remaining partition per row for shrinking ones — O(n) vs O(n²) per
+    # subject, which is the difference between a skewed 100k-event subject
+    # finishing in milliseconds and stalling its whole task.
+    sign, fill_bound, exclude_boundary_counts = _fill_spec(mode, closed, off_us)
+    fill_key = ts_us if sign == 1 else (-ts_us)
+    w_fill = w_subj.orderBy(fill_key.asc()).rangeBetween(Window.unboundedPreceding, fill_bound)
 
-        def fill(col: Column) -> Column:
-            return F.last(col, ignorenulls=True).over(w_fill)
-
-    else:
-        eps = 1 if closed in ("right", "both") else -1  # ref :1032-1036
-        # eligible iff ts_b - offset + eps sorts at-or-after the row
-        # ⟺ ts_b - ts_r ≥ offset - eps. Written as a GROWING frame over the
-        # negated key (k = -ts: k_b ≤ k_r - (offset - eps)) rather than the
-        # direct shrinking frame (off_us - eps, unboundedFollowing): Spark
-        # evaluates growing frames incrementally but re-scans the remaining
-        # partition per row for shrinking ones — O(n) vs O(n²) per subject,
-        # which is the difference between a skewed 100k-event subject
-        # finishing in milliseconds and stalling its whole task.
-        w_fill = w_subj.orderBy((-ts_us).asc()).rangeBetween(
-            Window.unboundedPreceding, -(off_us - eps)
-        )
-
-        def fill(col: Column) -> Column:
-            return F.last(col, ignorenulls=True).over(w_fill)
+    def fill(col: Column) -> Column:
+        return F.last(col, ignorenulls=True).over(w_fill)
 
     bnd_ts = F.when(F.col(f"{tp}bexpr"), F.col("timestamp"))
 
@@ -280,47 +352,7 @@ def boolean_expr_bound_sum(
     }
     filled = base.withColumns(fill_cols)
 
-    # --- step 4: cumsum differences + endpoint corrections ---
-    def window_sum(c: str) -> Column:
-        if mode == "bound_to_row":
-            val = F.col(f"{tp}cum_{c}") - F.col(f"{tp}bcum_{c}")
-            if (closed in ("left", "none") and offset <= zero) or offset < zero:
-                val = val - F.col(c)  # ref :1027-1031
-        else:
-            val = F.col(f"{tp}bcum_{c}") - F.col(f"{tp}cum_{c}")
-            if (closed in ("left", "both") and offset <= zero) or offset < zero:
-                val = val + F.col(c)  # ref :1046-1050
-        return val
-
-    # --- step 5: offset-interval correction (ref :1094-1113) ---
-    def with_offset(c: str, val: Column) -> Column:
-        if offset == zero:
-            return val
-        if mode == "bound_to_row" and offset > zero:
-            return val + F.col(f"{tp}off_{c}")
-        if (mode == "bound_to_row" and offset < zero) or (mode == "row_to_bound" and offset > zero):
-            return val - F.col(f"{tp}off_{c}")
-        return val + F.col(f"{tp}off_{c}")  # row_to_bound, offset < 0
-
-    row_ts_shifted = F.timestamp_micros(F.unix_micros(F.col("timestamp")) + F.lit(off_us))
-    has_bound = F.col(f"{tp}ts_at_boundary").isNotNull()
-    if mode == "bound_to_row":
-        st_ts = F.col(f"{tp}ts_at_boundary")
-        end_ts = F.when(has_bound, row_ts_shifted)
-    else:
-        st_ts = F.when(has_bound, row_ts_shifted)
-        end_ts = F.col(f"{tp}ts_at_boundary")
-
-    out_cols = [
-        st_ts.alias(f"{prefix}timestamp_at_start"),
-        end_ts.alias(f"{prefix}timestamp_at_end"),
-        *[
-            F.coalesce(with_offset(c, window_sum(c)).cast(PRED_CNT_TYPE), F.lit(0)).alias(
-                f"{prefix}{c}"
-            )
-            for c in pred_cols
-        ],
-    ]
+    out_cols = _event_bound_outputs(pred_cols, mode, closed, offset, tp, prefix)
     if append:
         return filled.select(*df.columns, *out_cols)
     return filled.select("subject_id", "timestamp", *out_cols)

@@ -97,3 +97,95 @@ def test_chunked_kernel_actually_chunks(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__chunk" in plan
+
+
+# ---------------- chunked event-bound kernel ----------------
+
+from aces_spark.operators.aggregate import boolean_expr_bound_sum  # noqa: E402
+from aces_spark.operators.skew import (  # noqa: E402
+    aggregate_event_bound_window_chunked,
+    boolean_expr_bound_sum_chunked,
+)
+
+
+def _eb_rows(seed: int, n_subjects: int = 3, max_rows: int = 60):
+    """Rows with a sparse boundary predicate column ``b``."""
+    rng = random.Random(seed)
+    base = datetime(2020, 1, 1)
+    rows = []
+    for sid in range(1, n_subjects + 1):
+        times = sorted(rng.sample(range(0, 50_000), rng.randint(5, max_rows)))
+        for m in times:
+            rows.append(
+                (
+                    sid,
+                    base + timedelta(minutes=m),
+                    rng.randint(0, 3),
+                    1 if rng.random() < 0.15 else 0,
+                )
+            )
+    return rows
+
+
+EB_SCHEMA = "subject_id long, timestamp timestamp, p1 long, b long"
+
+
+@pytest.mark.parametrize("mode", ["bound_to_row", "row_to_bound"])
+@pytest.mark.parametrize("closed", ["both", "none", "left", "right"])
+@pytest.mark.parametrize(
+    "offset", [timedelta(0), timedelta(hours=3), timedelta(hours=-3)], ids=["off0", "off+", "off-"]
+)
+def test_chunked_event_bound_differential(spark, mode, closed, offset):
+    """Bit-identical to the plain kernel over the full mode×closed×offset
+    grid, with a chunk (2h) far smaller than the data span so every stage
+    crosses many chunk borders."""
+    df = spark.createDataFrame(_eb_rows(23), EB_SCHEMA)
+    plain = boolean_expr_bound_sum(df, ("col", "b"), mode, closed, offset)
+    chunked = boolean_expr_bound_sum_chunked(
+        df, ("col", "b"), mode, closed, offset, chunk=timedelta(hours=2)
+    )
+    assert chunked.columns == plain.columns
+    assert _key(chunked) == _key(plain)
+
+
+@pytest.mark.parametrize("end_event", ["-_RECORD_START", "_RECORD_END"])
+def test_chunked_event_bound_record_bounds(spark, end_event):
+    """Record start/end pseudo-boundaries resolve via groupBy+join (not a
+    whole-partition window) and still match the plain kernel."""
+    from aces_spark import ToEventWindowBounds, aggregate_event_bound_window
+
+    df = spark.createDataFrame(_eb_rows(29), EB_SCHEMA)
+    bounds = ToEventWindowBounds(True, end_event, True, None)
+    plain = aggregate_event_bound_window(df, bounds)
+    chunked = aggregate_event_bound_window_chunked(df, bounds, chunk=timedelta(hours=6))
+    assert chunked.columns == plain.columns
+    assert _key(chunked) == _key(plain)
+
+
+def test_chunked_event_bound_no_boundary_subject(spark):
+    """A subject with zero qualifying boundaries gets null window
+    timestamps / zero counts from both formulations — and the carry from
+    OTHER subjects must not leak across subject partitions."""
+    base = datetime(2020, 1, 1)
+    rows = [
+        (1, base + timedelta(hours=1), 2, 1),
+        (1, base + timedelta(hours=30), 1, 0),
+        (2, base + timedelta(hours=2), 3, 0),  # no boundary at all
+        (2, base + timedelta(hours=40), 1, 0),
+    ]
+    df = spark.createDataFrame(rows, EB_SCHEMA)
+    for mode in ("bound_to_row", "row_to_bound"):
+        plain = boolean_expr_bound_sum(df, ("col", "b"), mode, "both")
+        chunked = boolean_expr_bound_sum_chunked(
+            df, ("col", "b"), mode, "both", chunk=timedelta(hours=2)
+        )
+        assert _key(chunked) == _key(plain)
+
+
+def test_chunked_event_bound_actually_chunks(spark):
+    df = spark.createDataFrame(_eb_rows(31), EB_SCHEMA)
+    out = boolean_expr_bound_sum_chunked(
+        df, ("col", "b"), "row_to_bound", "both", chunk=timedelta(hours=2)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
