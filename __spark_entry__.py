@@ -171,6 +171,39 @@ def _docs_with_exact_dups(spark, sf_dir):
     return docs.unionByName(pert)
 
 
+# The synthetic documents are single-line, which would make line-repetition
+# stats vacuous — re-line each doc deterministically into 5 fixed-width
+# slices with slice 1 repeated (and slice 2 repeated for every 3rd doc) so
+# the Gopher duplicate-line fractions exercise real repeat structure.
+_DOCS_LINED_SQL = """SELECT doc_id,
+  concat_ws(chr(10),
+    substring(text, 1, 40), substring(text, 41, 40), substring(text, 1, 40),
+    substring(text, 81, 40),
+    CASE WHEN doc_id % 3 = 0 THEN substring(text, 41, 40)
+         ELSE substring(text, 121, 40) END) AS text
+  FROM documents"""
+
+
+def _docs_lined(spark, sf_dir):
+    """Deterministically re-lined corpus with genuine duplicate lines
+    (mirrors ``_DOCS_LINED_SQL``)."""
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 40),
+            F.substring(t, 41, 40),
+            F.substring(t, 1, 40),
+            F.substring(t, 81, 40),
+            F.when(F.col("doc_id") % 3 == 0, F.substring(t, 41, 40)).otherwise(
+                F.substring(t, 121, 40)
+            ),
+        ).alias("text"),
+    )
+
+
 def _docs_with_near_dups(spark, sf_dir):
     """documents ∪ truncated near-copies (~90% prefix): high-but-not-1.0
     Jaccard overlap (mirrors ``_DOCS_NEAR_DUPS_SQL``)."""
@@ -621,6 +654,15 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (datapipe.repetition.repetition_stats):
+    duplicate-line fractions + top word-2gram character fraction, over the
+    deterministically re-lined corpus so line repeats actually occur."""
+    from aces_spark.datapipe.repetition import repetition_stats
+
+    return repetition_stats(_docs_lined(spark, sf_dir), n=2)
+
+
 def q_winnowing_fingerprints(spark, sf_dir):
     """Near-dup: rolling-hash (winnowing) fingerprints, 4-gram k, window 4."""
     docs = _read_table(spark, sf_dir, "documents")
@@ -796,6 +838,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_clean": q_corpus_clean,
     "token_counts": q_token_counts,
+    "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1233,6 +1276,50 @@ SELECT doc_id,
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
+"""
+
+    # Gopher repetition filters over the re-lined corpus: duplicate-line
+    # occurrence/char fractions + top word-2gram character fraction
+    sql["repetition_stats"] = f"""
+WITH docs_l AS ({_DOCS_LINED_SQL}),
+lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs_l)
+  WHERE length(trim(line)) > 0),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_lines,
+    round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_line_frac,
+    round(sum((cnt - 1) * length(line))
+          / CAST(greatest(sum(cnt * length(line)), 1) AS DOUBLE), 4)
+      AS dup_line_char_frac
+  FROM lc GROUP BY doc_id),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_l),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram, cnt,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM gc),
+base AS (SELECT doc_id, length(array_to_string(t, ' ')) AS norm_len FROM toks),
+gstats AS (
+  SELECT b.doc_id,
+    coalesce(t.gram, '') AS top_gram,
+    CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_gram_cnt,
+    round(coalesce(t.cnt * length(t.gram)
+                   / CAST(greatest(b.norm_len, 1) AS DOUBLE), 0.0), 4)
+      AS top_gram_char_frac
+  FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id))
+SELECT g.doc_id,
+  CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+  coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+  coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+  g.top_gram, g.top_gram_cnt, g.top_gram_char_frac
+FROM gstats g LEFT JOIN lstats l USING (doc_id)
 """
 
     # winnowing: 4-gram rolling hashes, min of each 4-window, full windows

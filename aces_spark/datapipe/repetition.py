@@ -1,0 +1,115 @@
+"""Gopher-style repetition quality filters for pretraining corpora.
+
+The repetition gates from the Gopher/MassiveText cleaning recipe (Rae et
+al. 2021, §A.1.1): documents dominated by duplicated lines or by a single
+over-represented word n-gram are boilerplate/spam and get filtered before
+training. Two families of signals:
+
+* **duplicate-line fractions** — the fraction of line *occurrences* that
+  are repeats of an earlier identical line, and the fraction of line
+  *characters* inside those repeats.
+* **top n-gram character fraction** — the share of the (normalized)
+  document occupied by its single most frequent word n-gram.
+
+Scale shape: both signals explode per-item rows and aggregate with
+map-side partial aggregation — the shuffle keys are ``(doc_id, line)`` /
+``(doc_id, gram)``, uniform by construction (doc_id dominates the key), and
+the final join is a co-partitioned doc_id equi-join. No window over the
+whole corpus, no skew pivot. Everything is Column-expression-only (no
+Python UDFs) with exact DuckDB-SQL equivalents for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _norm_tokens
+
+
+def _nonblank_lines(text: Column) -> Column:
+    """Non-blank lines of ``text`` (split on newline, blank lines dropped)."""
+    return F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def duplicate_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document duplicate-line statistics.
+
+    Returns ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac)``:
+
+    * ``dup_line_frac`` — ``1 - n_distinct_lines / n_lines``: the fraction
+      of line occurrences beyond the first occurrence of their text.
+    * ``dup_line_char_frac`` — characters inside those repeat occurrences
+      over total line characters.
+
+    Documents with no non-blank lines get zeros (never dropped).
+    """
+    lines = df.select(
+        "doc_id", F.explode(_nonblank_lines(F.col(text_col))).alias("line")
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_len = F.length(F.col("line"))
+    stats = lc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * line_len)
+            / F.greatest(F.sum(F.col("cnt") * line_len), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+    base = df.select("doc_id")
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Per-document most-frequent word n-gram and the fraction of the
+    normalized document's characters it covers.
+
+    Returns ``(doc_id, top_gram, top_gram_cnt, top_gram_char_frac)`` where
+    ``top_gram_char_frac = cnt * len(gram) / len(normalized_text)`` —
+    the Gopher "top n-gram character fraction". Ties break on the
+    lexicographically smallest gram (deterministic). Documents shorter
+    than ``n`` tokens get ``('', 0, 0.0)``.
+    """
+    tokens = _norm_tokens(text_col)
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    norm_len = F.length(F.array_join(tokens, " "))
+
+    base = df.select("doc_id", norm_len.alias("__norm_len"))
+    g = df.select("doc_id", F.explode(grams).alias("gram"))
+    gc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top = gc.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("top_gram_cnt"),
+        F.round(
+            F.coalesce(
+                F.col("cnt") * F.length(F.col("gram"))
+                / F.greatest(F.col("__norm_len"), F.lit(1)).cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_gram_char_frac"),
+    )
+
+
+def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Combined Gopher repetition signals: :func:`duplicate_line_stats` ⨝
+    :func:`top_ngram_stats`, one row per input document."""
+    return duplicate_line_stats(df, text_col).join(
+        top_ngram_stats(df, n, text_col), "doc_id"
+    )
