@@ -52,6 +52,7 @@ from aces_spark.datapipe.dedup import (
     winnowing_fingerprints,
 )
 from aces_spark.datapipe.multimodal import extract_features, payload_stats
+from aces_spark.datapipe.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_scrub
 from aces_spark.datapipe.sessions import session_stats
 from aces_spark.datapipe.similarity import brute_force_topk, cosine_dup_pairs, ivf_topk
 from aces_spark.datapipe.text import (
@@ -200,6 +201,45 @@ def _docs_lined(spark, sf_dir):
             F.when(F.col("doc_id") % 3 == 0, F.substring(t, 41, 40)).otherwise(
                 F.substring(t, 121, 40)
             ),
+        ).alias("text"),
+    )
+
+
+# The synthetic documents contain no PII — inject deterministic emails /
+# IPs / phone numbers keyed off doc_id so the scrub oracle exercises real
+# matches (every doc gets an email; every 4th an IP; every 3rd a phone).
+_DOCS_PII_SQL = """SELECT doc_id,
+  concat(text,
+    ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+    CASE WHEN doc_id % 4 = 0
+         THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+                     CAST((doc_id * 7) % 256 AS VARCHAR))
+         ELSE '' END,
+    CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END) AS text
+  FROM documents"""
+
+
+def _docs_with_pii(spark, sf_dir):
+    """Corpus with deterministic injected PII (mirrors ``_DOCS_PII_SQL``)."""
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    ((d * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
         ).alias("text"),
     )
 
@@ -654,6 +694,12 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (datapipe.pii.pii_scrub): category counts + redacted-text
+    digest, over the PII-injected corpus so every pattern fires."""
+    return pii_scrub(_docs_with_pii(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher repetition filters (datapipe.repetition.repetition_stats):
     duplicate-line fractions + top word-2gram character fraction, over the
@@ -838,6 +884,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_clean": q_corpus_clean,
     "token_counts": q_token_counts,
+    "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1277,6 +1324,33 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
+
+    # PII scrub over the PII-injected corpus: counts + redacted digest.
+    # The regexes are shared module constants restricted to Java/RE2-common
+    # syntax; placeholders are spliced via replace() (no f-string so the
+    # regex braces survive verbatim).
+    pii_sql = """
+WITH docs_p AS (@DOCS@),
+r AS (SELECT doc_id, text,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '@EMAIL@', '<EMAIL>', 'g'),
+    '@IPV4@', '<IP>', 'g'),
+    '@PHONE@', '<PHONE>', 'g') AS red
+  FROM docs_p)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '@IPV4@')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_phones,
+  CAST(length(red) AS BIGINT) AS redacted_len,
+  md5(red) AS redacted_digest
+FROM r
+"""
+    sql["pii_scrub"] = (
+        pii_sql.replace("@DOCS@", _DOCS_PII_SQL)
+        .replace("@EMAIL@", EMAIL_RE)
+        .replace("@IPV4@", IPV4_RE)
+        .replace("@PHONE@", PHONE_RE)
+    )
 
     # Gopher repetition filters over the re-lined corpus: duplicate-line
     # occurrence/char fractions + top word-2gram character fraction

@@ -1,0 +1,69 @@
+"""PII detection and redaction for pretraining corpora.
+
+The standard pre-release scrub pass: find and mask email addresses, IPv4
+addresses, and phone-shaped numbers before text ships to a training run.
+Pure Column expressions (JVM regex, whole-stage codegen — no Python UDFs),
+with patterns deliberately restricted to syntax that behaves identically
+in Java regex (Spark) and RE2 (DuckDB/Go): character classes, bounded
+repetition, non-capturing groups, and ``\\b`` word boundaries — no
+lookaround, no backreferences — so a SQL oracle reproduces every count
+and the redacted-text digest bit-for-bit.
+
+Scale shape: embarrassingly parallel row-local projection — no shuffle,
+no join; the scan's column pruning reaches parquet untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"(?:\+\d{9,14}|\d{3}-\d{3}-\d{4})"
+
+# redaction replaces longest-structure first: emails (which contain dots
+# and digits) before IPs, IPs before bare phone shapes
+_REDACTIONS = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts as reusable expressions."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        "n_ipv4": F.regexp_count(text, F.lit(IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+def pii_redact_expr(text: Column) -> Column:
+    """Redacted text: every match replaced by its ``<CATEGORY>`` token,
+    applied email → IP → phone (emails are redacted before their digit
+    runs could feed the narrower patterns)."""
+    out = text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII scrub summary:
+    ``(doc_id, n_emails, n_ipv4, n_phones, redacted_len, redacted_digest)``.
+
+    The digest (md5 of the redacted text) lets a pipeline verify the
+    scrub deterministically without shipping the text anywhere; callers
+    that want the redacted text itself use :func:`pii_redact_expr`.
+    """
+    text = F.col(text_col)
+    counts = pii_count_exprs(text)
+    redacted = pii_redact_expr(text)
+    return df.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_digest"),
+    )
