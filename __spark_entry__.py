@@ -694,6 +694,25 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (datapipe.clusters.dedup_clusters):
+    alternating large-star/small-star connected components. The pair
+    relation is a deterministic chain graph (doc i ↔ i+1 for doc_id % 10
+    < 4 where both endpoints exist) — 5-node chains whose closure REQUIRES
+    transitivity, plus genuine singletons. Oracle: DuckDB recursive CTE."""
+    from aces_spark.datapipe.clusters import dedup_clusters
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_a"))
+    pairs = (
+        docs.filter(F.col("doc_id") % 10 < 4)
+        .select(F.col("doc_id").alias("doc_a"))
+        .join(nxt, "doc_a")  # keep edges whose right endpoint exists
+        .select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (datapipe.pii.pii_scrub): category counts + redacted-text
     digest, over the PII-injected corpus so every pattern fires."""
@@ -884,6 +903,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_clean": q_corpus_clean,
     "token_counts": q_token_counts,
+    "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1323,6 +1343,30 @@ SELECT doc_id,
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
+"""
+
+    # transitive near-dup clusters over the deterministic chain graph;
+    # the oracle computes min-reachable-node per component by recursive
+    # closure (undirected ⇒ min over the reachable set = component min)
+    sql["dedup_clusters"] = """
+WITH RECURSIVE
+p AS (
+  SELECT d1.doc_id AS doc_a, d1.doc_id + 1 AS doc_b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 10 < 4),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id))
+SELECT doc_id, cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM allc
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.
