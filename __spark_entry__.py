@@ -694,23 +694,44 @@ def q_token_counts(spark, sf_dir):
     )
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Transitive near-dup clustering (datapipe.clusters.dedup_clusters):
-    alternating large-star/small-star connected components. The pair
-    relation is a deterministic chain graph (doc i ↔ i+1 for doc_id % 10
-    < 4 where both endpoints exist) — 5-node chains whose closure REQUIRES
-    transitivity, plus genuine singletons. Oracle: DuckDB recursive CTE."""
-    from aces_spark.datapipe.clusters import dedup_clusters
-
-    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+def _chain_pairs(docs):
+    """Deterministic chain-graph pair relation: doc i ↔ i+1 for doc_id %
+    10 < 4 where both endpoints exist — 5-node chains whose transitive
+    closure REQUIRES multi-hop resolution, plus genuine singletons."""
     nxt = docs.select((F.col("doc_id") - 1).alias("doc_a"))
-    pairs = (
+    return (
         docs.filter(F.col("doc_id") % 10 < 4)
         .select(F.col("doc_id").alias("doc_a"))
         .join(nxt, "doc_a")  # keep edges whose right endpoint exists
         .select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
     )
-    return dedup_clusters(docs, pairs)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (datapipe.clusters.dedup_clusters):
+    alternating large-star/small-star connected components over the chain
+    graph. Oracle: DuckDB recursive CTE."""
+    from aces_spark.datapipe.clusters import dedup_clusters
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    return dedup_clusters(docs, _chain_pairs(docs))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-aware canonical selection (datapipe.clusters.keep_best):
+    chain-graph components → per-cluster best quality doc (ties → min
+    doc_id), with the number of removed near-dups per survivor."""
+    from aces_spark.datapipe.clusters import dedup_clusters, keep_best
+    from aces_spark.datapipe.text import quality_expr
+
+    docs = _read_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    clustered = dedup_clusters(ids, _chain_pairs(ids)).join(
+        docs.select("doc_id", quality_expr(F.col("text")).alias("quality")), "doc_id"
+    )
+    return keep_best(clustered, "quality").select(
+        "doc_id", "cluster_id", "quality", "n_removed"
+    )
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -904,6 +925,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": q_corpus_clean,
     "token_counts": q_token_counts,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1367,6 +1389,50 @@ allc AS (
 SELECT doc_id, cluster_id,
   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM allc
+"""
+
+    # keep-best: same recursive closure, then per-cluster argmax quality
+    # (ties → min doc_id) with the removed-count per survivor
+    sql["dedup_keep_best"] = """
+WITH RECURSIVE
+p AS (
+  SELECT d1.doc_id AS doc_a, d1.doc_id + 1 AS doc_b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 10 < 4),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)),
+t0 AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+               AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+          THEN 0.3 ELSE 0.0 END)
+      + ROUND((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3, 4),
+      4) AS quality
+  FROM t0),
+ranked AS (
+  SELECT a.doc_id, a.cluster_id, q.quality,
+    row_number() OVER (PARTITION BY a.cluster_id
+                       ORDER BY q.quality DESC, a.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY a.cluster_id) AS n
+  FROM allc a JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality, CAST(n - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rn = 1
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

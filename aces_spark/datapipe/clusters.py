@@ -140,3 +140,30 @@ def dedup_clusters(
     return with_labels.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w).cast("long")
     )
+
+
+def keep_best(
+    clustered: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Canonical-document selection: keep the best-scoring document of each
+    cluster (ties broken by minimum id — deterministic), dropping the rest.
+
+    Input: one row per document with ``cluster_col`` and ``score_col``
+    (e.g. :func:`dedup_clusters` joined with a quality score). Output: the
+    surviving rows plus ``n_removed`` (documents dropped from the
+    cluster). Both window functions share one partition spec, so this
+    costs a single exchange on ``cluster_col``.
+    """
+    w_rank = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(cluster_col)
+    return (
+        clustered.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_removed", (F.count(F.lit(1)).over(w_all) - 1).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

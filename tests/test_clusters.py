@@ -55,6 +55,24 @@ def test_dedup_clusters_with_singletons(spark):
         assert out[d] == (d, 1)
 
 
+def test_keep_best_picks_argmax_with_min_id_tiebreak(spark):
+    from aces_spark.datapipe.clusters import keep_best
+
+    clustered = spark.createDataFrame(
+        [
+            (1, 1, 0.5),
+            (2, 1, 0.9),  # winner of cluster 1
+            (3, 1, 0.9),  # same score, higher id -> loses tie-break... to 2
+            (7, 7, 0.1),  # singleton survives regardless of score
+        ],
+        "doc_id long, cluster_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in keep_best(clustered, "quality").collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["n_removed"] == 2
+    assert out[7]["n_removed"] == 0
+
+
 def test_lsh_pairs_to_clusters_end_to_end(spark):
     # three near-identical docs chain into ONE cluster even if LSH misses
     # one of the three pairs; unrelated doc stays a singleton
