@@ -734,6 +734,30 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-rate sampling (datapipe.sampling): per-language
+    keep rates, row-local md5-bucket filter — zero shuffle, reproducible
+    across engines (the DuckDB oracle recomputes the identical bucket)."""
+    from aces_spark.datapipe.sampling import stratified_sample
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1, "zh": 1.0}
+    return stratified_sample(docs, rates, default_rate=0.05).select(
+        "doc_id", "lang", "sample_bucket"
+    )
+
+
+def q_stratified_take(spark, sf_dir):
+    """Deterministic exact-k per stratum (datapipe.sampling): 10 docs per
+    language chosen by portable-hash rank."""
+    from aces_spark.datapipe.sampling import stratified_take
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_take(docs, k=10).select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (datapipe.pii.pii_scrub): category counts + redacted-text
     digest, over the PII-injected corpus so every pattern fires."""
@@ -927,6 +951,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "stratified_take": q_stratified_take,
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1433,6 +1459,28 @@ ranked AS (
   FROM allc a JOIN q USING (doc_id))
 SELECT doc_id, cluster_id, quality, CAST(n - 1 AS BIGINT) AS n_removed
 FROM ranked WHERE rn = 1
+"""
+
+    # deterministic sampling: identical md5 bucket on both engines
+    _BUCKET_SQL = (
+        "CAST(concat('0x', substring(md5(concat('0|', CAST(doc_id AS VARCHAR))), 1, 8))"
+        " AS BIGINT) % 10000"
+    )
+    sql["stratified_sample"] = f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS sample_bucket FROM documents)
+SELECT doc_id, lang, sample_bucket FROM b
+WHERE sample_bucket < CASE lang
+  WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
+  WHEN 'zh' THEN 10000 ELSE 500 END
+"""
+    sql["stratified_take"] = f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS sample_bucket FROM documents),
+r AS (SELECT doc_id, lang,
+  row_number() OVER (PARTITION BY lang ORDER BY sample_bucket ASC, doc_id ASC)
+    AS sample_rank
+  FROM b)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 10
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.
