@@ -802,6 +802,21 @@ def q_ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction (datapipe.similarity
+    .knn_classify): exact cosine top-10 neighbors per query, label vote
+    with deterministic tie-breaks."""
+    from aces_spark.datapipe.similarity import knn_classify
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < 25)
+    return knn_classify(emb, queries, k=10)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """Similarity search: IVF-bucketed approximate top-5 (scale path)."""
     emb = _read_table(spark, sf_dir, "embeddings").select(
@@ -962,6 +977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_groups": q_simhash_groups,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "knn_classify": q_knn_classify,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1677,6 +1693,32 @@ r AS (
                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
   FROM s)
 SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # k-NN classification: top-10 cosine neighbors → label majority vote
+    sql["knn_classify"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 25),
+s AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label,
+    ROUND(list_dot_product(qv, e.v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q, e WHERE query_id <> e.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s),
+v AS (
+  SELECT query_id, label, count(*) AS n_votes,
+    ROUND(avg(cosine_sim), 4) AS mean_sim
+  FROM r WHERE rk <= 10 GROUP BY query_id, label),
+p AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS rn
+  FROM v)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+  CAST(n_votes AS BIGINT) AS n_votes, mean_sim
+FROM p WHERE rn = 1
 """
 
     # IVF: deterministic seed centroids (first 8 vec_ids), argmax-cosine

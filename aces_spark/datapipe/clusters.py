@@ -15,8 +15,8 @@ large-star collapses it in ~20).
 Scale shape: every round shuffles on node id only (uniform keys — near-dup
 graphs are overwhelmingly small components), `localCheckpoint` truncates
 the iterative lineage each round so plans stay constant-size, and the
-driver sees nothing but an (edge-count, edge-hash) signature per round for
-the convergence test. No UDFs, no collect of node data.
+driver sees nothing but a 0/1 star-forest convergence probe per round.
+No UDFs, no collect of node data.
 """
 
 from __future__ import annotations
@@ -44,9 +44,11 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )
 
 
-def _neighborhood_min(sym: DataFrame) -> DataFrame:
-    """Per node u: m = min(Γ(u) ∪ {u})."""
-    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+def _with_neighborhood_min(sym: DataFrame) -> DataFrame:
+    """Attach m = min(Γ(u) ∪ {u}) to every (u, v) row — a single window
+    exchange on u (a groupBy + re-join would pay two)."""
+    w = Window.partitionBy("u")
+    return sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
 
 
 def connected_components(
@@ -70,38 +72,41 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint()
 
-    prev_sig = None
     for _ in range(max_iter):
-        # large-star: every neighbor v > u hooks to m = min(Γ(u) ∪ {u})
-        sym = _symmetric(edges)
-        large = (
-            sym.join(_neighborhood_min(sym), "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        # large-star: every neighbor v > u hooks to m = min(Γ(u) ∪ {u}).
+        # Emitted pairs satisfy v > u ≥ m, so (m, v) is ALREADY canonical
+        # (lo < hi, no self-loops) — no distinct pass needed mid-round.
+        symm = _with_neighborhood_min(_symmetric(edges))
+        mid = (
+            symm.filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
         )
-        edges = _canonical(large).localCheckpoint()
 
-        # small-star: neighbors v ≤ u (and u itself) hook to m
-        sym = _symmetric(edges)
-        nmin = _neighborhood_min(sym)
+        # small-star: neighbors v ≤ u (and u itself) hook to m. Both
+        # half-steps + the final dedup run inside ONE checkpointed plan —
+        # three exchanges per round (two windows + one distinct)
+        symm2 = _with_neighborhood_min(_symmetric(mid))
         small = (
-            sym.join(nmin, "u")
-            .filter(F.col("v") <= F.col("u"))
+            symm2.filter(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(nmin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .unionByName(
+                symm2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
         )
         edges = _canonical(small).localCheckpoint()
 
-        # (count, xor-of-hashes) signature: order-independent, and xor —
-        # unlike sum — cannot overflow under ANSI mode
-        sig = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+        # exact convergence test, one round earlier than a fixed-point
+        # signature compare: the canonical edge set is a star forest —
+        # the fixed point of both star ops — iff no center (lo side)
+        # also appears as a leaf (hi side)
+        non_star = (
+            edges.select("a")
+            .join(edges.select(F.col("b").alias("a")).distinct(), "a", "leftsemi")
+            .limit(1)
+            .count()
+        )
+        if non_star == 0:
             break
-        prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 

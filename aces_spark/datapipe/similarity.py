@@ -314,3 +314,53 @@ def cosine_dup_pairs(
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column.
+
+    For every query vector: find the ``k`` nearest corpus vectors by exact
+    cosine (:func:`brute_force_topk` — broadcast queries, corpus stays
+    partition-local), attach their labels, and pick the label with the
+    most votes (ties → smaller label). Returns
+    ``(query_id, pred_label, n_votes, mean_sim)`` where ``mean_sim`` is
+    the average similarity of the winning label's voters (4 dp).
+
+    Scale shape: the only non-broadcast exchange is the per-query rank
+    window inherited from the top-k, then a tiny |queries|×|labels|
+    aggregate. The label attach is a corpus-side projection BEFORE top-k
+    selection would be wasteful — labels join onto the k·|queries|
+    winners instead.
+    """
+    topk = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lab")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.round(F.avg("cosine_sim"), 4).alias("mean_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("__lab").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__lab").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            "mean_sim",
+        )
+    )

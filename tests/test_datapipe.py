@@ -339,3 +339,28 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=1000).collect()
     assert sorted(r["sample_at_ms"] for r in plan) == [0, 1000, 2000, 3000]
     assert {r["media_id"] for r in plan} == {1}
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from aces_spark.datapipe.similarity import knn_classify
+
+    # axis-aligned toy vectors: queries sit between clusters
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.8, 0.2], 0),
+        (10, [0.0, 1.0], 1), (11, [0.1, 0.9], 1),
+        (100, [1.0, 0.05], None),  # near cluster 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    corpus = emb.filter("label IS NOT NULL")
+    queries = emb.filter("vec_id = 100").select("vec_id", "embedding")
+    out = knn_classify(corpus, queries, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["query_id"] == 100 and r["pred_label"] == 0 and r["n_votes"] == 3
+
+    # 2-2 vote split: tie broken toward the SMALLER label
+    q2 = spark.createDataFrame([(200, [0.5, 0.5])], "vec_id long, embedding array<double>")
+    out2 = knn_classify(corpus.filter("vec_id in (0, 1, 10, 11)"), q2, k=4).collect()[0]
+    assert out2["pred_label"] == 0 and out2["n_votes"] == 2
