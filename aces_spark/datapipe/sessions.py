@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timecol import epoch_micros
+
 
 def sessionize(
     events: DataFrame,
@@ -20,12 +22,13 @@ def sessionize(
 ) -> DataFrame:
     """Assign a session index per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``. Adds ``session_id``
-    (0-based per user)."""
+    (0-based per user). Accepts TIMESTAMP or TIMESTAMP_NTZ event times
+    (normalized via :func:`aces_spark.functions.timecol.epoch_micros`)."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     gap_us = gap_minutes * 60 * 1_000_000
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev = F.lag(epoch_micros(ts_col)).over(w)
     new_session = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), F.lit(1)
+        prev.isNull() | ((epoch_micros(ts_col) - prev) > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     return events.withColumn(
         "session_id",
@@ -46,7 +49,7 @@ def session_stats(
     # average so Spark and any SQL oracle agree bit-for-bit
     per_session = s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("session_us"),
+        (epoch_micros(F.max(ts_col)) - epoch_micros(F.min(ts_col))).alias("session_us"),
     )
     return per_session.groupBy(user_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),

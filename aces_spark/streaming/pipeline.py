@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timecol import as_timestamp
 from ..types import PRED_CNT_TYPE
 
 
@@ -30,10 +31,12 @@ def evaluate_predicates_stream(
 ) -> DataFrame:
     """Row-level predicate evaluation over a (possibly streaming) MEDS-shaped
     event frame — the stateless map stage of the batch source
-    (``sources/predicates.py``), reusable under ``readStream``."""
+    (``sources/predicates.py``), reusable under ``readStream``. Timestamp
+    normalization shares ``functions.timecol`` with the batch sessionizer so
+    NTZ/LTZ handling cannot diverge between modes."""
     cols = [
         F.col(subject_col).cast("long").alias("subject_id"),
-        F.col(ts_col).cast("timestamp").alias("timestamp"),
+        as_timestamp(ts_col).alias("timestamp"),
     ]
     for name, p in predicates.items():
         cols.append(F.coalesce(p.spark_expr().cast(PRED_CNT_TYPE), F.lit(0)).alias(name))

@@ -312,6 +312,27 @@ def test_sessionize_and_stats(spark):
     assert stats[2]["n_sessions"] == 1
 
 
+@pytest.mark.parametrize("ts_type", ["timestamp", "timestamp_ntz"])
+def test_sessionize_timestamp_flavors(spark, ts_type):
+    """Regression guard for the round-2 TIMESTAMP_NTZ break: epoch math must
+    work no matter which timestamp flavor the source parquet produced (the
+    driver's events table reads as NTZ; ``unix_micros`` rejects NTZ without
+    the shared ``timecol`` normalization)."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + timedelta(minutes=10)),
+        (1, base + timedelta(minutes=70)),
+        (2, base),
+    ]
+    ev = spark.createDataFrame(rows, f"user_id long, ts {ts_type}")
+    assert dict(ev.dtypes)["ts"] == ts_type
+    stats = {r["user_id"]: r for r in session_stats(ev, gap_minutes=30).collect()}
+    assert stats[1]["n_sessions"] == 2 and stats[1]["n_events"] == 3
+    assert stats[1]["avg_session_secs"] == 300.0
+    assert stats[2]["n_sessions"] == 1
+
+
 def test_multimodal_payload_and_features(spark):
     media = spark.createDataFrame(
         [
