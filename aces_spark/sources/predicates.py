@@ -122,9 +122,12 @@ def _strptime_to_spark(fmt: str) -> str:
         "%m": "M",
         "%d": "d",
         "%H": "H",
+        "%I": "h",
         "%M": "m",
         "%S": "s",
         "%f": "SSSSSS",
+        "%a": "EEE",
+        "%A": "EEEE",
         "%b": "MMM",
         "%B": "MMMM",
         "%j": "D",

@@ -112,8 +112,34 @@ def test_strptime_translation_and_errors():
     assert _strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-M-d'T'H:m:s"
     assert _strptime_to_spark("%d %b %Y") == "d MMM yyyy"
     assert _strptime_to_spark("100%%") == "100'%'"
-    with pytest.raises(ValueError, match="Unsupported strptime directive '%I'"):
-        _strptime_to_spark("%I:%M %p")
+    assert _strptime_to_spark("%d-%b-%Y %I:%M %p") == "d-MMM-yyyy h:m a"
+    assert _strptime_to_spark("%a %z") == "EEE xx"
+    with pytest.raises(ValueError, match="Unsupported strptime directive '%Q'"):
+        _strptime_to_spark("%Q:%M")
+
+
+def test_direct_load_12h_monthname_format(spark, tmp_path):
+    """The full reference-accepted grammar: 12-hour clock + month name +
+    am/pm parse end-to-end through the direct CSV source (reference accepts
+    arbitrary strptime via Polars, src/aces/predicates.py:211)."""
+    from datetime import datetime
+
+    from aces_spark.sources.predicates import direct_load_plain_predicates
+
+    csv = tmp_path / "p12.csv"
+    csv.write_text(
+        "subject_id,timestamp,a\n"
+        "1,02-Jan-2024 02:24 PM,1\n"
+        "1,02-Jan-2024 09:05 AM,2\n"
+    )
+    out = direct_load_plain_predicates(
+        spark, csv, ["a"], ts_format="%d-%b-%Y %I:%M %p"
+    )
+    rows = {r["timestamp"]: r["a"] for r in out.collect()}
+    assert rows == {
+        datetime(2024, 1, 2, 14, 24): 1,
+        datetime(2024, 1, 2, 9, 5): 2,
+    }
 
 
 def test_direct_load_literal_text_format(spark, tmp_path):
