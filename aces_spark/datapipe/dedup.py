@@ -25,18 +25,17 @@ portable hash everywhere so a DuckDB oracle can reproduce values bit-for-bit.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint
+from .text import fingerprint, norm_tokens
 
 
-def _norm_tokens(text_col: str) -> Column:
-    """Lowercased alphanumeric word tokens (engine-portable normalization)."""
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
-    return F.when(F.length(normalized) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(normalized, " ")
-    )
+# shared tokenizer lives in text.py; kept under the old private name for
+# this module's call sites
+_norm_tokens = norm_tokens
 
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -73,6 +72,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_doc_freq: int | None = 1000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by word-n-gram Jaccard similarity via
     an inverted-index self-join. Returns ``(doc_a, doc_b, jaccard)`` with
@@ -83,9 +83,12 @@ def ngram_jaccard_pairs(
 
     Caching note: the shingle relation is persisted (it feeds both join
     sides and the size aggregate inside ONE job) and the caller owns the
-    lifecycle — in a long-lived session, ``spark.catalog.clearCache()`` or
-    LRU eviction (MEMORY_AND_DISK) reclaims it; there is no safe point to
-    unpersist inside this function because the returned plan is lazy.
+    lifecycle — there is no safe point to unpersist inside this function
+    because the returned plan is lazy. Pass ``cache_registry=[]`` to
+    receive the persisted DataFrame(s) and ``unpersist()`` them after the
+    result is materialized, or use :func:`scoped_ngram_jaccard_pairs`
+    which does exactly that. Without either, Spark's LRU
+    (MEMORY_AND_DISK) or ``spark.catalog.clearCache()`` reclaims it.
     """
     # the shingle string never reaches the output — only pair counts do —
     # so collapse it to a 64-bit hash immediately: ~5× less shuffle volume
@@ -117,6 +120,8 @@ def ngram_jaccard_pairs(
     # Spark's LRU evicts it under memory pressure (MEMORY_AND_DISK
     # default) and callers own the lifecycle (see docstring)
     sh = sh.persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -139,6 +144,24 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+@contextmanager
+def scoped_ngram_jaccard_pairs(df: DataFrame, **kwargs):
+    """Context-manager wrapper around :func:`ngram_jaccard_pairs` for
+    long-lived sessions: yields the pairs DataFrame and unpersists the
+    internal shingle cache on exit. Materialize the result INSIDE the
+    block (collect/write) — after exit the plan recomputes from source.
+
+    >>> with scoped_ngram_jaccard_pairs(docs, threshold=0.8) as pairs:
+    ...     pairs.write.parquet("near_dups")   # doctest: +SKIP
+    """
+    registry: list = []
+    try:
+        yield ngram_jaccard_pairs(df, cache_registry=registry, **kwargs)
+    finally:
+        for cached in registry:
+            cached.unpersist()
 
 
 def _portable_hash(col: Column, seed: int) -> Column:

@@ -71,6 +71,29 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_scoped_ngram_jaccard_releases_cache(spark):
+    """The context-manager variant must leave NO cached RDDs behind after
+    exit (long-lived-session hygiene for the internal shingle persist)."""
+    from aces_spark.datapipe.dedup import scoped_ngram_jaccard_pairs
+
+    # a frame of our own (the shared `docs` fixture's plan may already sit
+    # in the CacheManager from earlier tests, making persist() a no-op),
+    # and RELATIVE size assertions (other tests' lineage checkpoints may
+    # legitimately persist RDDs in the shared session)
+    rows = [
+        (1, "spark scoped cache test one two three four five"),
+        (2, "spark scoped cache test one two three four five"),
+        (3, "entirely unrelated content with different words here"),
+    ]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with scoped_ngram_jaccard_pairs(frame, n=3, threshold=0.3, max_doc_freq=None) as pairs:
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
 def test_minhash_lsh_candidate_pairs(docs):
     sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(docs, n=3, num_hashes=8).collect()}
     assert sigs[1] == sigs[2]
