@@ -90,3 +90,67 @@ def test_cli_rejects_bad_standard(tmp_path):
     cfg.write_text(TASK_YAML)
     with pytest.raises(SystemExit):
         main(["--config", str(cfg), "--data", "x", "--standard", "bogus", "--output", "y"])
+
+
+def test_cli_hydra_style_single_file(spark, tmp_path):
+    """Reference launcher muscle-memory: cohort_dir/cohort_name drive
+    config_path and output_filepath via ${...} interpolation (the
+    _aces.yaml defaults), data.* selects the input."""
+    cohort_dir = tmp_path / "cohorts"
+    cohort_dir.mkdir()
+    (cohort_dir / "mytask.yaml").write_text(TASK_YAML)
+    meds = tmp_path / "meds"
+    _write_meds(meds)
+
+    rc = main(
+        [
+            f"cohort_dir={cohort_dir}",
+            "cohort_name=mytask",
+            f"data.path={meds}",
+            "data.standard=meds",
+        ]
+    )
+    assert rc == 0
+    labels = spark.read.parquet(str(cohort_dir / "mytask.parquet"))
+    # MEDS standard label-coerces by default, like the reference
+    rows = {r["subject_id"]: r["boolean_value"] for r in labels.collect()}
+    assert rows == {1: True, 2: False}
+
+
+def test_cli_hydra_style_sharded_multirun(spark, tmp_path):
+    """data=sharded + -m sweeps data.shard (expand_shards output) and
+    writes one ${data._prefix}-suffixed output per shard, preserving the
+    reference's multirun file layout."""
+    from aces_spark.sources.expand_shards import expand_shards
+
+    cohort_dir = tmp_path / "cohorts"
+    cohort_dir.mkdir()
+    (cohort_dir / "mytask.yaml").write_text(TASK_YAML)
+    meds = tmp_path / "meds"
+    _write_meds(meds)  # writes train/0.parquet and train/1.parquet
+
+    shards = expand_shards(str(meds))
+    assert sorted(shards.split(",")) == ["train/0", "train/1"]
+    rc = main(
+        [
+            "-m",
+            f"cohort_dir={cohort_dir}",
+            "cohort_name=mytask",
+            "data=sharded",
+            f"data.root={meds}",
+            f"data.shard={shards}",
+            "data.standard=meds",
+        ]
+    )
+    assert rc == 0
+    out0 = spark.read.parquet(str(cohort_dir / "mytask" / "train" / "0.parquet"))
+    out1 = spark.read.parquet(str(cohort_dir / "mytask" / "train" / "1.parquet"))
+    got0 = {r["subject_id"]: r["boolean_value"] for r in out0.collect()}
+    got1 = {r["subject_id"]: r["boolean_value"] for r in out1.collect()}
+    assert got0 == {1: True}
+    assert got1 == {2: False}
+
+
+def test_cli_hydra_style_unknown_key():
+    with pytest.raises(SystemExit, match="unknown override key"):
+        main(["cohort_dir=/tmp", "bogus_key=1"])
