@@ -699,6 +699,47 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (datapipe.decontam): corpus docs sharing
+    ≥3 distinct word 8-grams with the benchmark split (every 20th base
+    doc). The corpus is the near-dup-augmented set, so truncated copies of
+    benchmark docs are contaminated by construction; the benchmark shingle
+    set broadcasts (eval sets are tiny next to the corpus)."""
+    from aces_spark.datapipe.decontam import decontaminate
+
+    aug = _docs_with_near_dups(spark, sf_dir)
+    bench = aug.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1_000_000))
+    corpus = aug.filter((F.col("doc_id") % 20 != 0) | (F.col("doc_id") >= 1_000_000))
+    return decontaminate(corpus, bench, n=8, min_overlap=3)
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (datapipe.packing): per-source
+    streams in doc_id order, 512-token packs — one window exchange keyed
+    by source, everything else row-local."""
+    from aces_spark.datapipe.packing import pack_sequences
+
+    docs = _read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=512)
+
+
+def q_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment (datapipe.packing): portable
+    md5-bucket split, zero shuffle, bit-reproducible in any engine."""
+    from aces_spark.datapipe.packing import assign_splits
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_splits(docs)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats (datapipe.text): 50 most frequent normalized
+    words with doc frequencies; global top-k as TakeOrderedAndProject."""
+    from aces_spark.datapipe.text import vocab_top_k
+
+    return vocab_top_k(_read_table(spark, sf_dir, "documents"), k=50)
+
+
 def _chain_pairs(docs):
     """Deterministic chain-graph pair relation: doc i ↔ i+1 for doc_id %
     10 < 4 where both endpoints exist — 5-node chains whose transitive
@@ -944,6 +985,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_feature_vectors": q_cohort_feature_vectors,
     "tfidf_features": q_tfidf_features,
     "sessionization": q_sessionization,
+    # --- new in round 3 ---
+    "decontamination": q_decontamination,
+    "sequence_packing": q_sequence_packing,
+    "split_assignment": q_split_assignment,
+    "vocab_topk": q_vocab_topk,
     # --- long-green queries (every row below was green in r02) ---
     "predicates_meds_scan": q_predicates_meds_scan,
     "esgpt_predicates": q_esgpt_predicates,
@@ -1506,6 +1552,63 @@ r AS (SELECT doc_id, lang,
   FROM b)
 SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 10
+"""
+
+    # benchmark decontamination: corpus docs sharing ≥3 distinct word
+    # 8-grams with the benchmark split (every 20th base doc); corpus is
+    # the near-dup-augmented set so truncated benchmark copies hit
+    sql["decontamination"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0 AND doc_id < 1000000),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0 OR doc_id >= 1000000)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM corp JOIN bench USING (shingle)
+GROUP BY doc_id HAVING COUNT(*) >= 3
+"""
+
+    # concat-and-chunk packing: running token sum per source stream in
+    # doc_id order; pack index/offset are row-local arithmetic on it
+    _WS_TOKENS_SQL = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    )
+    sql["sequence_packing"] = f"""
+WITH t AS (SELECT source, doc_id, {_WS_TOKENS_SQL} AS n_tokens FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+  FROM t)
+SELECT source, doc_id, n_tokens,
+  cum - n_tokens AS token_start,
+  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+  (cum - n_tokens) % 512 AS pack_offset,
+  (n_tokens > 0 AND CAST(floor((cum - 1) / 512) AS BIGINT)
+     <> CAST(floor((cum - n_tokens) / 512) AS BIGINT)) AS spans_packs
+FROM c
+"""
+
+    # deterministic split assignment by the portable md5 bucket:
+    # train < 9000, val < 9500, test = remainder
+    sql["split_assignment"] = f"""
+SELECT doc_id, source,
+  CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+       WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+    # vocabulary top-k: deterministic order (count desc, word asc) makes
+    # the LIMIT stable across engines
+    sql["vocab_topk"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS word FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM words GROUP BY word
+ORDER BY n_occurrences DESC, word ASC LIMIT 50
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

@@ -1,0 +1,101 @@
+"""Training-export operators: concat-and-chunk sequence packing and
+deterministic train/val/test split assignment.
+
+Both are pure DataFrame formulations of the last mile of a pretraining
+pipeline (public practice from the GPT/T5/Llama lineage): documents are
+concatenated in a deterministic order and chunked into fixed-size token
+windows ("packing"), and every document gets a reproducible split label
+derived from a hash of its id — never ``rand()``, so the corpus is a pure
+function of the data across runs, engines, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import BUCKETS, sample_bucket_expr
+from .text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    part_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: within each ``part_col`` stream,
+    documents are concatenated in ``key_col`` order and cut into
+    ``max_tokens``-sized packs. Returns one row per document:
+
+    ``(part_col, key_col, n_tokens, token_start, pack_id, pack_offset,
+    spans_packs)`` — ``pack_id``/``pack_offset`` locate the document's
+    first token ((stream, pack) pairs identify a physical sequence);
+    ``spans_packs`` marks documents that straddle a pack boundary (the
+    consumer decides whether to split or re-pad them).
+
+    Scale shape: ONE window exchange keyed by ``part_col`` (the same
+    partitioning a per-source export writes with) computing a running
+    token sum; everything else is row-local arithmetic. For a single
+    dominant source (heavy skew), the chunked-cumsum kernel
+    (``operators/skew.py``) is the drop-in replacement for the window —
+    same algebra, boundary-offset corrected.
+    """
+    toks = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)  # inclusive running total
+    start = (cum - toks).alias("token_start")
+    pack = F.floor((cum - toks) / max_tokens).cast("long")
+    last_idx = cum - 1  # index of the doc's final token
+    spans = (toks > 0) & (F.floor(last_idx / max_tokens).cast("long") != pack)
+    return df.select(
+        part_col,
+        key_col,
+        toks.alias("n_tokens"),
+        (cum - toks).alias("token_start"),
+        pack.alias("pack_id"),
+        ((cum - toks) % max_tokens).alias("pack_offset"),
+        spans.alias("spans_packs"),
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Add a deterministic ``split`` column partitioning rows into named
+    fractions (default 90/5/5 train/val/test) by the portable md5 bucket
+    of ``key_col`` — row-local, zero-shuffle, reproducible bit-for-bit in
+    any engine that can compute md5 (the same bucket family as
+    :mod:`aces_spark.datapipe.sampling`).
+
+    Fractions must sum to 1 (±1 bucket of rounding slack goes to the last
+    split, which takes every remaining bucket).
+    """
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits:
+        raise ValueError("splits must be a non-empty {name: fraction} dict")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+
+    bucket = sample_bucket_expr(F.col(key_col), seed)
+    names = list(splits)
+    expr = F.lit(names[-1])  # last split absorbs rounding remainder
+    upper = 0.0
+    # build the when-chain from the first boundary up
+    conds = []
+    for name in names[:-1]:
+        upper += splits[name]
+        conds.append((name, int(round(upper * BUCKETS))))
+    for name, bound in reversed(conds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
