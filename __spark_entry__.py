@@ -732,6 +732,28 @@ def q_split_assignment(spark, sf_dir):
     return assign_splits(docs)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-granularity exact dedup (datapipe.dedup): per-doc
+    duplicate-paragraph fractions over the lined near-dup-augmented corpus
+    — truncated copies share their leading lines with the originals
+    (cross-doc dups) and line 1 repeats as line 3 (within-doc dups)."""
+    from aces_spark.datapipe.dedup import paragraph_dedup_stats
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    t = F.col("text")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 40),
+            F.substring(t, 41, 40),
+            F.substring(t, 1, 40),
+            F.substring(t, 81, 40),
+        ).alias("text"),
+    )
+    return paragraph_dedup_stats(lined, min_chars=20)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary stats (datapipe.text): 50 most frequent normalized
     words with doc frequencies; global top-k as TakeOrderedAndProject."""
@@ -990,6 +1012,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "split_assignment": q_split_assignment,
     "vocab_topk": q_vocab_topk,
+    "paragraph_dedup": q_paragraph_dedup,
     # --- long-green queries (every row below was green in r02) ---
     "predicates_meds_scan": q_predicates_meds_scan,
     "esgpt_predicates": q_esgpt_predicates,
@@ -1597,6 +1620,31 @@ SELECT doc_id, source,
        WHEN {_BUCKET_SQL} < 9500 THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+"""
+
+    # paragraph-granularity dedup over the lined near-dup-augmented corpus:
+    # one digest-keyed occurrence aggregate, then a per-doc rollup
+    sql["paragraph_dedup"] = f"""
+WITH aug AS ({_DOCS_NEAR_DUPS_SQL}),
+docs_l AS (SELECT doc_id, concat_ws(chr(10),
+    substring(text, 1, 40), substring(text, 41, 40), substring(text, 1, 40),
+    substring(text, 81, 40)) AS text FROM aug),
+p AS (SELECT doc_id, u.para FROM docs_l,
+      UNNEST(string_split(text, chr(10))) AS u(para)
+      WHERE length(trim(para)) >= 20),
+k AS (SELECT doc_id,
+      md5(trim(regexp_replace(lower(para), '[^a-z0-9]+', ' ', 'g'))) AS pfp
+      FROM p),
+occ AS (SELECT pfp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        FROM k GROUP BY pfp)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_paras,
+  CAST(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_paras,
+  ROUND(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END)
+    / COUNT(*), 4) AS dup_para_frac
+FROM k JOIN occ USING (pfp)
+GROUP BY doc_id
 """
 
     # vocabulary top-k: deterministic order (count desc, word asc) makes

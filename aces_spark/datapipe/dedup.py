@@ -146,6 +146,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 20,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup (the public "dedup at the
+    paragraph level" recipe from Lee et al. 2022, *Deduplicating Training
+    Data Makes Language Models Better* — substring dedup approximated at
+    paragraph boundaries, the form production corpus cleaning actually
+    ships). Returns per-document stats:
+
+    ``(doc_id, n_paras, n_dup_paras, dup_para_frac)`` where a paragraph is
+    *duplicated* if its normalized fingerprint appears in more than one
+    document OR more than once in this document, counting only paragraphs
+    with ≥ ``min_chars`` characters (short boilerplate lines are the
+    min-length guard's job, not dedup's).
+
+    Scale shape: posexplode (narrow) → ONE exchange keyed by the paragraph
+    md5 (uniform digest keys) for the occurrence counts, then a doc_id-keyed
+    partial-agg rollup. No self-joins, no windows over the corpus.
+    """
+    paras = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_chars)
+    keyed = paras.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("para")), r"[^a-z0-9]+", " "))
+        ).alias("pfp"),
+    )
+    # one digest-keyed aggregate: total occurrences + distinct docs per para
+    occ = keyed.groupBy("pfp").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    flagged = keyed.join(occ, "pfp").select(
+        "doc_id",
+        ((F.col("n_docs") > 1) | (F.col("n_occ") > F.col("n_docs"))).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("is_dup").cast("long").alias("n_dup_paras"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias("dup_para_frac"),
+    )
+
+
 @contextmanager
 def scoped_ngram_jaccard_pairs(df: DataFrame, **kwargs):
     """Context-manager wrapper around :func:`ngram_jaccard_pairs` for

@@ -98,6 +98,36 @@ def sessionized_counts(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per normalized
+    content fingerprint (the streaming analog of
+    ``datapipe.dedup.dedup_exact``'s canonical selection). Adds the
+    ``fingerprint`` column.
+
+    With ``ts_col`` set on a stream, state is BOUNDED: the watermark lets
+    ``dropDuplicatesWithinWatermark`` evict fingerprints older than the
+    horizon — the required shape for an unbounded feed, where exact
+    forever-dedup state would grow without limit (periodic batch dedup
+    over the accumulated corpus catches cross-horizon dups). Without
+    ``ts_col`` the operator keeps exact global state (fine for bounded
+    backfills via ``availableNow``).
+
+    On a batch frame it degrades to ``dropDuplicates`` — same fingerprint
+    expression, one digest-keyed exchange.
+    """
+    from ..datapipe.text import fingerprint_expr
+
+    out = docs.withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+    if out.isStreaming and ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fingerprint"])
+    return out.dropDuplicates(["fingerprint"])
+
+
 def trigger_alerts(
     pred_events: DataFrame,
     trigger_predicate: str,

@@ -94,6 +94,29 @@ def test_scoped_ngram_jaccard_releases_cache(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
 
 
+def test_paragraph_dedup_stats(spark):
+    """Cross-doc and within-doc duplicate paragraphs are flagged; short
+    lines are exempt; clean docs report zero."""
+    from aces_spark.datapipe.dedup import paragraph_dedup_stats
+
+    shared = "this exact paragraph appears in two different documents"
+    rows = [
+        (1, shared + "\nunique first paragraph of doc one here\nshort"),
+        (2, shared + "\nan entirely different second paragraph here"),
+        (3, "twice in the same doc twice indeed\ntwice in the same doc twice indeed"),
+        (4, "completely unique content in document four only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup_stats(df, min_chars=20).collect()}
+    # doc 1: "short" is under min_chars → 2 paras, 1 dup
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[1]["dup_para_frac"] == 0.5
+    assert out[2]["n_paras"] == 2 and out[2]["n_dup_paras"] == 1
+    # doc 3: same para twice within one doc → both occurrences dup
+    assert out[3]["n_paras"] == 2 and out[3]["n_dup_paras"] == 2
+    assert out[4]["n_dup_paras"] == 0
+
+
 def test_minhash_lsh_candidate_pairs(docs):
     sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(docs, n=3, num_hashes=8).collect()}
     assert sigs[1] == sigs[2]

@@ -86,6 +86,42 @@ def test_trigger_alerts_stream(spark, events_dir, tmp_path):
     assert len(_sorted_rows(got)) == 24  # 8 admissions x 3 subjects
 
 
+def test_dedup_stream_batch_parity(spark, tmp_path):
+    """Streaming exact dedup keeps exactly one doc per content fingerprint
+    and agrees with the batch path on the surviving fingerprint set."""
+    from datetime import datetime, timedelta
+
+    from aces_spark.streaming.pipeline import dedup_stream
+
+    schema = "doc_id long, ts timestamp, text string"
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, "The quick brown fox!"),
+        (2, base + timedelta(minutes=1), "the quick brown fox"),  # dup of 1 (normalized)
+        (3, base + timedelta(minutes=2), "something else entirely"),
+        (4, base + timedelta(minutes=3), "SOMETHING ELSE ENTIRELY"),  # dup of 3
+        (5, base + timedelta(minutes=4), "a third unique document"),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        dedup_stream(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_docs").collect()
+
+    batch = dedup_stream(spark.read.schema(schema).parquet(str(src))).collect()
+    assert len(got) == 3 and len(batch) == 3
+    assert {r["fingerprint"] for r in got} == {r["fingerprint"] for r in batch}
+
+
 def test_open_window_tracker_matches_batch_kernel(spark, tmp_path):
     """The stateful tracker (applyInPandasWithState) must agree with the
     batch event-bound kernel (row_to_bound, closed='right') on trigger rows
