@@ -83,6 +83,56 @@ def test_event_bound_kernel_no_shrinking_frames(pred_df, mode_name):
     assert "unboundedfollowing$()" not in plan.replace(" ", ""), plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must reach the corpus probe as a
+    broadcast — a shuffled join here would re-exchange the whole corpus
+    at 100 TB."""
+    from aces_spark.datapipe.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, "word1 " * 20)], "doc_id long, text string")
+    counts = _node_counts(decontaminate(corpus, bench, n=5))
+    assert counts.get("BroadcastHashJoin", 0) == 1, counts
+    assert counts.get("SortMergeJoin", 0) == 0, counts
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full vocabulary sort."""
+    from aces_spark.datapipe.text import vocab_top_k
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i}") for i in range(50)], "doc_id long, text string"
+    )
+    counts = _node_counts(vocab_top_k(docs, k=10))
+    assert counts.get("TakeOrderedAndProject", 0) == 1, counts
+    assert counts.get("Sort", 0) == 0, counts
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing pays exactly one data exchange (hash by the stream key for
+    the running-sum window); everything else is row-local."""
+    from aces_spark.datapipe.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7), f"src{i % 3}") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    counts = _node_counts(pack_sequences(docs, max_tokens=16))
+    assert counts.get("Exchange", 0) == 1, counts
+
+
+def test_assign_splits_no_exchange(spark):
+    """Split assignment is a pure row-local projection — zero shuffles."""
+    from aces_spark.datapipe.packing import assign_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    counts = _node_counts(assign_splits(docs))
+    assert counts.get("Exchange", 0) == 0, counts
+
+
 def test_meds_scan_column_pruning(spark, tmp_path):
     """Only predicate-referenced source columns reach the parquet scan."""
     rows = [(1, datetime(2020, 1, 1), "a", 1.0, "extra", 42)]
