@@ -762,6 +762,31 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_top_k(_read_table(spark, sf_dir, "documents"), k=50)
 
 
+def q_event_funnel(spark, sf_dir):
+    """Sequential funnel view→click→purchase (datapipe.analytics.funnel):
+    one user_id exchange, per-user sorted-array fold with aggregate() —
+    no joins, no UDFs."""
+    from aces_spark.datapipe.analytics import funnel
+
+    return funnel(_read_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (datapipe.analytics.cohort_retention):
+    two uniform hash aggregates."""
+    from aces_spark.datapipe.analytics import cohort_retention
+
+    return cohort_retention(_read_events(spark, sf_dir), bucket_days=7)
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-source doc-length quantiles (datapipe.analytics.length_quantiles):
+    exact percentile aggregate with map-side partials."""
+    from aces_spark.datapipe.analytics import length_quantiles
+
+    return length_quantiles(_read_table(spark, sf_dir, "documents"))
+
+
 def _chain_pairs(docs):
     """Deterministic chain-graph pair relation: doc i ↔ i+1 for doc_id %
     10 < 4 where both endpoints exist — 5-node chains whose transitive
@@ -1013,6 +1038,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignment": q_split_assignment,
     "vocab_topk": q_vocab_topk,
     "paragraph_dedup": q_paragraph_dedup,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "doc_length_quantiles": q_doc_length_quantiles,
     # --- long-green queries (every row below was green in r02) ---
     "predicates_meds_scan": q_predicates_meds_scan,
     "esgpt_predicates": q_esgpt_predicates,
@@ -1645,6 +1673,48 @@ SELECT doc_id,
     / COUNT(*), 4) AS dup_para_frac
 FROM k JOIN occ USING (pfp)
 GROUP BY doc_id
+"""
+
+    # sequential funnel: greedy-earliest chain — t_{i+1} is the min event
+    # of step i+1 strictly after t_i (k fixed joins mirror the fold)
+    sql["event_funnel"] = """
+WITH e AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id, s1.t1 AS step1_view_ts, s2.t2 AS step2_click_ts,
+  s3.t3 AS step3_purchase_ts,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_steps
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+    # weekly cohort retention: first-seen day per user, then the
+    # (cohort_day, periods-since) distinct-active rollup
+    sql["cohort_retention"] = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day,
+  CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT) AS period,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM days JOIN first USING (user_id)
+GROUP BY cohort_day, CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT)
+"""
+
+    # per-source doc-length quantiles: ANSI percentile_cont interpolation
+    # in both engines; DOUBLE cast + 4dp rounding align the float repr
+    sql["doc_length_quantiles"] = """
+SELECT source,
+  ROUND(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 4) AS q_0_25,
+  ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS q_0_5,
+  ROUND(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4) AS q_0_9,
+  ROUND(CAST(quantile_cont(n_chars, 0.99) AS DOUBLE), 4) AS q_0_99
+FROM documents GROUP BY source
 """
 
     # vocabulary top-k: deterministic order (count desc, word asc) makes

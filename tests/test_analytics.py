@@ -1,0 +1,103 @@
+"""Tests for event-stream analytics: funnels, retention, quantiles."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from aces_spark.datapipe.analytics import cohort_retention, funnel, length_quantiles
+
+BASE = datetime(2024, 1, 1)
+
+
+def _ev(uid, minutes, etype):
+    return (uid, BASE + timedelta(minutes=minutes), etype)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # user 1 completes the funnel in order
+        _ev(1, 0, "view"), _ev(1, 10, "click"), _ev(1, 20, "purchase"),
+        # user 2: purchase BEFORE click → only 2 steps (view, click)
+        _ev(2, 0, "view"), _ev(2, 5, "purchase"), _ev(2, 10, "click"),
+        # user 3: starts mid-funnel → 0 steps completed (no view)
+        _ev(3, 0, "click"), _ev(3, 5, "purchase"),
+        # user 4: view only
+        _ev(4, 0, "view"),
+        # user 5: no funnel events at all → absent from output
+        _ev(5, 0, "error"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_sequential_order(events):
+    out = {r["user_id"]: r for r in funnel(events, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_steps"] == 3
+    assert out[1]["step3_purchase_ts"] == BASE + timedelta(minutes=20)
+    # user 2's purchase precedes the click → chain stops at click
+    assert out[2]["n_steps"] == 2
+    assert out[2]["step3_purchase_ts"] is None
+    assert out[3]["n_steps"] == 0
+    assert out[4]["n_steps"] == 1
+
+
+def test_funnel_same_timestamp_not_consecutive(spark):
+    """Two steps at the identical timestamp cannot both count (strict
+    order), but a later event can still continue the chain."""
+    rows = [
+        (1, BASE, "view"), (1, BASE, "click"), (1, BASE + timedelta(minutes=1), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel(ev, ["view", "click"]).collect()[0]
+    assert out["n_steps"] == 2
+    assert out["step2_click_ts"] == BASE + timedelta(minutes=1)
+
+
+def test_funnel_greedy_earliest(spark):
+    """The chain picks the earliest valid event per step."""
+    rows = [
+        (1, BASE, "view"), (1, BASE + timedelta(minutes=1), "view"),
+        (1, BASE + timedelta(minutes=2), "click"), (1, BASE + timedelta(minutes=3), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel(ev, ["view", "click"]).collect()[0]
+    assert out["step1_view_ts"] == BASE
+    assert out["step2_click_ts"] == BASE + timedelta(minutes=2)
+
+
+def test_funnel_ntz_timestamps(spark):
+    rows = [(1, BASE, "view"), (1, BASE + timedelta(minutes=1), "click")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    assert funnel(ev, ["view", "click"]).collect()[0]["n_steps"] == 2
+
+
+def test_cohort_retention(spark):
+    rows = [
+        # user 1 first seen day 0, active day 0 and day 8 (periods 0 and 1)
+        (1, BASE, "x"), (1, BASE + timedelta(days=8), "x"),
+        # user 2 first seen day 0 only
+        (2, BASE + timedelta(hours=3), "x"),
+        # user 3 first seen day 7, active day 7 + day 15 (periods 0 and 1)
+        (3, BASE + timedelta(days=7), "x"), (3, BASE + timedelta(days=15), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {(str(r["cohort_day"]), r["period"]): r["n_active"] for r in cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert out[("2024-01-08", 1)] == 1
+
+
+def test_length_quantiles(spark):
+    rows = [(i, "s", float(v)) for i, v in enumerate([1, 3, 7, 9, 20, 21, 40])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    out = length_quantiles(df, probs=[0.25, 0.5, 0.99]).collect()[0]
+    assert out["q_0_25"] == 5.0 and out["q_0_5"] == 9.0
+    assert out["q_0_99"] == 38.86
+    # global variant
+    g = length_quantiles(df, by=None, probs=[0.5]).collect()[0]
+    assert g["q_0_5"] == 9.0
