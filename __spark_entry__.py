@@ -762,6 +762,53 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_top_k(_read_table(spark, sf_dir, "documents"), k=50)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup (datapipe.dedup.dedup_against): a new
+    batch of perturbed copies (exact dups of every 5th corpus doc, dropped
+    by the anti-join), truncated variants (novel content, kept), and one
+    within-batch duplicate pair per 10th doc (first occurrence kept)."""
+    from aces_spark.datapipe.dedup import dedup_against
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novel suffix")).alias("text"),
+    )
+    novel_copy = novel.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    batch = dups.unionByName(novel).unionByName(novel_copy)
+    return dedup_against(batch, docs).select("doc_id", "fingerprint")
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed training-data pipeline end-to-end in ONE lazy plan —
+    clean (quality ∧ lang ∧ exact-dedup canonical) → deterministic
+    train/val/test split → concat-and-chunk packing per (source, split)
+    stream — over the exact-dup-augmented corpus. Every stage is
+    individually oracle-verified; this pins the COMPOSITION (the thing a
+    user actually ships)."""
+    from aces_spark.datapipe.packing import assign_splits, pack_sequences
+    from aces_spark.datapipe.text import clean_corpus
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        "source",
+    )
+    aug = docs.unionByName(pert)
+    survivors = aug.join(clean_corpus(aug, min_quality=0.5).select("doc_id"), "doc_id")
+    streamed = assign_splits(survivors).withColumn(
+        "stream", F.concat_ws("/", F.col("source"), F.col("split"))
+    )
+    return pack_sequences(streamed, max_tokens=512, part_col="stream")
+
+
 def q_event_funnel(spark, sf_dir):
     """Sequential funnel view→click→purchase (datapipe.analytics.funnel):
     one user_id exchange, per-user sorted-array fold with aggregate() —
@@ -1038,6 +1085,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignment": q_split_assignment,
     "vocab_topk": q_vocab_topk,
     "paragraph_dedup": q_paragraph_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -1673,6 +1722,89 @@ SELECT doc_id,
     / COUNT(*), 4) AS dup_para_frac
 FROM k JOIN occ USING (pfp)
 GROUP BY doc_id
+"""
+
+    # incremental-ingest dedup: batch canonicalization (min doc_id per
+    # fingerprint) then anti-join against the corpus fingerprint set
+    sql["dedup_incremental"] = f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, concat(upper(text), ' !!') AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, concat(text, ' novel suffix') AS text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, concat(text, ' novel suffix') AS text
+  FROM documents WHERE doc_id % 10 = 3
+),
+fp AS (SELECT doc_id, md5({_DOC_NORM_SQL}) AS fingerprint FROM batch),
+canon AS (SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, fingerprint, MIN(doc_id) OVER (PARTITION BY fingerprint) AS c
+  FROM fp) WHERE doc_id = c),
+corpus AS (SELECT DISTINCT md5({_DOC_NORM_SQL}) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint FROM canon
+WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+"""
+
+    # the composed pipeline: clean (corpus_clean's CTEs, source carried
+    # through) → md5-bucket split → per-(source/split)-stream packing
+    sql["corpus_pipeline"] = f"""
+WITH docs_aug AS (SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(upper(text), ' !!') AS text, source
+  FROM documents WHERE doc_id % 5 = 0),
+t AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS en_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS BIGINT) AS de_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS BIGINT) AS fr_hits,
+    CAST(len(regexp_extract_all(lower(text), '\\b(el|los|que|de|y)\\b')) AS BIGINT) AS es_hits,
+    md5({_DOC_NORM_SQL}) AS fingerprint
+  FROM docs_aug),
+m AS (
+  SELECT doc_id, fingerprint, n_chars,
+    CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE
+      WHEN es_hits > GREATEST(en_hits, de_hits, fr_hits) THEN 'es'
+      WHEN fr_hits > GREATEST(en_hits, de_hits) THEN 'fr'
+      WHEN de_hits > en_hits THEN 'de'
+      ELSE 'en' END AS lang_pred
+  FROM t),
+q AS (
+  SELECT doc_id, fingerprint, lang_pred,
+    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
+      + ROUND(alpha_ratio * 0.3, 4), 4) AS quality
+  FROM m),
+kept AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = 'en'),
+canon AS (SELECT doc_id
+  FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS c FROM kept)
+  WHERE doc_id = c),
+surv AS (SELECT d.doc_id, d.text, d.source FROM docs_aug d JOIN canon USING (doc_id)),
+sp AS (SELECT doc_id, text, source,
+  CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+       WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+       ELSE 'test' END AS split
+  FROM surv),
+st AS (SELECT concat(source, '/', split) AS stream, doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM sp),
+c AS (SELECT stream, doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id) AS BIGINT) AS cum
+  FROM st)
+SELECT stream, doc_id, n_tokens,
+  cum - n_tokens AS token_start,
+  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+  (cum - n_tokens) % 512 AS pack_offset,
+  (n_tokens > 0 AND CAST(floor((cum - 1) / 512) AS BIGINT)
+     <> CAST(floor((cum - n_tokens) / 512) AS BIGINT)) AS spans_packs
+FROM c
 """
 
     # sequential funnel: greedy-earliest chain — t_{i+1} is the min event

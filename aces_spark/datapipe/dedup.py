@@ -194,6 +194,45 @@ def paragraph_dedup_stats(
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``new_docs`` whose normalized
+    content fingerprint is NOT already in ``corpus`` and appears exactly
+    once within the batch (first occurrence by ``doc_id`` kept). The
+    shape every periodic ingest runs: dedup-within-batch, then anti-join
+    against the accumulated corpus.
+
+    Scale: both stages key on the md5 digest (uniform); the corpus side of
+    the anti-join carries ONLY its fingerprint column. Set
+    ``broadcast_corpus=True`` when the accumulated fingerprint set is
+    small enough to ship (early corpus life); at steady state leave it to
+    a shuffled anti-join — or better, maintain the corpus fingerprints
+    bucketed by digest (``sinks.write_bucketed_predicates`` pattern) so
+    the exchange happens at write time once.
+    """
+    fp = new_docs.withColumn("fingerprint", _fp_expr(text_col))
+    w = Window.partitionBy("fingerprint")
+    batch_canonical = (
+        fp.withColumn("__canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    corpus_fp = corpus.select(_fp_expr(text_col).alias("fingerprint")).distinct()
+    if broadcast_corpus:
+        corpus_fp = F.broadcast(corpus_fp)
+    return batch_canonical.join(corpus_fp, "fingerprint", "left_anti")
+
+
+def _fp_expr(text_col: str):
+    from .text import fingerprint_expr
+
+    return fingerprint_expr(F.col(text_col))
+
+
 @contextmanager
 def scoped_ngram_jaccard_pairs(df: DataFrame, **kwargs):
     """Context-manager wrapper around :func:`ngram_jaccard_pairs` for

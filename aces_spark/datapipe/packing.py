@@ -24,6 +24,7 @@ def pack_sequences(
     part_col: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    chunk_docs: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: within each ``part_col`` stream,
     documents are concatenated in ``key_col`` order and cut into
@@ -38,21 +39,53 @@ def pack_sequences(
     Scale shape: ONE window exchange keyed by ``part_col`` (the same
     partitioning a per-source export writes with) computing a running
     token sum; everything else is row-local arithmetic. For a single
-    dominant source (heavy skew), the chunked-cumsum kernel
-    (``operators/skew.py``) is the drop-in replacement for the window —
-    same algebra, boundary-offset corrected.
+    dominant source (heavy skew — one stream's whole history would
+    serialize into one task), pass ``chunk_docs`` to switch to the
+    chunked-cumsum formulation (the ``operators/skew.py`` pattern keyed
+    by ``key_col`` blocks instead of time): intra-chunk window sums plus
+    a broadcast exclusive prefix over per-chunk totals — bit-identical
+    output, intra-stream parallelism ``|stream| / chunk_docs``.
     """
-    toks = token_count(F.col(text_col))
-    w = (
-        Window.partitionBy(part_col)
+    toks_col = token_count(F.col(text_col)).alias("n_tokens")
+    base = df.select(part_col, key_col, toks_col)
+    if chunk_docs is None:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("n_tokens").over(w)  # inclusive running total
+        return _pack_outputs(base, cum, part_col, key_col, max_tokens)
+
+    # chunked: doc-id blocks bound each task's window frame
+    chunk = F.floor(F.col(key_col) / chunk_docs).alias("__chunk")
+    data = base.select("*", chunk)
+    w_intra = (
+        Window.partitionBy(part_col, "__chunk")
         .orderBy(F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(toks).over(w)  # inclusive running total
-    start = (cum - toks).alias("token_start")
+    intra = data.withColumn("__intra", F.sum("n_tokens").over(w_intra))
+    totals = data.groupBy(part_col, "__chunk").agg(F.sum("n_tokens").alias("__tot"))
+    w_prev = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("__chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        part_col,
+        "__chunk",
+        F.coalesce(F.sum("__tot").over(w_prev), F.lit(0)).alias("__pre"),
+    )
+    joined = intra.join(F.broadcast(prefixes), on=[part_col, "__chunk"])
+    out = _pack_outputs(joined, F.col("__intra") + F.col("__pre"), part_col, key_col, max_tokens)
+    return out
+
+
+def _pack_outputs(df: DataFrame, cum, part_col: str, key_col: str, max_tokens: int) -> DataFrame:
+    toks = F.col("n_tokens")
     pack = F.floor((cum - toks) / max_tokens).cast("long")
-    last_idx = cum - 1  # index of the doc's final token
-    spans = (toks > 0) & (F.floor(last_idx / max_tokens).cast("long") != pack)
+    spans = (toks > 0) & (F.floor((cum - 1) / max_tokens).cast("long") != pack)
     return df.select(
         part_col,
         key_col,

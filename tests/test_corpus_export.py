@@ -79,6 +79,31 @@ def test_pack_sequences_empty_doc(spark):
     assert out[2]["token_start"] == 0 and out[2]["spans_packs"]
 
 
+def test_pack_sequences_chunked_differential(spark):
+    """The chunked (skew-safe) formulation must be bit-identical to the
+    plain window, including across chunk boundaries and sparse doc_ids."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i * 3 + rng.randrange(2), "w " * rng.randrange(9), f"s{i % 2}")
+        for i in range(60)
+    ]
+    # dedupe keys (sparse, non-contiguous ids)
+    seen, uniq = set(), []
+    for k, t, s in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, t, s))
+    df = spark.createDataFrame(uniq, "doc_id long, text string, source string")
+    plain = sorted(tuple(r) for r in pack_sequences(df, max_tokens=7).collect())
+    for chunk_docs in (1, 5, 64, 1000):
+        chunked = sorted(
+            tuple(r) for r in pack_sequences(df, max_tokens=7, chunk_docs=chunk_docs).collect()
+        )
+        assert chunked == plain, chunk_docs
+
+
 def test_assign_splits_deterministic_and_complete(spark):
     df = spark.range(1000).select(F.col("id").alias("doc_id"))
     out = assign_splits(df)

@@ -117,6 +117,28 @@ def test_paragraph_dedup_stats(spark):
     assert out[4]["n_dup_paras"] == 0
 
 
+def test_dedup_against_incremental_ingest(spark):
+    from aces_spark.datapipe.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "already ingested document content")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Already Ingested document CONTENT!"),  # dup of corpus doc 1
+            (11, "a genuinely new document"),
+            (12, "a genuinely new document"),  # within-batch dup of 11
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    for bc in (False, True):
+        kept = sorted(
+            r["doc_id"] for r in dedup_against(new, corpus, broadcast_corpus=bc).collect()
+        )
+        assert kept == [11, 13]
+
+
 def test_minhash_lsh_candidate_pairs(docs):
     sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(docs, n=3, num_hashes=8).collect()}
     assert sigs[1] == sigs[2]

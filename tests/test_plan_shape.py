@@ -133,6 +133,21 @@ def test_assign_splits_no_exchange(spark):
     assert counts.get("Exchange", 0) == 0, counts
 
 
+def test_funnel_single_exchange_no_joins(spark):
+    """The funnel is one user-keyed exchange + a JVM array fold — a join
+    per step would rescan the events table k times at 100 TB."""
+    from datetime import datetime
+
+    from aces_spark.datapipe.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "view")], "user_id long, ts timestamp, event_type string"
+    )
+    counts = _node_counts(funnel(ev, ["view", "click", "purchase"]))
+    assert counts.get("Exchange", 0) == 1, counts
+    assert not any("Join" in k for k in counts), counts
+
+
 def test_meds_scan_column_pruning(spark, tmp_path):
     """Only predicate-referenced source columns reach the parquet scan."""
     rows = [(1, datetime(2020, 1, 1), "a", 1.0, "extra", 42)]
