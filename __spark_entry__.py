@@ -1492,10 +1492,9 @@ SELECT doc_id,
   CAST(n_chars AS BIGINT) AS n_chars,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   ROUND(mean_word_len, 4) AS mean_word_len,
-  ROUND(
-    (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
-    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
-    + ROUND(alpha_ratio * 0.3, 4), 4) AS quality
+  CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 4000 ELSE 0 END)
+    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 3000 ELSE 0 END)
+    + CAST(FLOOR(alpha_ratio * 3000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
 FROM m
 """
 
@@ -1546,9 +1545,9 @@ m AS (
   FROM t),
 q AS (
   SELECT doc_id, fingerprint, lang_pred,
-    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
-      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
-      + ROUND(alpha_ratio * 0.3, 4), 4) AS quality
+    CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 4000 ELSE 0 END)
+      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 3000 ELSE 0 END)
+      + CAST(FLOOR(alpha_ratio * 3000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
   FROM m),
 kept AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = 'en')
 SELECT doc_id, quality, lang_pred, fingerprint
@@ -1615,12 +1614,12 @@ t0 AS (
   FROM documents),
 q AS (
   SELECT doc_id,
-    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+    CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 4000 ELSE 0 END)
       + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
                AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
-          THEN 0.3 ELSE 0.0 END)
-      + ROUND((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3, 4),
-      4) AS quality
+          THEN 3000 ELSE 0 END)
+      + CAST(FLOOR((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 3000
+          + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
   FROM t0),
 ranked AS (
   SELECT a.doc_id, a.cluster_id, q.quality,
@@ -1777,9 +1776,9 @@ m AS (
   FROM t),
 q AS (
   SELECT doc_id, fingerprint, lang_pred,
-    ROUND((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
-      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
-      + ROUND(alpha_ratio * 0.3, 4), 4) AS quality
+    CAST((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 4000 ELSE 0 END)
+      + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 3000 ELSE 0 END)
+      + CAST(FLOOR(alpha_ratio * 3000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality
   FROM m),
 kept AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = 'en'),
 canon AS (SELECT doc_id

@@ -102,7 +102,14 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_expr(text: Column) -> Column:
     """The heuristic quality score in [0, 1] as a reusable expression:
     length band + alpha ratio + mean-word-length band (the usual
-    C4/Gopher-style gates), rounded to 4 dp."""
+    C4/Gopher-style gates), at 4 dp.
+
+    Computed in integer basis points with ``floor(x + 0.5)`` rather than
+    ``round(x, 4)``: ``round`` half-boundary handling differs across
+    engines (found at sf0.1 — 0.55125 rounded to 0.5513 by Spark, 0.5512
+    by DuckDB), while ``floor`` on an IEEE double is exact and identical
+    everywhere, so every SQL oracle reproduces the score bit-for-bit at
+    any scale."""
     n_chars = F.length(text).cast("double")
     n_tokens = token_count(text).cast("double")
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
@@ -110,12 +117,12 @@ def quality_expr(text: Column) -> Column:
     len_ok = (n_chars >= 100) & (n_chars <= 20000)
     word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    return F.round(
-        F.when(len_ok, 0.4).otherwise(0.0)
-        + F.when(word_len_ok, 0.3).otherwise(0.0)
-        + F.round(alpha_ratio * 0.3, 4),
-        4,
+    bp = (
+        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
+        + F.when(word_len_ok, F.lit(3000)).otherwise(F.lit(0))
+        + F.floor(alpha_ratio * 3000 + 0.5).cast("long")
     )
+    return bp.cast("double") / 10000.0
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

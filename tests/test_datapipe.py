@@ -147,6 +147,24 @@ def test_minhash_lsh_candidate_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_xxhash_fast_path(docs):
+    """The xxhash64 production hasher finds the same exact-dup candidate
+    pairs as the portable md5 hasher (identical shingles ⇒ identical
+    signature under ANY hasher)."""
+    from aces_spark.datapipe.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = {r["doc_id"]: tuple(r)[1:] for r in
+            minhash_signatures(docs, n=3, num_hashes=8, hasher="xxhash64").collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4, hasher="xxhash64").collect()}
+    assert (1, 2) in pairs and (1, 4) not in pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hasher"):
+        minhash_signatures(docs, hasher="sha1")
+
+
 def test_simhash_identical_for_same_tokens(docs):
     s = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
     assert s[1] == s[2]
