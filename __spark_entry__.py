@@ -785,6 +785,23 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_against(batch, docs).select("doc_id", "fingerprint")
 
 
+def q_html_extract(spark, sf_dir):
+    """Web-corpus HTML→text extraction (datapipe.text.strip_html): docs
+    wrapped in deterministic markup (tags + script + comment + entities),
+    then stripped row-locally inside codegen."""
+    from aces_spark.datapipe.text import strip_html
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{x}</style></head><body><h1>T</h1><p>"),
+            F.col("text"),
+            F.lit("</p><script>var x='<p>';</script><!-- c -->&amp;</body></html>"),
+        ).alias("text"),
+    )
+    return strip_html(docs)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The composed training-data pipeline end-to-end in ONE lazy plan —
     clean (quality ∧ lang ∧ exact-dedup canonical) → deterministic
@@ -1087,6 +1104,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
+    "html_extract": q_html_extract,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -1721,6 +1739,23 @@ SELECT doc_id,
     / COUNT(*), 4) AS dup_para_frac
 FROM k JOIN occ USING (pfp)
 GROUP BY doc_id
+"""
+
+    # HTML extraction: the same 6-stage regex chain (script, style,
+    # comment, tags, entities, whitespace) — DuckDB needs the 'g' flag
+    # where Spark's regexp_replace is global by default
+    sql["html_extract"] = """
+WITH w AS (SELECT doc_id,
+  concat('<html><head><style>p{x}</style></head><body><h1>T</h1><p>', text,
+         '</p><script>var x=''<p>'';</script><!-- c -->&amp;</body></html>') AS text
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM w),
+s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(t, '&[a-zA-Z]{2,8};|&#[0-9]{1,6};', ' ', 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM s5)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean FROM s6
 """
 
     # incremental-ingest dedup: batch canonicalization (min doc_id per

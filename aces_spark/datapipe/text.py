@@ -177,6 +177,35 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def strip_html_expr(text: Column) -> Column:
+    """Plain text from HTML markup: drop script/style blocks wholesale,
+    strip tags, decode-ish entities to spaces, collapse whitespace. The
+    web-corpus extraction step, as a pure Column expression (row-local, in
+    whole-stage codegen — no parser library in the hot path; for
+    DOM-accurate extraction plug a Pandas-UDF stage instead).
+
+    Regex subset chosen to behave identically under Java regex and RE2
+    (no backreferences, lazy quantifiers + inline (?is) flags only) so SQL
+    oracles reproduce it."""
+    no_script = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
+    no_comment = F.regexp_replace(no_style, r"(?s)<!--.*?-->", " ")
+    no_tags = F.regexp_replace(no_comment, r"<[^>]+>", " ")
+    no_entities = F.regexp_replace(no_tags, r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};", " ")
+    return F.trim(F.regexp_replace(no_entities, r"\s+", " "))
+
+
+def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document HTML→text extraction (:func:`strip_html_expr`):
+    ``(doc_id, clean_text, n_chars_clean)``."""
+    clean = strip_html_expr(F.col(text_col))
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
 def fingerprint_expr(text: Column) -> Column:
     """md5 of the lowercased/whitespace-normalized alphanumeric text."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))

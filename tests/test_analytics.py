@@ -75,6 +75,51 @@ def test_funnel_ntz_timestamps(spark):
     assert funnel(ev, ["view", "click"]).collect()[0]["n_steps"] == 2
 
 
+def _funnel_reference(events_by_user, steps):
+    """Driver-side reference: greedy-earliest sequential chain."""
+    out = {}
+    for uid, evs in events_by_user.items():
+        evs = sorted(e for e in evs if e[1] in steps)
+        chain = [None] * len(steps)
+        for ts, et in evs:
+            for i, s in enumerate(steps):
+                if chain[i] is None and et == s and (i == 0 or (chain[i - 1] is not None and ts > chain[i - 1])):
+                    chain[i] = ts
+                    break
+        if evs:
+            out[uid] = tuple(chain)
+    return out
+
+
+def test_funnel_randomized_differential(spark):
+    """The array-fold funnel matches a straightforward Python reference on
+    randomized event streams (seeded grid, repeated step names included)."""
+    import random
+
+    steps = ["a", "b", "a"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        by_user = {}
+        rows = []
+        for uid in range(12):
+            evs = []
+            for _ in range(rng.randrange(0, 14)):
+                ts = BASE + timedelta(minutes=rng.randrange(0, 30))
+                et = rng.choice(["a", "b", "c"])
+                evs.append((ts, et))
+                rows.append((uid, ts, et))
+            by_user[uid] = evs
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {
+            r["user_id"]: (r["step1_a_ts"], r["step2_b_ts"], r["step3_a_ts"])
+            for r in funnel(df, steps).collect()
+        }
+        want = _funnel_reference(by_user, steps)
+        assert got == want, f"seed={seed}"
+
+
 def test_cohort_retention(spark):
     rows = [
         # user 1 first seen day 0, active day 0 and day 8 (periods 0 and 1)

@@ -373,6 +373,21 @@ def test_clean_corpus_gates(spark):
     assert [r["doc_id"] for r in out_de.collect()] == [4]
 
 
+def test_strip_html(spark):
+    from aces_spark.datapipe.text import strip_html
+
+    rows = [
+        (1, "<html><head><style>p {color: red}</style></head>"
+            "<body><p>Hello <b>world</b></p><script>var x = '<p>';</script>"
+            "<!-- note -->&amp; more &#65;</body></html>"),
+        (2, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_html(df).collect()}
+    assert out[1] == "Hello world more"
+    assert out[2] == "no markup at all"
+
+
 def test_token_count_empty(spark):
     df = spark.createDataFrame([(1, ""), (2, "  "), (3, "a b")], "doc_id long, text string")
     got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
