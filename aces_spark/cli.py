@@ -87,13 +87,18 @@ def _resolve(cfg: dict[str, str | None]) -> dict[str, str | None]:
     """Resolve ``${key}`` interpolations (the subset of OmegaConf the
     reference schema uses: flat key references, possibly chained)."""
     resolved = dict(cfg)
-    for _ in range(10):
+    for _ in range(len(resolved) + 1):
         changed = False
         for key, value in resolved.items():
             if not isinstance(value, str) or "${" not in value:
                 continue
             refs = _INTERP_RE.findall(value)
-            if any(resolved.get(r) is None for r in refs):
+            unknown = [r for r in refs if r not in resolved]
+            if unknown:
+                raise SystemExit(
+                    f"aces-spark: '{key}' references unknown key '${{{unknown[0]}}}'"
+                )
+            if any(resolved[r] is None for r in refs):
                 # a reference is unset (e.g. ${window_stats_dir} when no
                 # stats output is requested): the value is only an error if
                 # something actually consumes it — null it, like lazy
@@ -101,15 +106,20 @@ def _resolve(cfg: dict[str, str | None]) -> dict[str, str | None]:
                 resolved[key] = None
                 changed = True
                 continue
-            if any(isinstance(resolved.get(r), str) and "${" in resolved[r] for r in refs):
+            if any(isinstance(resolved[r], str) and "${" in resolved[r] for r in refs):
                 continue  # resolve dependencies first
-            new = _INTERP_RE.sub(lambda m: str(resolved[m.group(1)]), value)
-            if new != value:
-                resolved[key] = new
-                changed = True
-        if not changed:
-            return resolved
-    raise SystemExit("aces-spark: interpolation loop in config (circular ${...} references)")
+            resolved[key] = _INTERP_RE.sub(lambda m: str(resolved[m.group(1)]), value)
+            changed = True
+        if changed:
+            continue
+        # no progress: either done, or only circular references remain
+        stuck = [k for k, v in resolved.items() if isinstance(v, str) and "${" in v]
+        if stuck:
+            raise SystemExit(
+                "aces-spark: circular ${...} references involving: " + ", ".join(sorted(stuck))
+            )
+        return resolved
+    raise SystemExit("aces-spark: interpolation did not converge (circular ${...} references)")
 
 
 def _sweep_jobs(overrides: dict[str, str], multirun: bool) -> list[dict[str, str]]:
@@ -159,6 +169,14 @@ def hydra_main(argv: list[str]) -> int:
         cfg.update(job_overrides)
         cfg = _resolve(cfg)
 
+        if "config_path" not in job_overrides and not (
+            _null(cfg["cohort_dir"]) and _null(cfg["cohort_name"])
+        ):
+            raise SystemExit(
+                "aces-spark: cohort_dir and cohort_name are required (they derive "
+                "config_path and output_filepath), or set config_path and "
+                "output_filepath explicitly"
+            )
         standard = _null(cfg["data.standard"])
         if standard is None:
             raise SystemExit("aces-spark: data.standard is required (meds, esgpt, or direct)")

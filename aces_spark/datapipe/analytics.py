@@ -131,7 +131,7 @@ def length_quantiles(
     if probs is None:
         probs = [0.25, 0.5, 0.9, 0.99]
     prob_arr = ", ".join(repr(float(p)) for p in probs)
-    q = F.expr(f"percentile({value_col}, array({prob_arr}))")
+    q = F.expr(f"percentile(`{value_col}`, array({prob_arr}))")
     aggs = [
         F.round(q[i], 4).alias(f"q_{str(p).replace('.', '_')}") for i, p in enumerate(probs)
     ]

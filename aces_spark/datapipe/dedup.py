@@ -172,12 +172,9 @@ def paragraph_dedup_stats(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
     ).filter(F.length(F.trim(F.col("para"))) >= min_chars)
-    keyed = paras.select(
-        "doc_id",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("para")), r"[^a-z0-9]+", " "))
-        ).alias("pfp"),
-    )
+    from .text import fingerprint_expr
+
+    keyed = paras.select("doc_id", fingerprint_expr(F.col("para")).alias("pfp"))
     # one digest-keyed aggregate: total occurrences + distinct docs per para
     occ = keyed.groupBy("pfp").agg(
         F.count(F.lit(1)).alias("n_occ"),

@@ -126,8 +126,9 @@ def _strptime_to_spark(fmt: str) -> str:
         "%M": "m",
         "%S": "s",
         "%f": "SSSSSS",
-        "%a": "EEE",
-        "%A": "EEEE",
+        # NOTE: no %a/%A — Spark's >=3.0 parser REJECTS EEE/EEEE for
+        # parsing (format-only patterns), so mapping them would trade a
+        # clean config-time error for a runtime SparkUpgradeException
         "%b": "MMM",
         "%B": "MMMM",
         "%j": "D",
@@ -135,6 +136,15 @@ def _strptime_to_spark(fmt: str) -> str:
         "%z": "xx",
         "%%": "'%'",
     }
+    if "%I" in fmt and "%p" not in fmt:
+        # Spark's 'h' silently defaults a missing am/pm marker to AM, so
+        # '12:30' would parse as 00:30 where Python strptime keeps hour 12
+        # — refuse rather than misparse (same policy as unknown directives)
+        raise ValueError(
+            f"%I (12-hour clock) requires %p (am/pm) in timestamp format {fmt!r}; "
+            "without it Spark would misparse hour 12"
+        )
+
     out: list[str] = []
     literal: list[str] = []
 

@@ -117,15 +117,27 @@ def dedup_stream(
     ``ts_col`` the operator keeps exact global state (fine for bounded
     backfills via ``availableNow``).
 
-    On a batch frame it degrades to ``dropDuplicates`` — same fingerprint
-    expression, one digest-keyed exchange.
+    On a batch frame it keeps the DETERMINISTIC minimum row per
+    fingerprint — ordered by ``ts_col`` first when given, then the
+    remaining columns — one digest-keyed exchange (``dropDuplicates``
+    would keep whichever row wins the shuffle, breaking the datapipe's
+    sample-is-a-pure-function-of-the-data invariant).
     """
     from ..datapipe.text import fingerprint_expr
 
     out = docs.withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
-    if out.isStreaming and ts_col is not None:
-        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fingerprint"])
-    return out.dropDuplicates(["fingerprint"])
+    if out.isStreaming:
+        if ts_col is not None:
+            return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+                ["fingerprint"]
+            )
+        return out.dropDuplicates(["fingerprint"])
+    cols = docs.columns
+    order = ([ts_col] if ts_col else []) + [c for c in cols if c != ts_col]
+    packed = out.groupBy("fingerprint").agg(
+        F.min_by(F.struct(*cols), F.struct(*order)).alias("__row")
+    )
+    return packed.select("fingerprint", "__row.*").select(*cols, "fingerprint")
 
 
 def trigger_alerts(

@@ -154,3 +154,34 @@ def test_cli_hydra_style_sharded_multirun(spark, tmp_path):
 def test_cli_hydra_style_unknown_key():
     with pytest.raises(SystemExit, match="unknown override key"):
         main(["cohort_dir=/tmp", "bogus_key=1"])
+
+
+def test_cli_hydra_style_requires_cohort_fields():
+    """Forgetting cohort_name must be a clean error, not a FileNotFoundError
+    on '/.yaml' (or worse, output written to '/.parquet')."""
+    with pytest.raises(SystemExit, match="cohort_dir and cohort_name are required"):
+        main(["data.path=/tmp/x.parquet", "data.standard=meds"])
+
+
+def test_cli_hydra_style_circular_interpolation():
+    with pytest.raises(SystemExit, match="circular"):
+        main(
+            [
+                "cohort_dir=${cohort_name}",
+                "cohort_name=${cohort_dir}",
+                "data.path=/tmp/x.parquet",
+                "data.standard=meds",
+            ]
+        )
+
+
+def test_cli_hydra_style_unknown_reference():
+    with pytest.raises(SystemExit, match="unknown key"):
+        main(
+            [
+                "cohort_dir=${bogus_ref}",
+                "cohort_name=t",
+                "data.path=/tmp/x.parquet",
+                "data.standard=meds",
+            ]
+        )

@@ -113,9 +113,15 @@ def test_strptime_translation_and_errors():
     assert _strptime_to_spark("%d %b %Y") == "d MMM yyyy"
     assert _strptime_to_spark("100%%") == "100'%'"
     assert _strptime_to_spark("%d-%b-%Y %I:%M %p") == "d-MMM-yyyy h:m a"
-    assert _strptime_to_spark("%a %z") == "EEE xx"
+    assert _strptime_to_spark("%Y %z") == "yyyy xx"
     with pytest.raises(ValueError, match="Unsupported strptime directive '%Q'"):
         _strptime_to_spark("%Q:%M")
+    # %a/%A are format-only in Spark's parser — must stay a clean error
+    with pytest.raises(ValueError, match="Unsupported strptime directive '%a'"):
+        _strptime_to_spark("%a %d-%b-%Y")
+    # %I without %p would silently shift noon to midnight — refuse
+    with pytest.raises(ValueError, match="requires %p"):
+        _strptime_to_spark("%I:%M")
 
 
 def test_direct_load_12h_monthname_format(spark, tmp_path):

@@ -122,6 +122,28 @@ def test_dedup_stream_batch_parity(spark, tmp_path):
     assert {r["fingerprint"] for r in got} == {r["fingerprint"] for r in batch}
 
 
+def test_dedup_stream_batch_deterministic(spark):
+    """The batch path must keep the SAME row per fingerprint regardless of
+    partitioning (min by (ts, rest)) — not dropDuplicates' arbitrary
+    winner."""
+    from datetime import datetime, timedelta
+
+    from aces_spark.streaming.pipeline import dedup_stream
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=i), "same content " + ("a" if i % 2 else "A"))
+        for i in range(40)
+    ]  # all 40 rows share one normalized fingerprint
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    kept = [
+        {(r["doc_id"], r["ts"]) for r in dedup_stream(df.repartition(p), ts_col="ts").collect()}
+        for p in (1, 7, 32)
+    ]
+    assert kept[0] == kept[1] == kept[2]
+    assert kept[0] == {(0, base)}  # earliest event time wins
+
+
 def test_open_window_tracker_matches_batch_kernel(spark, tmp_path):
     """The stateful tracker (applyInPandasWithState) must agree with the
     batch event-bound kernel (row_to_bound, closed='right') on trigger rows
