@@ -81,7 +81,11 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # file count is a plan-free proxy for scan splits (the repo rule is
+    # no df.rdd — converting to RDD materializes a second plan per call);
+    # single-row-group testdata files never split, many-file production
+    # tables provide their own parallelism and skip the repartition
+    if len(df.inputFiles()) < max(2, target // 2):
         df = df.repartition(target)
     return df
 
