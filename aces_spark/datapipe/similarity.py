@@ -258,6 +258,84 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
+) -> None:
+    """Build and persist an IVF index: the "index once, query many"
+    production shape. Writes ``{path}/centroids`` (tiny) and
+    ``{path}/cells`` — the corpus vectors PARTITIONED BY ``cell_id`` on
+    disk, so a query batch's scan statically prunes to its probed cells'
+    directories and never touches the rest of the corpus (the on-disk
+    analog of the in-memory cell bucketing).
+
+    The one-time build cost is the quantizer training + one cell-keyed
+    shuffle; afterwards :func:`ivf_topk_indexed` runs with NO corpus-side
+    assignment work at all.
+    """
+    cents = _resolve_centroids(
+        corpus, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign_cells(corpus, cents, id_col, vec_col), "vec_id")
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a :func:`save_ivf_index` index. The probe
+    cell ids (``|queries| × n_probes`` distinct values — tiny by
+    construction) are collected driver-side and pushed into the scan as an
+    ``IN`` partition filter, so only the probed cell directories are read.
+    Same output shape and semantics as :func:`ivf_topk`."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    # tiny, sanctioned driver hop (like auto cell sizing): the distinct
+    # probe set bounds at n_queries × n_probes values
+    probe_ids = [r["cell_id"] for r in query_cells.select("cell_id").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probe_ids))
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).join(
+        query_cells, "query_id"
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cvec"), "cell_id"
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, on="cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -250,6 +250,41 @@ def test_ivf_multiprobe_recall(spark):
     assert len(two & exact) >= len(one & exact)
 
 
+def test_ivf_index_save_load_matches_in_memory(spark, tmp_path):
+    """A persisted IVF index returns exactly the in-memory ivf_topk result
+    (same centroids), and the indexed scan statically prunes to the probed
+    cell partitions."""
+    import random
+
+    from aces_spark.datapipe.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        save_ivf_index,
+        seed_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.filter(F.col("vec_id") < 4)
+    cents = seed_centroids(vecs, k=4)
+
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(vecs, idx, centroids=cents)
+
+    def pairs(df):
+        return sorted((r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in df.collect())
+
+    want = pairs(ivf_topk(vecs, qs, k=3, centroids=cents, n_probes=2))
+    got_df = ivf_topk_indexed(spark, idx, qs, k=3, n_probes=2)
+    assert pairs(got_df) == want
+
+    # the cells scan must carry a cell_id partition filter (static pruning)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell_id" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+
 def test_kmeans_centroids_quantizer(spark):
     """MLlib-trained centroids drop into the IVF plumbing: two well-
     separated clusters get distinct cells, and ivf_topk with trained
