@@ -54,7 +54,13 @@ from aces_spark.datapipe.dedup import (
 from aces_spark.datapipe.multimodal import extract_features, payload_stats
 from aces_spark.datapipe.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_scrub
 from aces_spark.datapipe.sessions import session_stats
-from aces_spark.datapipe.similarity import brute_force_topk, cosine_dup_pairs, ivf_topk
+from aces_spark.datapipe.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs,
+    ivf_topk,
+    ivf_topk_indexed,
+    save_ivf_index,
+)
 from aces_spark.datapipe.text import (
     bpe_ish_token_count,
     char_stats,
@@ -988,6 +994,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_cells=8, quantizer="seed")
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Persisted-IVF-index ANN: build once with ``save_ivf_index`` (seed
+    quantizer → SQL-mirrorable), then query via ``ivf_topk_indexed`` with
+    ``n_probes=2`` — the build-once/query-many production shape where the
+    probe cells become a static partition ``IN`` filter on the index scan
+    (aces_spark/datapipe/similarity.py:261-338)."""
+    import tempfile
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivf_index_{tag}")
+    save_ivf_index(emb, path, n_cells=8, quantizer="seed")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
+
+
 def q_embedding_label_stats(spark, sf_dir):
     """Per-label embedding stats: count + first-component mean."""
     emb = _read_table(spark, sf_dir, "embeddings")
@@ -1092,35 +1116,36 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+# Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
+# driver's correctness harness records only the FIRST 50 dict entries per
+# round, so ordering is a verification schedule, not cosmetics.
+#   Tier 1 — never-green/new queries lead (they must debut with a row).
+#   Tier 2 — stalest-green next: queries whose last green row is oldest
+#            (round-robin; after this round the current tail rotates up).
+#   Tier 3 — pinned core: cohort_flagship + the 8 kernel queries are
+#            always inside the top 50 (they guard the §2 heart).
+#   Tier 4 — remaining green queries, freshest-green LAST (the tail past
+#            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- queries without a prior green CORRECTNESS row come FIRST: the
-    # driver's correctness harness has recorded only the first 50 dict
-    # entries per round, so never-yet-verified queries must lead ---
-    "multimodal_features": q_multimodal_features,
-    "cohort_feature_vectors": q_cohort_feature_vectors,
-    "tfidf_features": q_tfidf_features,
-    "sessionization": q_sessionization,
-    # --- new in round 3 ---
-    "decontamination": q_decontamination,
-    "sequence_packing": q_sequence_packing,
-    "split_assignment": q_split_assignment,
-    "vocab_topk": q_vocab_topk,
-    "paragraph_dedup": q_paragraph_dedup,
-    "dedup_incremental": q_dedup_incremental,
-    "corpus_pipeline": q_corpus_pipeline,
-    "html_extract": q_html_extract,
-    "event_funnel": q_event_funnel,
-    "cohort_retention": q_cohort_retention,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    # --- long-green queries (every row below was green in r02) ---
-    "predicates_meds_scan": q_predicates_meds_scan,
-    "esgpt_predicates": q_esgpt_predicates,
-    "predicate_value_range": q_predicate_value_range,
-    "predicate_regex_anyof": q_predicate_regex_anyof,
-    "derived_and_or": q_derived_and_or,
-    "special_predicates": q_special_predicates,
-    "trigger_anchors": q_trigger_anchors,
-    "static_filter": q_static_filter,
+    # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "ann_ivf_indexed": q_ann_ivf_indexed,
+    # --- tier 2: stalest green (last row r02; got no r03 row) ---
+    "repetition_stats": q_repetition_stats,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_groups": q_simhash_groups,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "knn_classify": q_knn_classify,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "multimodal_payload_stats": q_multimodal_payload_stats,
+    # --- tier 3: pinned core (flagship + 8 kernel queries) ---
+    "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
     "temporal_window_chunked": q_temporal_window_chunked,
     "temporal_window_bwd": q_temporal_window_bwd,
@@ -1129,7 +1154,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_chunked": q_event_bound_chunked,
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
-    "cohort_flagship": q_cohort_flagship,
+    # --- tier 4: green in r03; ordered so the freshest-green land past
+    # position 50 (the r3-new batch closes the dict) ---
+    "predicates_meds_scan": q_predicates_meds_scan,
+    "esgpt_predicates": q_esgpt_predicates,
+    "predicate_value_range": q_predicate_value_range,
+    "predicate_regex_anyof": q_predicate_regex_anyof,
+    "derived_and_or": q_derived_and_or,
+    "special_predicates": q_special_predicates,
+    "trigger_anchors": q_trigger_anchors,
+    "static_filter": q_static_filter,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
@@ -1148,20 +1182,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "stratified_take": q_stratified_take,
-    "repetition_stats": q_repetition_stats,
-    "winnowing_fingerprints": q_winnowing_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_groups": q_simhash_groups,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "knn_classify": q_knn_classify,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_label_stats": q_embedding_label_stats,
-    "multimodal_frame_plan": q_multimodal_frame_plan,
-    "multimodal_payload_stats": q_multimodal_payload_stats,
+    "multimodal_features": q_multimodal_features,
+    "cohort_feature_vectors": q_cohort_feature_vectors,
+    "tfidf_features": q_tfidf_features,
+    "sessionization": q_sessionization,
+    "decontamination": q_decontamination,
+    "sequence_packing": q_sequence_packing,
+    "split_assignment": q_split_assignment,
+    "vocab_topk": q_vocab_topk,
+    "paragraph_dedup": q_paragraph_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_pipeline": q_corpus_pipeline,
+    "html_extract": q_html_extract,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 
@@ -2142,6 +2177,43 @@ assign AS (
 q AS (
   SELECT e.vec_id AS query_id, e.v AS qv, a.cell_id
   FROM e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE q.query_id <> e.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # Persisted IVF index (ivf_topk_indexed): same seed quantizer and
+    # corpus-side single-cell assignment as ann_ivf_topk, but the query
+    # side multi-probes its 2 nearest cells (rk <= 2). Each corpus vector
+    # lives in exactly one cell, so multi-probe needs no candidate dedup.
+    sql["ann_ivf_indexed"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+               c.cell_id ASC) AS rk
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, s.cell_id
+  FROM e JOIN scored s ON e.vec_id = s.vec_id
+  WHERE e.vec_id < 5 AND s.rk <= 2),
 s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
     ROUND(list_dot_product(q.qv, e.v)
