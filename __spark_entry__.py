@@ -91,9 +91,38 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # no df.rdd — converting to RDD materializes a second plan per call);
     # single-row-group testdata files never split, many-file production
     # tables provide their own parallelism and skip the repartition
-    if len(df.inputFiles()) < max(2, target // 2):
+    files = df.inputFiles()
+    if len(files) < max(2, target // 2):
+        # few files ≠ few splits: ONE large file still splits into
+        # ceil(size / maxPartitionBytes) scan partitions, so check total
+        # bytes (filesystem metadata, still plan-free) before paying a
+        # full repartition shuffle the scan would have made unnecessary
+        local = [f[len("file:"):] for f in files if f.startswith("file:")]
+        if len(local) == len(files) and local:
+            try:
+                total = sum(os.path.getsize(p) for p in local)
+            except OSError:
+                total = 0
+            max_bytes = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+            if -(-total // max_bytes) >= max(2, target // 2):
+                return df
         df = df.repartition(target)
     return df
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    if raw and raw[-1] in "kmgt":
+        mult = 1 << (10 * ("kmgt".index(raw[-1]) + 1))
+        raw = raw[:-1]
+    try:
+        return max(1, int(raw) * mult)
+    except ValueError:
+        return default
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,8 +1803,8 @@ SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_paras,
   CAST(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END) AS BIGINT)
     AS n_dup_paras,
-  ROUND(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END)
-    / COUNT(*), 4) AS dup_para_frac
+  FLOOR(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END)
+    / COUNT(*) * 10000 + 0.5) / 10000 AS dup_para_frac
 FROM k JOIN occ USING (pfp)
 GROUP BY doc_id
 """

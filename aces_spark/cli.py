@@ -169,14 +169,18 @@ def hydra_main(argv: list[str]) -> int:
         cfg.update(job_overrides)
         cfg = _resolve(cfg)
 
-        if "config_path" not in job_overrides and not (
-            _null(cfg["cohort_dir"]) and _null(cfg["cohort_name"])
-        ):
-            raise SystemExit(
-                "aces-spark: cohort_dir and cohort_name are required (they derive "
-                "config_path and output_filepath), or set config_path and "
-                "output_filepath explicitly"
-            )
+        if not (_null(cfg["cohort_dir"]) and _null(cfg["cohort_name"])):
+            # without cohort_dir/cohort_name BOTH derived paths are
+            # meaningless ('' interpolations → '/.parquet'), so BOTH must
+            # be overridden explicitly — config_path alone would silently
+            # target the filesystem root with its output
+            missing = [k for k in ("config_path", "output_filepath") if k not in job_overrides]
+            if missing:
+                raise SystemExit(
+                    "aces-spark: cohort_dir and cohort_name are required (they derive "
+                    "config_path and output_filepath), or set config_path and "
+                    f"output_filepath explicitly (missing: {', '.join(missing)})"
+                )
         standard = _null(cfg["data.standard"])
         if standard is None:
             raise SystemExit("aces-spark: data.standard is required (meds, esgpt, or direct)")

@@ -184,10 +184,15 @@ def paragraph_dedup_stats(
         "doc_id",
         ((F.col("n_docs") > 1) | (F.col("n_occ") > F.col("n_docs"))).cast("int").alias("is_dup"),
     )
+    # dup_para_frac in integer basis points via floor(x*1e4 + 0.5): exact
+    # on IEEE doubles in every engine, unlike round(x, 4) whose half-even /
+    # half-up behavior diverges between Spark and DuckDB at .xxxx5
+    # boundaries (same rule as text.quality_expr)
+    frac_bp = F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 10000 + 0.5)
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_paras"),
         F.sum("is_dup").cast("long").alias("n_dup_paras"),
-        F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias("dup_para_frac"),
+        (frac_bp / 10000).alias("dup_para_frac"),
     )
 
 

@@ -156,6 +156,19 @@ def test_cli_hydra_style_unknown_key():
         main(["cohort_dir=/tmp", "bogus_key=1"])
 
 
+def test_cli_hydra_style_config_path_alone_rejected():
+    # config_path without output_filepath would resolve output to
+    # '${cohort_dir}/${cohort_name}...' = '/.parquet' — must be rejected
+    with pytest.raises(SystemExit, match="missing: output_filepath"):
+        main(
+            [
+                "config_path=/tmp/task.yaml",
+                "data.path=/tmp/x.parquet",
+                "data.standard=meds",
+            ]
+        )
+
+
 def test_cli_hydra_style_requires_cohort_fields():
     """Forgetting cohort_name must be a clean error, not a FileNotFoundError
     on '/.yaml' (or worse, output written to '/.parquet')."""
