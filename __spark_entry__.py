@@ -1233,6 +1233,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bench-only measurements, NOT part of the correctness registry: the
+    ``hasher="xxhash64"`` MinHash production fast path has no DuckDB analog
+    (JVM intrinsic), so it cannot be oracled — but its claimed speedup over
+    the portable md5 path should be a recorded number, not prose. bench.py
+    appends these to its timings dict with a ``bench_only:`` prefix."""
+    return {
+        "minhash_signatures_xxh": lambda spark, sf_dir: minhash_signatures(
+            _read_table(spark, sf_dir, "documents"), n=3, num_hashes=8, hasher="xxhash64"
+        ),
+        "minhash_lsh_pairs_xxh": lambda spark, sf_dir: minhash_lsh_pairs(
+            _docs_with_near_dups(spark, sf_dir), n=3, num_hashes=8, bands=4, hasher="xxhash64"
+        ),
+    }
+
+
 # ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:

@@ -35,7 +35,7 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import TaskExtractorConfig
@@ -81,8 +81,9 @@ def direct_load_plain_predicates(
     if ts_type == "string":
         if ts_format is None:
             raise ValueError("Must provide a timestamp format for direct predicates with str timestamps.")
-        spark_fmt = _strptime_to_spark(ts_format)
-        data = data.withColumn("timestamp", F.to_timestamp(F.col("timestamp"), spark_fmt))
+        data = data.withColumn(
+            "timestamp", strptime_timestamp(F.col("timestamp"), ts_format)
+        )
     elif ts_type.startswith("timestamp") or ts_type == "date":
         if ts_format is not None:
             logger.info("Ignoring timestamp format %s; timestamps are already %s", ts_format, ts_type)
@@ -101,6 +102,47 @@ def direct_load_plain_predicates(
         .groupBy("subject_id", "timestamp")
         .agg(*[F.sum(F.col(c)).cast(PRED_CNT_TYPE).alias(c) for c in predicates])
     )
+
+
+#: lenient English day-name token (``Mon``/``Monday``/…, any case) used to
+#: strip ``%a``/``%A`` fields before parsing — the day name is redundant
+#: with the date, and Spark's >=3.0 parser rejects EEE/EEEE for parsing
+_DAY_NAME_RE = r"(?i)\b(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)(?:day|sday|nesday|rsday|urday)?\b"
+
+
+def _strip_day_directives(fmt: str) -> tuple[str, bool]:
+    """Remove ``%a``/``%A`` directives from a strptime format (directive-
+    aware: a ``%a`` produced by ``%%a`` is literal text and survives).
+    Returns ``(stripped_format, had_day_directive)``."""
+    out: list[str] = []
+    had = False
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d in ("%a", "%A"):
+                had = True
+            else:
+                out.append(d)
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out), had
+
+
+def strptime_timestamp(col: Column, ts_format: str) -> Column:
+    """Parse a string column with a strptime-style format, including
+    ``%a``/``%A``: Spark's >=3.0 parser cannot *parse* day-of-week fields
+    (EEE/EEEE are format-only), so the day-name token — redundant with the
+    date it accompanies — is stripped from the data and the directive from
+    the format, then the rest parses normally. Lenient like the reference's
+    Polars path (`/root/reference/src/aces/predicates.py:211`): the day
+    name is not cross-validated against the parsed date."""
+    fmt, had_day = _strip_day_directives(ts_format)
+    if had_day:
+        col = F.regexp_replace(col, _DAY_NAME_RE, "")
+    return F.to_timestamp(col, _strptime_to_spark(fmt))
 
 
 def _strptime_to_spark(fmt: str) -> str:
@@ -126,9 +168,9 @@ def _strptime_to_spark(fmt: str) -> str:
         "%M": "m",
         "%S": "s",
         "%f": "SSSSSS",
-        # NOTE: no %a/%A — Spark's >=3.0 parser REJECTS EEE/EEEE for
-        # parsing (format-only patterns), so mapping them would trade a
-        # clean config-time error for a runtime SparkUpgradeException
+        # NOTE: no %a/%A here — Spark's >=3.0 parser REJECTS EEE/EEEE for
+        # parsing (format-only patterns); strptime_timestamp() handles
+        # them by stripping the redundant day-name token pre-parse
         "%b": "MMM",
         "%B": "MMMM",
         "%j": "D",

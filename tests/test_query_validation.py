@@ -116,12 +116,59 @@ def test_strptime_translation_and_errors():
     assert _strptime_to_spark("%Y %z") == "yyyy xx"
     with pytest.raises(ValueError, match="Unsupported strptime directive '%Q'"):
         _strptime_to_spark("%Q:%M")
-    # %a/%A are format-only in Spark's parser — must stay a clean error
+    # %a/%A never reach the translator: strptime_timestamp strips them
+    # (Spark's parser is format-only for EEE/EEEE), so the raw translator
+    # still treats them as unknown
     with pytest.raises(ValueError, match="Unsupported strptime directive '%a'"):
         _strptime_to_spark("%a %d-%b-%Y")
     # %I without %p would silently shift noon to midnight — refuse
     with pytest.raises(ValueError, match="requires %p"):
         _strptime_to_spark("%I:%M")
+
+
+def test_strip_day_directives_directive_aware():
+    from aces_spark.sources.predicates import _strip_day_directives
+
+    assert _strip_day_directives("%a %d-%b-%Y") == (" %d-%b-%Y", True)
+    assert _strip_day_directives("%A, %d %B %Y") == (", %d %B %Y", True)
+    # %%a is the literal text '%a', not a day directive — must survive
+    assert _strip_day_directives("%%a %Y") == ("%%a %Y", False)
+    assert _strip_day_directives("%d-%b-%Y") == ("%d-%b-%Y", False)
+
+
+def test_direct_load_day_name_formats(spark, tmp_path):
+    """%a/%A parse end-to-end via the strip-the-day-name fallback — the
+    last reference-grammar divergence (reference accepts them via Polars,
+    src/aces/predicates.py:211)."""
+    from datetime import datetime
+
+    from aces_spark.sources.predicates import direct_load_plain_predicates
+
+    csv = tmp_path / "pday.csv"
+    csv.write_text(
+        "subject_id,timestamp,a\n"
+        "1,Tue 02-Jan-2024 02:24 PM,1\n"
+        "1,Friday 05-Jan-2024 09:05 AM,2\n"
+    )
+    out = direct_load_plain_predicates(
+        spark, csv, ["a"], ts_format="%a %d-%b-%Y %I:%M %p"
+    )
+    rows = {r["timestamp"]: r["a"] for r in out.collect()}
+    assert rows == {
+        datetime(2024, 1, 2, 14, 24): 1,
+        datetime(2024, 1, 5, 9, 5): 2,
+    }
+
+    csv2 = tmp_path / "pday2.csv"
+    csv2.write_text(
+        "subject_id,timestamp,a\n"
+        '2,"Monday, 01 January 2024 13:30:00",3\n'
+    )
+    out2 = direct_load_plain_predicates(
+        spark, csv2, ["a"], ts_format="%A, %d %B %Y %H:%M:%S"
+    )
+    rows2 = {r["timestamp"]: r["a"] for r in out2.collect()}
+    assert rows2 == {datetime(2024, 1, 1, 13, 30): 3}
 
 
 def test_direct_load_12h_monthname_format(spark, tmp_path):

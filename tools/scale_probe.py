@@ -7,6 +7,12 @@ rows/s measured here extrapolates linearly with executors until shuffle
 I/O dominates. Compare against the reference baseline (BASELINE.md):
 0.22-0.44M event rows/s end-to-end on 36 cores.
 
+Each kernel does one untimed warmup action (codegen + JIT + buffer-pool
+warm) and then ``SPARK_GRAFT_PROBE_REPS`` (default 3) timed repetitions;
+the JSON reports the MEDIAN plus the min-max spread, so single-shot
+scheduler noise (observed 12× on a cold shell) cannot move the published
+numbers. README throughput ranges are regenerated from this output.
+
 Usage: python tools/scale_probe.py [n_rows] [n_subjects]
 Prints one JSON line.
 """
@@ -75,17 +81,28 @@ def main() -> int:
     )
     df.count()  # materialize
 
-    def timed(fn):
-        t = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t, 2)
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
 
-    t1 = timed(
+    def timed(fn):
+        """Warmup action (untimed) + ``reps`` timed runs → (median, lo, hi)."""
+        fn().write.format("noop").mode("overwrite").save()
+        times = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t)
+        times.sort()
+        med = times[len(times) // 2] if reps % 2 else (times[reps // 2 - 1] + times[reps // 2]) / 2
+        return round(med, 2), round(times[0], 2), round(times[-1], 2)
+
+    t1, t1_lo, t1_hi = timed(
         lambda: aggregate_temporal_window(
             df, TemporalWindowBounds(True, timedelta(hours=24), True, None)
         )
     )
-    e1 = timed(lambda: boolean_expr_bound_sum(df, F.col("p_bound") > 0, "row_to_bound", "both"))
+    e1, e1_lo, e1_hi = timed(
+        lambda: boolean_expr_bound_sum(df, F.col("p_bound") > 0, "row_to_bound", "both")
+    )
 
     cfg = TaskExtractorConfig(
         predicates={"p_trig": PlainPredicateConfig("x"), "p_bound": PlainPredicateConfig("y")},
@@ -102,9 +119,10 @@ def main() -> int:
             ),
         },
     )
-    t = time.perf_counter()
-    query(cfg, df).write.format("noop").mode("overwrite").save()
-    full = round(time.perf_counter() - t, 2)
+    full, full_lo, full_hi = timed(lambda: query(cfg, df))
+
+    def mrows(sec):
+        return round(n / sec / 1e6, 2)
 
     print(
         json.dumps(
@@ -113,12 +131,17 @@ def main() -> int:
                 "rows": n,
                 "subjects": subj,
                 "cpus": int(cpus),
+                "reps": reps,
                 "temporal_kernel_sec": t1,
                 "event_bound_kernel_sec": e1,
                 "full_query_sec": full,
-                "temporal_mrows_per_sec": round(n / t1 / 1e6, 2),
-                "event_bound_mrows_per_sec": round(n / e1 / 1e6, 2),
-                "full_query_mrows_per_sec": round(n / full / 1e6, 2),
+                "temporal_mrows_per_sec": mrows(t1),
+                "event_bound_mrows_per_sec": mrows(e1),
+                "full_query_mrows_per_sec": mrows(full),
+                # min-max of the timed reps, as throughput (hi sec → lo rate)
+                "temporal_mrows_range": [mrows(t1_hi), mrows(t1_lo)],
+                "event_bound_mrows_range": [mrows(e1_hi), mrows(e1_lo)],
+                "full_query_mrows_range": [mrows(full_hi), mrows(full_lo)],
                 "baseline_mrows_per_sec": "0.22-0.44 (reference, 36 cores, BASELINE.md)",
             }
         )
