@@ -198,6 +198,39 @@ _DOCS_EXACT_DUPS_SQL = """SELECT doc_id, text FROM documents
   SELECT doc_id + 1000000 AS doc_id, concat(upper(text), ' !!') AS text
   FROM documents WHERE doc_id % 5 = 0"""
 
+_URLS_SQL = """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN concat('HTTP://WWW.Example', CAST(doc_id % 7 AS VARCHAR),
+    '.COM:80/Path/', CAST(doc_id AS VARCHAR),
+    '?utm_source=feed&id=', CAST(doc_id % 50 AS VARCHAR), '&utm_campaign=x#frag')
+  WHEN 1 THEN concat('https://Blog.Site', CAST(doc_id % 5 AS VARCHAR),
+    '.org/post/', CAST(doc_id AS VARCHAR),
+    '?id=', CAST(doc_id % 50 AS VARCHAR), '&fbclid=abc')
+  WHEN 2 THEN concat('http://news.portal', CAST(doc_id % 3 AS VARCHAR),
+    '.net/a/', CAST(doc_id AS VARCHAR))
+  ELSE concat('https://Shop.Example', CAST(doc_id % 7 AS VARCHAR),
+    '.COM:443/item?gclid=g', CAST(doc_id AS VARCHAR))
+  END AS url FROM documents"""
+
+# DuckDB mirror of urls.url_normalize_expr over a relation exposing (url):
+# fragment → lowercase authority → default ports → tracking params
+_URL_NORM_SQL = r"""
+s1 AS (SELECT *, regexp_replace(url, '#.*$', '', 'g') AS u1 FROM raw),
+s2 AS (SELECT *, regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head FROM s1),
+s3 AS (SELECT *, concat(lower(head), substring(u1, length(head) + 1)) AS u2 FROM s2),
+s4 AS (SELECT *, regexp_replace(regexp_replace(u2,
+         '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+         '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u3 FROM s3),
+s5 AS (SELECT *, regexp_extract(u3, '\?([^#]*)', 1) AS q,
+         regexp_replace(u3, '\?[^#]*', '', 'g') AS base FROM s4),
+s6 AS (SELECT *, COALESCE(array_to_string(list_filter(string_split(q, '&'),
+         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')), '&'), '') AS newq FROM s5),
+normed AS (SELECT * EXCLUDE (u1, head, u2, u3, q, base, newq),
+  CASE WHEN q = '' THEN u3 WHEN newq = '' THEN base
+       ELSE concat(base, '?', newq) END AS norm_url FROM s6),
+with_domain AS (SELECT *,
+  regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)', 2) AS domain
+  FROM normed)"""
+
 _DOCS_NEAR_DUPS_SQL = """SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
@@ -1041,6 +1074,106 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """ANN quality measurement: recall@5 of the IVF path (seed quantizer,
+    8 cells, 2 probes) against exact brute force, per query — the
+    accuracy↔cost dial for tuning n_probes before scaling out."""
+    from aces_spark.datapipe.similarity import ivf_recall_at_k
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_recall_at_k(emb, queries, k=5, n_cells=8, n_probes=2, quantizer="seed")
+
+
+def q_ivf_cell_stats(spark, sf_dir):
+    """IVF index balance report: per-cell vector count + corpus fraction —
+    the skew check run before committing to an index layout."""
+    from aces_spark.datapipe.similarity import ivf_cell_stats
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_cell_stats(emb, n_cells=8, quantizer="seed")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Char-level rolling-window substring dedup (40-char windows, stride
+    20) over the near-dup-augmented corpus — the truncated copies share
+    long prefixes, so real duplicated windows exist."""
+    from aces_spark.datapipe.dedup import substring_dup_spans
+
+    return substring_dup_spans(_docs_with_near_dups(spark, sf_dir), window=40, stride=20)
+
+
+def q_minhash_jaccard(spark, sf_dir):
+    """Full MinHash pipeline: LSH candidates + signature-agreement Jaccard
+    estimate, filtered at 0.3 (portable md5 hasher)."""
+    from aces_spark.datapipe.dedup import minhash_jaccard_pairs
+
+    return minhash_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.3
+    )
+
+
+def _docs_with_urls(spark, sf_dir):
+    """Deterministic synthetic URLs over documents (the table carries no
+    URL column): four variants exercising every normalization step —
+    uppercase scheme/host, default ports, tracking params, fragments.
+    Mirrors ``_URLS_SQL``."""
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    m4 = F.col("doc_id") % 4
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(m4 == 0, F.concat(
+            F.lit("HTTP://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80/Path/"), d,
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_campaign=x#frag"),
+        ))
+        .when(m4 == 1, F.concat(
+            F.lit("https://Blog.Site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".org/post/"), d,
+            F.lit("?id="), (F.col("doc_id") % 50).cast("string"), F.lit("&fbclid=abc"),
+        ))
+        .when(m4 == 2, F.concat(
+            F.lit("http://news.portal"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".net/a/"), d,
+        ))
+        .otherwise(F.concat(
+            F.lit("https://Shop.Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/item?gclid=g"), d,
+        ))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL normalization: fragment/default-port/tracking-param stripping +
+    lowercased authority + domain extraction (row-local, zero shuffle)."""
+    from aces_spark.datapipe.urls import normalize_urls
+
+    return normalize_urls(_docs_with_urls(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus stats: raw URL count + distinct normalized URLs
+    (the count URL-dedup would keep)."""
+    from aces_spark.datapipe.urls import domain_stats
+
+    return domain_stats(_docs_with_urls(spark, sf_dir))
+
+
+def q_group_vocab_topk(spark, sf_dir):
+    """Per-language top-10 vocabulary (rank window over the per-group
+    aggregated vocab, not the corpus)."""
+    from aces_spark.datapipe.text import group_vocab_top_k
+
+    docs = _read_table(spark, sf_dir, "documents")
+    return group_vocab_top_k(docs, group_col="lang", k=10)
+
+
 def q_embedding_label_stats(spark, sf_dir):
     """Per-label embedding stats: count + first-component mean."""
     emb = _read_table(spark, sf_dir, "embeddings")
@@ -1158,6 +1291,13 @@ def q_tfidf_features(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ivf_cell_stats": q_ivf_cell_stats,
+    "substring_dedup": q_substring_dedup,
+    "minhash_jaccard": q_minhash_jaccard,
+    "url_normalize": q_url_normalize,
+    "domain_stats": q_domain_stats,
+    "group_vocab_topk": q_group_vocab_topk,
     # --- tier 2: stalest green (last row r02; got no r03 row) ---
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2272,6 +2412,153 @@ r AS (
                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
   FROM s)
 SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # IVF recall@5 vs exact brute force: queries vec_id < 10, 2 probes.
+    # Mirrors datapipe.similarity.ivf_recall_at_k (seed quantizer).
+    sql["ann_ivf_recall"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+               c.cell_id ASC) AS rk
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, s.cell_id
+  FROM e JOIN scored s ON e.vec_id = s.vec_id
+  WHERE e.vec_id < 10 AND s.rk <= 2),
+ivf_s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q JOIN assign a ON a.cell_id = q.cell_id JOIN e ON e.vec_id = a.vec_id
+  WHERE q.query_id <> e.vec_id),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+    FROM ivf_s) WHERE rk <= 5),
+ex_s AS (
+  SELECT qq.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(qq.qv, e.v)
+          / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10) qq, e
+  WHERE qq.query_id <> e.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+    FROM ex_s) WHERE rk <= 5),
+hits AS (SELECT query_id, COUNT(*) AS n_hits
+         FROM exact JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+base AS (SELECT query_id, COUNT(*) AS n FROM exact GROUP BY query_id)
+SELECT base.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+  FLOOR(COALESCE(n_hits, 0) / n * 10000 + 0.5) / 10000 AS recall
+FROM base LEFT JOIN hits USING (query_id)
+"""
+
+    # IVF cell balance: seed-quantizer assignment → per-cell count + frac
+    sql["ivf_cell_stats"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                 c.cell_id ASC) AS rk
+    FROM e CROSS JOIN cents c)
+  WHERE rk = 1),
+c AS (SELECT cell_id, COUNT(*) AS n_vectors FROM assign GROUP BY cell_id)
+SELECT cell_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+  FLOOR(n_vectors / (SUM(n_vectors) OVER ()) * 10000 + 0.5) / 10000 AS frac
+FROM c
+"""
+
+    # Rolling-window substring dedup: 40-char windows, stride 20, same
+    # dup rule and basis-point fraction as paragraph_dedup
+    sql["substring_dedup"] = f"""
+WITH aug AS ({_DOCS_NEAR_DUPS_SQL}),
+d AS (SELECT doc_id, text FROM aug WHERE length(text) >= 40),
+w AS (SELECT doc_id, md5(substring(text, CAST(i * 20 + 1 AS INT), 40)) AS wfp
+      FROM d, UNNEST(range(0, ((length(text) - 40) // 20) + 1)) AS u(i)),
+occ AS (SELECT wfp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        FROM w GROUP BY wfp)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_windows,
+  FLOOR(SUM(CASE WHEN n_docs > 1 OR n_occ > n_docs THEN 1 ELSE 0 END)
+    / COUNT(*) * 10000 + 0.5) / 10000 AS dup_win_frac
+FROM w JOIN occ USING (wfp)
+GROUP BY doc_id
+"""
+
+    # MinHash candidates + signature-agreement Jaccard estimate ≥ 0.3
+    agree_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    sql["minhash_jaccard"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sig AS (
+  SELECT doc_id,
+  {minhash_cols}
+  FROM sh GROUP BY doc_id),
+banded AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+j AS (
+  SELECT doc_a, doc_b,
+    FLOOR(({agree_terms}) / 8 * 10000 + 0.5) / 10000 AS jaccard_est
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard_est FROM j WHERE jaccard_est >= 0.3
+"""
+
+    sql["url_normalize"] = f"""
+WITH raw AS ({_URLS_SQL}),
+{_URL_NORM_SQL}
+SELECT doc_id, url, norm_url, domain FROM with_domain
+"""
+
+    sql["domain_stats"] = f"""
+WITH raw AS ({_URLS_SQL}),
+{_URL_NORM_SQL}
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_unique_urls
+FROM with_domain GROUP BY domain
+"""
+
+    sql["group_vocab_topk"] = f"""
+WITH words AS (
+  SELECT lang AS "group", unnest({_DOC_TOKENS_SQL}) AS word FROM documents
+  WHERE length({_DOC_NORM_SQL}) > 0),
+c AS (SELECT "group", word, COUNT(*) AS n_occurrences
+      FROM words GROUP BY "group", word),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY "group"
+        ORDER BY n_occurrences DESC, word ASC) AS rank FROM c)
+SELECT "group", word, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
 """
 
     # SimHash: per-token md5-derived 32-bit hash, ±1 votes per bit,

@@ -146,6 +146,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Char-level rolling-window exact-substring dedup — the finer-grained
+    sibling of :func:`paragraph_dedup_stats` (Lee et al. 2022 find exact
+    duplicated *substrings*, not just whole paragraphs; a fixed ``window``
+    with ``stride`` overlap approximates their suffix-array pass with pure
+    relational ops). A window is *duplicated* if its md5 fingerprint occurs
+    in more than one document, or more than once within this document.
+
+    Returns ``(doc_id, n_windows, n_dup_windows, dup_win_frac)`` for every
+    document with at least one full window (``length >= window``);
+    ``dup_win_frac`` is in exact basis points (``floor(x*1e4 + 0.5)/1e4``).
+
+    Scale shape: explode window positions (narrow), ONE exchange keyed by
+    the window md5 (uniform digest keys), then a doc-keyed rollup — the
+    same linear two-aggregate plan as paragraph dedup, never a self-join.
+    With ``stride = window/2`` every duplicated run ≥ 1.5×window chars is
+    guaranteed to contain a duplicated window.
+    """
+    docs = df.filter(F.length(F.col(text_col)) >= window)
+    # number of stride-aligned windows that fit: (len - window) // stride + 1
+    n_win = ((F.length(F.col(text_col)) - window) / stride).cast("long") + 1
+    pos = docs.select(
+        "doc_id",
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("__i"),
+    )
+    wins = pos.select(
+        "doc_id",
+        F.md5(F.col("__t").substr((F.col("__i") * stride + 1).cast("int"), F.lit(window))).alias(
+            "wfp"
+        ),
+    )
+    occ = wins.groupBy("wfp").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    flagged = wins.join(occ, "wfp").select(
+        "doc_id",
+        ((F.col("n_docs") > 1) | (F.col("n_occ") > F.col("n_docs"))).cast("int").alias("is_dup"),
+    )
+    frac_bp = F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 10000 + 0.5)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("is_dup").cast("long").alias("n_dup_windows"),
+        (frac_bp / 10000).alias("dup_win_frac"),
+    )
+
+
 def paragraph_dedup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -320,11 +373,20 @@ def minhash_lsh_pairs(
     Scale path: the band bucket is the shuffle key (uniform by
     construction); no pairwise comparison outside buckets.
     """
+    sig = minhash_signatures(df, n, num_hashes, text_col, hasher)
+    return _lsh_pairs_from_signatures(sig, num_hashes, bands, hasher)
+
+
+def _lsh_pairs_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, hasher: str
+) -> DataFrame:
+    """Band an existing signature relation and emit candidate pairs —
+    shared by :func:`minhash_lsh_pairs` and :func:`minhash_jaccard_pairs`
+    so the latter computes signatures ONCE for both banding and the
+    agreement estimate."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-
-    sig = minhash_signatures(df, n, num_hashes, text_col, hasher)
     band_exprs = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
@@ -345,6 +407,56 @@ def minhash_lsh_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    hasher: str = "md5",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """The complete MinHash near-dup pipeline: LSH candidate generation
+    (:func:`minhash_lsh_pairs`) followed by the signature-based Jaccard
+    ESTIMATE — the fraction of the ``num_hashes`` component minima two
+    documents agree on, the standard MinHash estimator — filtered at
+    ``threshold``. Returns ``(doc_a, doc_b, jaccard_est)`` with
+    ``jaccard_est`` in exact basis points.
+
+    This is the verify stage production dedup runs between candidate
+    generation and clustering: it never re-tokenizes the documents — the
+    signatures are computed once and reused for both banding and
+    estimation, so the post-LSH cost is one broadcast-or-shuffled join of
+    the (tiny) candidate set back onto the signature relation, per side.
+
+    Caching note (same contract as :func:`ngram_jaccard_pairs`): the
+    signature relation is persisted because it feeds the banding self-join
+    AND both estimate-side joins; pass ``cache_registry=[]`` to receive it
+    for ``unpersist()`` after materialization in long-lived sessions.
+    """
+    sig = minhash_signatures(df, n, num_hashes, text_col, hasher)
+    # persist: one signature row per doc — far smaller than the corpus;
+    # without it the shingle+digest pass runs three times
+    sig = sig.persist()
+    if cache_registry is not None:
+        cache_registry.append(sig)
+    cand = _lsh_pairs_from_signatures(sig, num_hashes, bands, hasher)
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(h).alias(f"a_{h}") for h in hcols])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(h).alias(f"b_{h}") for h in hcols])
+    agree = sum(
+        (F.col(f"a_{h}") == F.col(f"b_{h}")).cast("int") for h in hcols
+    )
+    est_bp = F.floor(agree / num_hashes * 10000 + 0.5)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (est_bp / 10000).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
     )
 
 

@@ -336,6 +336,83 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+    centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
+) -> DataFrame:
+    """Measured recall@k of the IVF path against exact brute force, per
+    query: ``(query_id, n_hits, recall)`` where ``n_hits`` counts IVF
+    results that appear in the exact top-k and ``recall = n_hits / k`` in
+    exact basis points. The operational dial for the accuracy↔cost
+    trade: sweep ``n_probes`` until recall clears the target, THEN scale
+    out — measuring on a sample costs |queries|×|corpus| only for the
+    exact side, which is the point of keeping the query set small.
+
+    Both sides share deterministic tie-breaking (sim desc, id asc), so
+    recall is reproducible run-to-run and engine-to-engine.
+    """
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        corpus, queries, k, n_cells, id_col, vec_col, n_probes, centroids,
+        quantizer, target_bucket_size,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    n_hits = F.coalesce(F.col("__hits"), F.lit(0))
+    recall_bp = F.floor(n_hits / F.col("__n") * 10000 + 0.5)
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (recall_bp / 10000).alias("recall"),
+    )
+
+
+def ivf_cell_stats(
+    vectors: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET_SIZE,
+) -> DataFrame:
+    """Index-balance report: per-cell vector count and corpus fraction
+    (basis points). The skew check run BEFORE committing to an IVF layout
+    — a cell holding a large fraction of the corpus means the quantizer
+    collapsed a dense region and that cell's bucket join will go
+    quadratic; the fix is more cells or the trained quantizer. Cost: one
+    assign pass + a groupBy on ≤ n_cells keys; the fraction comes from an
+    unpartitioned window over the (tiny, n_cells-row) aggregate, never
+    over the corpus."""
+    cents = _resolve_centroids(
+        vectors, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
+    )
+    counts = (
+        assign_cells(vectors, cents, id_col, vec_col)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    frac_bp = F.floor(F.col("n_vectors") / total * 10000 + 0.5)
+    return counts.select(
+        "cell_id",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (frac_bp / 10000).alias("frac"),
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

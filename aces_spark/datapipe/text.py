@@ -55,6 +55,33 @@ def vocab_top_k(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFram
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("word").asc()).limit(k)
 
 
+def group_vocab_top_k(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary: the ``k`` most frequent normalized words
+    WITHIN each group (language, source, split, ...). Output
+    ``(group, word, n_occurrences, rank)``, deterministic (count desc,
+    word asc ties).
+
+    Scale shape: the word aggregate partial-combines map-side like
+    :func:`vocab_top_k`; the per-group top-k is a rank window partitioned
+    by group over the aggregated (group, word) relation — a relation the
+    size of the group-sharded vocabulary, not the corpus, and each group's
+    vocabulary is orders of magnitude smaller than the token stream."""
+    words = df.select(F.col(group_col).alias("group"), F.explode(norm_tokens(text_col)).alias("word"))
+    counts = words.groupBy("group", "word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("group").orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group", "word", F.col("n_occurrences").cast("long").alias("n_occurrences"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     trimmed = F.trim(text)

@@ -521,3 +521,95 @@ def test_knn_classify_majority_and_ties(spark):
     q2 = spark.createDataFrame([(200, [0.5, 0.5])], "vec_id long, embedding array<double>")
     out2 = knn_classify(corpus.filter("vec_id in (0, 1, 10, 11)"), q2, k=4).collect()[0]
     assert out2["pred_label"] == 0 and out2["n_votes"] == 2
+
+
+def test_substring_dup_spans_shared_prefix(spark):
+    from aces_spark.datapipe.dedup import substring_dup_spans
+
+    shared = "x" * 35 + " shared run of characters duplicated across documents here"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail one that is unique to document number one"),
+            (2, shared + " other ending entirely different for second doc"),
+            (3, "entirely unrelated content that never repeats anywhere else at all"),
+            (4, "short"),  # < window → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dup_spans(df, window=40, stride=20).collect()}
+    assert 4 not in out  # too short for a single window
+    assert out[1]["n_dup_windows"] >= 1 and out[2]["n_dup_windows"] >= 1
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_win_frac"] == 0.0
+    # fraction is consistent with the counts, in exact basis points
+    r1 = out[1]
+    assert r1["dup_win_frac"] == math.floor(
+        r1["n_dup_windows"] / r1["n_windows"] * 10000 + 0.5
+    ) / 10000
+
+
+def test_minhash_jaccard_estimate_pipeline(docs):
+    from aces_spark.datapipe.dedup import minhash_jaccard_pairs
+
+    out = minhash_jaccard_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.0).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in out}
+    # docs 1 and 2 normalize identically → all 8 minima agree → estimate 1.0
+    assert pairs[(1, 2)] == 1.0
+    # estimates are k/8 grid values in [0, 1]
+    assert all(0.0 <= v <= 1.0 and round(v * 8, 6) == round(v * 8) for v in pairs.values())
+    # thresholding drops sub-threshold pairs
+    kept = minhash_jaccard_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} <= set(pairs)
+    assert all(r["jaccard_est"] >= 0.9 for r in kept)
+
+
+def test_ivf_recall_exhaustive_probes_is_exact(spark):
+    from aces_spark.datapipe.similarity import ivf_recall_at_k
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.filter(F.col("vec_id") < 4)
+    # probing every cell recovers brute force exactly → recall 1.0
+    out = ivf_recall_at_k(
+        vecs, queries, k=3, n_cells=4, n_probes=4, quantizer="seed"
+    ).collect()
+    assert len(out) == 4
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 3 for r in out)
+    # single probe can miss, but recall stays a valid fraction
+    one = ivf_recall_at_k(vecs, queries, k=3, n_cells=4, n_probes=1, quantizer="seed").collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in one)
+
+
+def test_ivf_cell_stats_balance(spark):
+    from aces_spark.datapipe.similarity import ivf_cell_stats
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_cell_stats(vecs, n_cells=4, quantizer="seed").collect()
+    assert sum(r["n_vectors"] for r in out) == 40
+    assert abs(sum(r["frac"] for r in out) - 1.0) < 0.001  # bp rounding slack
+    assert all(r["frac"] > 0 for r in out)
+
+
+def test_group_vocab_top_k(spark):
+    from aces_spark.datapipe.text import group_vocab_top_k
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha alpha beta"),
+            (2, "en", "alpha gamma"),
+            (3, "fr", "delta delta delta epsilon"),
+            (4, "fr", ""),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = group_vocab_top_k(df, group_col="lang", k=2).collect()
+    got = {(r["group"], r["rank"]): (r["word"], r["n_occurrences"]) for r in out}
+    assert got[("en", 1)] == ("alpha", 3)
+    assert got[("en", 2)] == ("beta", 1)  # beta/gamma tie at 1 → word asc
+    assert got[("fr", 1)] == ("delta", 3)
+    assert got[("fr", 2)] == ("epsilon", 1)
+    assert len(out) == 4
