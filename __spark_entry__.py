@@ -1174,6 +1174,32 @@ def q_group_vocab_topk(spark, sf_dir):
     return group_vocab_top_k(docs, group_col="lang", k=10)
 
 
+def q_token_histogram(spark, sf_dir):
+    """Token-length distribution: 50-token-wide buckets of BPE-ish counts
+    (integer math, engine-exact)."""
+    from aces_spark.datapipe.text import token_histogram
+
+    return token_histogram(_read_table(spark, sf_dir, "documents"), bucket_width=50)
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Training-mix composition: per (source, lang) docs, exact token
+    totals, and token share in basis points."""
+    from aces_spark.datapipe.text import corpus_mix
+
+    return corpus_mix(_read_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding mean/stddev — the drift/degeneracy QA pass."""
+    from aces_spark.datapipe.similarity import embedding_dim_stats
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_dim_stats(emb)
+
+
 def q_embedding_label_stats(spark, sf_dir):
     """Per-label embedding stats: count + first-component mean."""
     emb = _read_table(spark, sf_dir, "embeddings")
@@ -1298,6 +1324,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "domain_stats": q_domain_stats,
     "group_vocab_topk": q_group_vocab_topk,
+    "token_histogram": q_token_histogram,
+    "corpus_mix": q_corpus_mix,
+    "embedding_dim_stats": q_embedding_dim_stats,
     # --- tier 2: stalest green (last row r02; got no r03 row) ---
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2546,6 +2575,42 @@ WITH raw AS ({_URLS_SQL}),
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
   CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_unique_urls
 FROM with_domain GROUP BY domain
+"""
+
+    sql["token_histogram"] = """
+WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok
+           FROM documents)
+SELECT (tok // 50) * 50 AS bucket_start,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY bucket_start
+"""
+
+    sql["corpus_mix"] = """
+WITH t AS (SELECT source, lang,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok
+           FROM documents),
+a AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS total_tokens
+      FROM t GROUP BY source, lang)
+SELECT source, lang, n_docs, total_tokens,
+  FLOOR(total_tokens / (SUM(total_tokens) OVER ()) * 10000 + 0.5) / 10000 AS token_share
+FROM a
+"""
+
+    # per-dimension stats: population stddev via the explicit
+    # sqrt(E[x^2] - E[x]^2) formula so both engines share the expression
+    sql["embedding_dim_stats"] = """
+WITH d AS (
+  SELECT u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+a AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(x) AS m, AVG(x * x) AS msq
+  FROM d GROUP BY dim)
+SELECT dim, n, ROUND(m, 6) AS mean,
+  ROUND(sqrt(GREATEST(msq - m * m, 0.0)), 6) AS stddev
+FROM a
 """
 
     sql["group_vocab_topk"] = f"""

@@ -413,6 +413,35 @@ def ivf_cell_stats(
     )
 
 
+def embedding_dim_stats(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding QA report: ``(dim, n, mean, stddev)``
+    (6 dp) — the drift/degeneracy check run before trusting an embedding
+    column (a collapsed dimension shows stddev ≈ 0; a shifted batch shows
+    mean drift). ``posexplode`` is narrow; the aggregate keys on the
+    dimension index (uniform, cardinality = dim count) with map-side
+    partials; stddev is the explicit population formula
+    ``sqrt(E[x²] − E[x]²)`` so both engines evaluate the same expression
+    tree."""
+    d = vectors.select(F.posexplode(F.col(vec_col)).alias("__pos", "__x")).select(
+        F.col("__pos").cast("long").alias("dim"), "__x"
+    )
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("__mean"),
+        F.avg(F.col("__x") * F.col("__x")).alias("__meansq"),
+    )
+    var = F.greatest(F.col("__meansq") - F.col("__mean") * F.col("__mean"), F.lit(0.0))
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("__mean"), 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

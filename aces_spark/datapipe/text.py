@@ -82,6 +82,49 @@ def group_vocab_top_k(
     )
 
 
+def token_histogram(
+    df: DataFrame, bucket_width: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Token-length distribution: documents bucketed by BPE-ish token
+    count into fixed-width bins. Output
+    ``(bucket_start, n_docs, total_tokens)`` where ``bucket_start`` is the
+    bin's inclusive lower edge (``(tokens // width) * width`` — integer
+    math, engine-exact).
+
+    The length histogram is the first thing a curation run looks at
+    (truncation pressure vs packing efficiency at a given context
+    length). One hash aggregate over at most ``max_len/width`` keys;
+    the per-doc token count is row-local."""
+    toks = bpe_ish_token_count(F.col(text_col))
+    bucket = ((toks / bucket_width).cast("long") * bucket_width).alias("bucket_start")
+    return df.select(bucket, toks.alias("__t")).groupBy("bucket_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix composition report: per group (source × language by
+    default) document count, total BPE-ish tokens, and the group's share
+    of corpus tokens in exact basis points — the table a data-mixing
+    decision reads. Token totals are integer-exact; the share divides two
+    exact integers, so it is deterministic across engines. One hash
+    aggregate (low-cardinality keys, map-side partials) + a window over
+    the tiny aggregated relation."""
+    toks = bpe_ish_token_count(F.col(text_col))
+    agg = df.select(*group_cols, toks.alias("__t")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    share_bp = F.floor(F.col("total_tokens") / total * 10000 + 0.5)
+    return agg.select(*group_cols, "n_docs", "total_tokens", (share_bp / 10000).alias("token_share"))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     trimmed = F.trim(text)

@@ -613,3 +613,47 @@ def test_group_vocab_top_k(spark):
     assert got[("fr", 1)] == ("delta", 3)
     assert got[("fr", 2)] == ("epsilon", 1)
     assert len(out) == 4
+
+
+def test_token_histogram_buckets(spark):
+    from aces_spark.datapipe.text import token_histogram
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b"), (3, " ".join(["w"] * 60))],
+        "doc_id long, text string",
+    )
+    out = {r["bucket_start"]: r for r in token_histogram(df, bucket_width=50).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 5
+    assert out[50]["n_docs"] == 1 and out[50]["total_tokens"] == 60
+
+
+def test_corpus_mix_shares(spark):
+    from aces_spark.datapipe.text import corpus_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "en", "a b c d"),       # 4 tokens
+            (2, "web", "en", "e f g h"),       # 4 tokens
+            (3, "books", "fr", "i j"),         # 2 tokens
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {(r["source"], r["lang"]): r for r in corpus_mix(df).collect()}
+    assert out[("web", "en")]["n_docs"] == 2
+    assert out[("web", "en")]["total_tokens"] == 8
+    assert out[("web", "en")]["token_share"] == 0.8
+    assert out[("books", "fr")]["token_share"] == 0.2
+
+
+def test_embedding_dim_stats_collapsed_dimension(spark):
+    from aces_spark.datapipe.similarity import embedding_dim_stats
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["dim"]: r for r in embedding_dim_stats(vecs).collect()}
+    assert out[0]["n"] == 3 and out[0]["mean"] == 3.0
+    assert abs(out[0]["stddev"] - math.sqrt(8 / 3)) < 1e-6
+    # constant dimension → stddev exactly 0 (degeneracy detection)
+    assert out[1]["mean"] == 5.0 and out[1]["stddev"] == 0.0
