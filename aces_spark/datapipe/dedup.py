@@ -460,6 +460,21 @@ def minhash_jaccard_pairs(
     )
 
 
+@contextmanager
+def scoped_minhash_jaccard_pairs(df: DataFrame, **kwargs):
+    """Context-manager wrapper around :func:`minhash_jaccard_pairs` for
+    long-lived sessions (same contract as
+    :func:`scoped_ngram_jaccard_pairs`): yields the pairs DataFrame and
+    unpersists the internal signature cache on exit. Materialize the
+    result INSIDE the block."""
+    registry: list = []
+    try:
+        yield minhash_jaccard_pairs(df, cache_registry=registry, **kwargs)
+    finally:
+        for cached in registry:
+            cached.unpersist()
+
+
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """Per-document SimHash signature over word tokens.
 

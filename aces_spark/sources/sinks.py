@@ -81,6 +81,48 @@ def write_result(
     out.write.mode(mode).parquet(output_path)
 
 
+def read_jsonl(
+    spark,
+    path: str,
+    schema: T.StructType | str | None = None,
+    compression: str | None = None,
+) -> DataFrame:
+    """Read a JSONL corpus (one JSON document per line — the interchange
+    format LLM training corpora actually ship in). ALWAYS pass ``schema``
+    in production: without it Spark runs a full inference scan over the
+    data before the real job (two reads of 100 TB instead of one).
+    Gzip/zstd/bzip2 are detected from the file extension; pass
+    ``compression`` only to force a codec. Corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
+    filter/inspect them explicitly rather than discovering data loss
+    later."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if compression is not None:
+        reader = reader.option("compression", compression)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """Write a DataFrame as JSONL (one object per line, one file per
+    partition — downstream consumers parallelize by file). Default gzip:
+    text JSON is ~10× parquet, so uncompressed JSONL at corpus scale is an
+    I/O mistake; pass ``compression=None`` for plain text when a consumer
+    requires it. Timestamps serialize as ISO-8601 strings."""
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_bucketed_predicates(
     predicates_df: DataFrame,
     table_name: str,

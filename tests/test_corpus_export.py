@@ -134,3 +134,32 @@ def test_vocab_top_k(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = [(r["word"], r["n_occurrences"], r["n_docs"]) for r in vocab_top_k(df, k=2).collect()]
     assert out == [("apple", 3, 2), ("banana", 1, 1)]  # tie banana/cherry → word asc
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from aces_spark.sources.sinks import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quote " and \\ backslash', "fr"), (3, None, None)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path, compression="gzip")
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
+    got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect())
+    assert got == [(1, "hello world", "en"), (2, 'quote " and \\ backslash', "fr"), (3, None, None)]
+
+
+def test_jsonl_corrupt_records_surfaced_not_fatal(spark, tmp_path):
+    from aces_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n{"doc_id": 2, "text": "fine"}\n')
+    back = read_jsonl(
+        spark, str(p), schema="doc_id long, text string, _corrupt_record string"
+    )
+    rows = back.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]

@@ -657,3 +657,20 @@ def test_embedding_dim_stats_collapsed_dimension(spark):
     assert abs(out[0]["stddev"] - math.sqrt(8 / 3)) < 1e-6
     # constant dimension → stddev exactly 0 (degeneracy detection)
     assert out[1]["mean"] == 5.0 and out[1]["stddev"] == 0.0
+
+
+def test_scoped_minhash_jaccard_releases_cache(spark):
+    """Same hygiene contract as the scoped ngram variant: no cached RDDs
+    left behind after exit (relative assertions — the shared session may
+    hold other tests' legitimate persists)."""
+    from aces_spark.datapipe.dedup import scoped_minhash_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"words shared by both documents {i % 2}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with scoped_minhash_jaccard_pairs(df, n=3, num_hashes=8, bands=4, threshold=0.0) as pairs:
+        assert pairs.count() >= 1
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base

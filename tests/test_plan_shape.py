@@ -166,3 +166,56 @@ def test_meds_scan_column_pruning(spark, tmp_path):
     assert m, plan
     assert "text_value" not in m.group(1) and "other" not in m.group(1), m.group(1)
     assert "numeric_value" not in m.group(1), m.group(1)  # no value constraint → pruned
+
+
+def test_url_normalize_zero_exchange(spark):
+    """URL normalization is row-local: the plan must contain NO exchange."""
+    from aces_spark.datapipe.urls import normalize_urls
+
+    df = spark.createDataFrame(
+        [(1, "http://A.com/x?utm_source=1")], "doc_id long, url string"
+    )
+    counts = _node_counts(normalize_urls(df))
+    assert counts.get("Exchange", 0) == 0, counts
+
+
+def test_corpus_mix_single_data_exchange(spark):
+    """corpus_mix: one hash aggregate over the corpus; the share window
+    runs over the tiny aggregated relation, not the token stream."""
+    from aces_spark.datapipe.text import corpus_mix
+
+    df = spark.createDataFrame(
+        [(1, "web", "en", "a b c")], "doc_id long, source string, lang string, text string"
+    )
+    counts = _node_counts(corpus_mix(df))
+    # aggregate exchange + the single-partition window exchange (n_groups
+    # rows); anything more means the corpus itself is being re-shuffled
+    assert counts.get("Exchange", 0) <= 2, counts
+    assert counts.get("CartesianProduct", 0) == 0, counts
+
+
+def test_substring_dedup_no_self_join_blowup(spark):
+    """substring dedup is occurrence-aggregate shaped: hash joins only
+    (wins x occ on the digest), never a cartesian/nested-loop product."""
+    from aces_spark.datapipe.dedup import substring_dup_spans
+
+    df = spark.createDataFrame([(1, "x" * 80)], "doc_id long, text string")
+    plan = _plan(substring_dup_spans(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_jaccard_reuses_signatures(spark):
+    """minhash_jaccard_pairs must reuse the persisted signature relation
+    (InMemoryTableScan) instead of recomputing the shingle+digest pass for
+    banding and both estimate sides."""
+    from aces_spark.datapipe.dedup import minhash_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some words repeated here {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = minhash_jaccard_pairs(df, n=3, num_hashes=8, bands=4, threshold=0.0)
+    plan = _plan(out)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan[:2000]
+    out.sparkSession.catalog.clearCache()
