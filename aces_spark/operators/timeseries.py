@@ -1,0 +1,313 @@
+"""Time-series join and resample operators: as-of join, bucketed range
+join, LOCF gap-fill, and multi-granularity time rollups.
+
+These are the operators a time-series / event warehouse (kdb ``aj``,
+DuckDB ``ASOF JOIN``, TimescaleDB ``time_bucket_gapfill`` /
+continuous aggregates) provides that vanilla Spark SQL lacks.  Each is
+expressed as a composition of built-in DataFrame ops so Catalyst keeps
+the whole plan in whole-stage codegen:
+
+- ``asof_join`` uses the union-tag-fill formulation: ONE exchange on the
+  join key, no join operator at all.  This beats the naive
+  "range join + argmax" plan (a shuffle join followed by a second
+  aggregation exchange) and is the only formulation that stays linear
+  when one left row would range-match millions of right rows.
+- ``range_join`` (interval containment) buckets both sides to a coarse
+  time grain and equi-joins on ``(key, bucket)`` — Spark turns the
+  non-equi predicate into a plain hash join with a residual filter,
+  instead of the broadcast-nested-loop plan a raw ``ts BETWEEN s AND e``
+  condition produces.
+- ``gapfill_locf`` materializes each key's regular grid with
+  ``sequence()`` (narrow after one aggregate) and fills with a growing
+  last-non-null frame.
+- ``time_rollup`` is GROUPING SETS over truncated timestamps — one
+  shuffle, map-side partials for every granularity at once.
+
+Reference parity: the reference engine has no time-series joins (its
+temporal windows are covered by ``operators/aggregate.py``); these close
+the gap against the time-series engines surveyed in PAPERS.md and the
+training-data use case "attach the nearest prior snapshot/label to each
+event".
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timecol import as_timestamp, epoch_micros
+
+__all__ = ["asof_join", "range_join", "gapfill_locf", "time_rollup"]
+
+_BUCKET_US = {
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+}
+
+
+def _td_us(td: timedelta) -> int:
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_order: str | None = None,
+    direction: str = "backward",
+    tolerance: timedelta | None = None,
+    ts_out: str = "asof_ts",
+) -> DataFrame:
+    """For every left row, attach ``right_cols`` from the single right row
+    with the largest ``right_ts`` <= ``left_ts`` (``direction="backward"``,
+    inclusive — the DuckDB ASOF JOIN / pandas ``merge_asof`` default) or
+    the smallest ``right_ts`` >= ``left_ts`` (``"forward"``), matching on
+    the equi-key ``on``.  Left rows with no match keep nulls;
+    ``tolerance`` additionally nulls matches further than the given
+    timedelta from ``left_ts``.
+
+    Ties: right rows sharing the boundary timestamp are resolved by
+    ``right_order`` (largest wins for backward, smallest for forward);
+    pass a unique column whenever ``right_ts`` can repeat per key so the
+    result is deterministic.
+
+    Plan shape: union the tagged sides, ONE window over ``on`` ordered by
+    ``(ts, side, order)`` with a growing ``last(ignorenulls)`` frame, then
+    filter back to left rows.  One hash exchange on ``on``; zero join
+    operators; the growing ROWS frame is O(n) incremental (same reasoning
+    as the event-bound kernel, ``operators/aggregate.py:328``).  At
+    100 TB this is the only shape that survives keys with millions of
+    rows on both sides — any join-based formulation multiplies candidate
+    pairs before it reduces them.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    sign = 1 if direction == "backward" else -1
+
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], as_timestamp(right_ts).alias("__rts")
+    )
+    ord_expr = (
+        (F.col(right_order).cast("long") * sign) if right_order else F.lit(0).cast("long")
+    )
+    r = right.select(
+        F.col(on),
+        (epoch_micros(right_ts) * sign).alias("__k"),
+        F.lit(0).alias("__side"),
+        ord_expr.alias("__ord"),
+        payload.alias("__payload"),
+    )
+    payload_type = r.schema["__payload"].dataType
+
+    lcols = list(left.columns)
+    l = left.select(
+        *lcols,
+        (epoch_micros(left_ts) * sign).alias("__k"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__ord"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    r_wide = r.select(
+        on, "__k", "__side", "__ord", "__payload",
+        *[F.lit(None).cast(l.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    tagged = r_wide.unionByName(l)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__k").asc(), F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = (
+            epoch_micros(left_ts) - epoch_micros(F.col("__match.__rts"))
+        ) * sign
+        out = out.withColumn(
+            "__match", F.when((gap >= 0) & (gap <= _td_us(tolerance)), F.col("__match"))
+        )
+    proj = [F.col(c) for c in lcols]
+    proj.append(F.col("__match.__rts").alias(ts_out))
+    proj.extend(F.col("__match").getField(c).alias(c) for c in right_cols)
+    return out.select(*proj)
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: str | None = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Interval-containment join: every (left row, interval) pair with
+    ``start <= left_ts < end`` (half-open), optionally also matching the
+    equi-key ``on``.  Output = left columns + interval columns.
+
+    Plan shape: each interval explodes into the coarse time buckets it
+    covers (``sequence`` + ``explode`` — narrow); the left side buckets
+    its timestamp; the sides equi-join on ``(on?, bucket)`` and a
+    residual filter applies the exact bounds.  Catalyst plans a plain
+    shuffled (or broadcast, when the interval side is small) HASH join —
+    never the O(n·m) broadcast-nested-loop a raw inequality join
+    degenerates to.  Pick ``bucket`` near the typical interval length:
+    each interval then lands in ~2 buckets and the pre-filter fan-out
+    stays linear in the true match count.
+    """
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, as_timestamp(start_col)),
+                F.date_trunc(bucket, as_timestamp(end_col)),
+                F.expr(f"interval 1 {bucket}"),
+            )
+        ),
+    )
+    lb = left.withColumn("__bucket", F.date_trunc(bucket, as_timestamp(left_ts)))
+    keys = ["__bucket"] if on is None else [on, "__bucket"]
+    exact = (as_timestamp(left_ts) >= as_timestamp(start_col)) & (as_timestamp(left_ts) < as_timestamp(end_col))
+    return lb.join(iv, keys).filter(exact).drop("__bucket")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    order_col: str | None = None,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Resample each key's series to a regular ``bucket`` grid between its
+    first and last observation, carrying the last observation forward into
+    empty buckets (TimescaleDB ``time_bucket_gapfill`` + ``locf``).
+
+    Output: ``(on, grid_ts, value, is_observed)``; ``value`` in an
+    observed bucket is the LAST observation in that bucket (ties broken
+    by ``order_col`` descending — pass a unique id when timestamps can
+    repeat).
+
+    Plan shape: one aggregate builds each key's ``(min, max)`` span and
+    ``sequence()`` explodes the grid (narrow after the aggregate); one
+    window reduces observations to per-bucket last values; a left join on
+    ``(key, bucket)`` aligns them — both sides arrive partitioned by the
+    same key — and a growing last-non-null frame fills forward.  Skew
+    guard: a key spanning more than ``max_buckets`` grid points raises at
+    execution time instead of silently materializing a runaway array —
+    coarsen ``bucket`` or chunk such keys.
+    """
+    if bucket not in _BUCKET_US:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_US)}, got {bucket!r}")
+    ord_desc = [F.col(ts_col).desc()] + ([F.col(order_col).desc()] if order_col else [])
+    w_last = Window.partitionBy(on, "__bucket").orderBy(*ord_desc)
+    obs = (
+        df.withColumn("__bucket", F.date_trunc(bucket, as_timestamp(ts_col)))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(on), F.col("__bucket").alias("grid_ts"), F.col(value_col).alias("__obs"))
+    )
+    span = df.groupBy(on).agg(
+        F.date_trunc(bucket, F.min(as_timestamp(ts_col))).alias("__lo"),
+        F.date_trunc(bucket, F.max(as_timestamp(ts_col))).alias("__hi"),
+    )
+    n_buckets = (
+        F.floor(
+            (epoch_micros("__hi") - epoch_micros("__lo"))
+            / F.lit(_BUCKET_US[bucket])
+        )
+        + 1
+    )
+    guard = F.when(
+        n_buckets <= max_buckets, F.col("__lo")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "gapfill_locf: a key spans %s " + bucket + " buckets "
+                f"(max_buckets={max_buckets}); coarsen bucket or chunk the key",
+                n_buckets.cast("string"),
+            )
+        ).cast("timestamp")
+    )
+    grid = span.select(
+        F.col(on),
+        F.explode(
+            F.sequence(guard, F.col("__hi"), F.expr(f"interval 1 {bucket}"))
+        ).alias("grid_ts"),
+    )
+    aligned = grid.join(obs, [on, "grid_ts"], "left")
+    w_fill = (
+        Window.partitionBy(on)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return aligned.select(
+        F.col(on),
+        F.col("grid_ts"),
+        F.last("__obs", ignorenulls=True).over(w_fill).alias(value_col),
+        F.col("__obs").isNotNull().alias("is_observed"),
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str | None = None,
+    grains: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Continuous-aggregate-style rollup: the same aggregates computed at
+    several time granularities in ONE pass (GROUPING SETS) — e.g. hourly
+    + daily + grand-total rows from a single shuffle.
+
+    Output: ``(grain, bucket_ts, by?, <aggs>)`` — ``grain`` names each
+    row's granularity (``'hour'``, ``'day'``, ..., ``'all'``);
+    ``bucket_ts`` is the truncated timestamp (null for ``'all'``).
+
+    Plan shape: Spark expands grouping sets BEFORE the exchange, so every
+    granularity shares one shuffle and map-side partial aggregation —
+    strictly better at 100 TB than a union of per-grain group-bys, which
+    re-scans and re-shuffles the input once per grain.
+    """
+    if grains is None:
+        grains = ["hour", "day"]
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    gcols = [f"__g_{g}" for g in grains]
+    proj = [F.date_trunc(g, as_timestamp(ts_col)).alias(c) for g, c in zip(grains, gcols)]
+    base = df.select(*proj, *df.columns)
+    extra = [by] if by else []
+    sets = [[c] + extra for c in gcols] + [extra]
+    grouped = base.groupingSets(sets, *(gcols + extra))
+    out = grouped.agg(F.grouping_id().alias("__gid"), *aggs)
+
+    # grouping_id bit j (MSB-first over gcols + extra) is 1 when that
+    # column is aggregated away; grain i's id has every gcol bit set
+    # except its own, and the by bit (if any) always 0
+    n_total = len(gcols) + len(extra)
+    all_gbits = sum(1 << (n_total - 1 - j) for j in range(len(gcols)))
+    grain_expr = F.lit("all")
+    bucket_expr = F.lit(None).cast("timestamp")
+    for i, g in enumerate(grains):
+        gid_i = all_gbits - (1 << (n_total - 1 - i))
+        hit = F.col("__gid") == gid_i
+        grain_expr = F.when(hit, F.lit(g)).otherwise(grain_expr)
+        bucket_expr = F.when(hit, F.col(gcols[i])).otherwise(bucket_expr)
+    agg_names = [c for c in out.columns if c not in gcols + extra + ["__gid"]]
+    return out.select(
+        grain_expr.alias("grain"),
+        bucket_expr.alias("bucket_ts"),
+        *extra,
+        *agg_names,
+    )

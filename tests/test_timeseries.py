@@ -1,0 +1,233 @@
+"""Tests for operators/timeseries.py: as-of join, range join, gap-fill,
+time rollup — differential-checked against naive formulations."""
+
+from __future__ import annotations
+
+import datetime
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aces_spark.operators.timeseries import (
+    asof_join,
+    gapfill_locf,
+    range_join,
+    time_rollup,
+)
+
+from tests.conftest import ts
+
+
+def _events(spark):
+    rows = [
+        # (user, event_id, ts, kind, value)
+        (1, 1, "2024-01-01 00:00", "quote", 10.0),
+        (1, 2, "2024-01-01 00:05", "quote", 11.0),
+        (1, 3, "2024-01-01 00:05", "quote", 12.0),  # tie with id 2
+        (1, 4, "2024-01-01 00:10", "trade", 99.0),
+        (1, 5, "2024-01-01 00:05", "trade", 98.0),  # boundary: ts == quote ts
+        (1, 6, "2024-01-01 00:02", "trade", 97.0),
+        (2, 7, "2024-01-01 09:00", "trade", 50.0),  # no quote at all for user 2
+        (2, 8, "2024-01-01 09:30", "quote", 51.0),
+        (2, 9, "2024-01-01 10:00", "trade", 52.0),
+        (3, 10, "2024-01-02 00:00", "quote", 7.0),
+    ]
+    return spark.createDataFrame(
+        [Row(user_id=u, event_id=e, ts=ts(t), kind=k, value=v) for u, e, t, k, v in rows]
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_with_ties(self, spark):
+        ev = _events(spark)
+        trades = ev.filter(F.col("kind") == "trade").select("user_id", "event_id", "ts")
+        quotes = (
+            ev.filter(F.col("kind") == "quote")
+            .select("user_id", "ts", F.col("event_id").alias("qid"), F.col("value").alias("qval"))
+        )
+        out = asof_join(
+            trades, quotes, on="user_id", right_cols=["qval"], right_order="qid"
+        )
+        got = {r["event_id"]: r["qval"] for r in out.collect()}
+        # trade 4 @00:10 -> last quote <= 00:10 is the 00:05 pair; tie -> qid 3
+        # trade 5 @00:05 -> inclusive boundary -> qid 3
+        # trade 6 @00:02 -> quote 1 @00:00
+        # trade 7 user2 @09:00 -> no quote yet -> null
+        # trade 9 user2 @10:00 -> quote 8
+        assert got == {4: 12.0, 5: 12.0, 6: 10.0, 7: None, 9: 51.0}
+
+    def test_forward_and_tolerance(self, spark):
+        ev = _events(spark)
+        trades = ev.filter(F.col("kind") == "trade").select("user_id", "event_id", "ts")
+        quotes = (
+            ev.filter(F.col("kind") == "quote")
+            .select("user_id", "ts", F.col("event_id").alias("qid"), F.col("value").alias("qval"))
+        )
+        out = asof_join(
+            trades, quotes, on="user_id", right_cols=["qval"], right_order="qid",
+            direction="forward",
+        )
+        got = {r["event_id"]: r["qval"] for r in out.collect()}
+        # forward: smallest quote ts >= trade ts; tie -> SMALLEST qid (qid 2)
+        assert got == {4: None, 5: 11.0, 6: 11.0, 7: 51.0, 9: None}
+
+        tol = asof_join(
+            trades, quotes, on="user_id", right_cols=["qval"], right_order="qid",
+            direction="forward", tolerance=timedelta(minutes=10),
+        )
+        got_tol = {r["event_id"]: r["qval"] for r in tol.collect()}
+        # trade 7 @09:00 -> next quote 09:30 is 30 min away -> nulled by tolerance
+        assert got_tol == {4: None, 5: 11.0, 6: 11.0, 7: None, 9: None}
+
+    def test_differential_vs_naive_join(self, spark):
+        """Random-ish slice of the synthetic events table vs the naive
+        range-join + row_number argmax formulation."""
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        right = ev.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"),
+            F.col("value").alias("vval"),
+        )
+        got = asof_join(
+            left, right, on="user_id", right_ts="vts",
+            right_cols=["vid", "vval"], right_order="vid",
+        ).select("event_id", "vid", "vval")
+
+        from pyspark.sql import Window
+
+        cand = left.join(right, "user_id").filter(F.col("vts") <= F.col("ts"))
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("vts").desc(), F.col("vid").desc()
+        )
+        naive = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "vid", "vval")
+        )
+        naive_full = left.select("event_id").join(naive, "event_id", "left")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive_full.collect())
+        )
+
+    def test_single_exchange_plan(self, spark):
+        ev = _events(spark)
+        trades = ev.filter(F.col("kind") == "trade").select("user_id", "event_id", "ts")
+        quotes = ev.filter(F.col("kind") == "quote").select(
+            "user_id", "ts", F.col("value").alias("qval")
+        )
+        plan = asof_join(trades, quotes, on="user_id", right_cols=["qval"])._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union-fill formulation: no join operator
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRangeJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        purch = ev.filter(F.col("event_type") == "purchase")
+        iv = purch.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("interval 90 minutes")).alias("end_ts"),
+        )
+        left = ev.select("user_id", "event_id", "ts")
+        got = range_join(left, iv, on="user_id").select("event_id", "purchase_id")
+        naive = (
+            left.join(iv, "user_id")
+            .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+            .select("event_id", "purchase_id")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+    def test_boundary_half_open(self, spark):
+        left = spark.createDataFrame(
+            [Row(ts=ts("2024-01-01 01:00"), i=1), Row(ts=ts("2024-01-01 02:00"), i=2)]
+        )
+        iv = spark.createDataFrame(
+            [Row(start_ts=ts("2024-01-01 01:00"), end_ts=ts("2024-01-01 02:00"), w=1)]
+        )
+        got = [r["i"] for r in range_join(left, iv).collect()]
+        assert got == [1]  # start inclusive, end exclusive
+
+
+class TestGapfillLocf:
+    def test_fills_gaps_with_last_obs(self, spark):
+        rows = [
+            (1, "2024-01-01 00:10", 1.0, 1),
+            (1, "2024-01-01 00:20", 2.0, 2),  # two obs in bucket 00:00 -> last wins
+            (1, "2024-01-01 03:30", 9.0, 3),  # 2-hour gap (01:00, 02:00 empty)
+            (2, "2024-01-01 05:00", 4.0, 4),
+        ]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=ts(t), value=v, event_id=e) for u, t, v, e in rows]
+        )
+        out = gapfill_locf(df, on="user_id", bucket="hour", order_col="event_id")
+        got = sorted(
+            (r["user_id"], r["grid_ts"].isoformat(), r["value"], r["is_observed"])
+            for r in out.collect()
+        )
+        assert got == [
+            (1, "2024-01-01T00:00:00", 2.0, True),
+            (1, "2024-01-01T01:00:00", 2.0, False),
+            (1, "2024-01-01T02:00:00", 2.0, False),
+            (1, "2024-01-01T03:00:00", 9.0, True),
+            (2, "2024-01-01T05:00:00", 4.0, True),
+        ]
+
+    def test_max_buckets_guard(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(user_id=1, ts=ts("2024-01-01 00:00"), value=1.0, event_id=1),
+                Row(user_id=1, ts=ts("2024-03-01 00:00"), value=2.0, event_id=2),
+            ]
+        )
+        out = gapfill_locf(df, on="user_id", bucket="hour", max_buckets=100)
+        with pytest.raises(Exception, match="max_buckets"):
+            out.collect()
+
+    def test_bad_bucket_rejected(self, spark):
+        df = spark.createDataFrame([Row(user_id=1, ts=ts("2024-01-01"), value=1.0)])
+        with pytest.raises(ValueError, match="bucket"):
+            gapfill_locf(df, on="user_id", bucket="fortnight")
+
+
+class TestTimeRollup:
+    def test_grains_match_separate_groupbys(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = time_rollup(
+            ev, by="event_type", grains=["hour", "day"],
+            aggs=[F.count(F.lit(1)).cast("long").alias("n_events")],
+        ).collect()
+        by_grain = {}
+        for r in out:
+            by_grain.setdefault(r["grain"], []).append(
+                (r["bucket_ts"], r["event_type"], r["n_events"])
+            )
+        for grain in ("hour", "day"):
+            want = sorted(
+                (r[0], r[1], r[2])
+                for r in ev.groupBy(
+                    F.date_trunc(grain, F.col("ts").cast("timestamp")).alias("b"),
+                    "event_type",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .collect()
+            )
+            assert sorted(by_grain[grain]) == want
+        want_all = sorted(
+            (None, r[0], r[1])
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        assert sorted(by_grain["all"]) == want_all
+
+    def test_single_shuffle(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = time_rollup(ev, by="event_type")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
