@@ -1304,6 +1304,27 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (datapipe.chunking.chunk_documents):
+    64-token windows, stride 48 — completely narrow plan (tokenize →
+    posexplode → slice, zero exchanges)."""
+    from aces_spark.datapipe.chunking import chunk_documents
+
+    return chunk_documents(
+        _read_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+def q_rare_token_score(spark, sf_dir):
+    """Corpus-frequency rarity scoring (datapipe.chunking.rare_token_stats):
+    two word-keyed hash aggregates; the Zipf head is filtered out of the
+    join by construction (only the rare tail joins). Basis-point exact
+    ratio."""
+    from aces_spark.datapipe.chunking import rare_token_stats
+
+    return rare_token_stats(_read_table(spark, sf_dir, "documents"), max_count=2)
+
+
 def q_asof_join_views(spark, sf_dir):
     """As-of join (operators/timeseries.asof_join): attach each purchase's
     most recent at-or-before view (value + timestamp) per user — the kdb
@@ -1399,6 +1420,8 @@ def q_gapfill_locf(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "doc_chunking": q_doc_chunking,
+    "rare_token_score": q_rare_token_score,
     "asof_join_views": q_asof_join_views,
     "range_join_attrib": q_range_join_attrib,
     "time_rollup": q_time_rollup,
@@ -2833,6 +2856,48 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
 SELECT doc_id, term, tf,
   ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
 FROM tf, n
+"""
+
+    # sliding-window chunking: DuckDB 1-based inclusive list_slice ends at
+    # start+chunk-1, mirroring Spark's slice(arr, start, length)
+    sql["doc_chunking"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS toks
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+sized AS (
+  SELECT doc_id, toks,
+    1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48) AS BIGINT)
+      AS n_chunks
+  FROM toks),
+expanded AS (
+  SELECT doc_id, toks, n_chunks,
+    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM sized)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_chunks,
+  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT)
+    AS n_chunk_tokens
+FROM expanded
+"""
+
+    # corpus rarity: rare tail = words with total count <= 2; ratio in
+    # basis points with the floor(x*10000+0.5) exact-rounding rule,
+    # expression order mirrored exactly ((n_rare/n_tokens)*10000 + 0.5)
+    sql["rare_token_score"] = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS word
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+rare AS (SELECT word FROM words GROUP BY word HAVING COUNT(*) <= 2),
+flagged AS (
+  SELECT w.doc_id, CASE WHEN r.word IS NULL THEN 0 ELSE 1 END AS is_rare
+  FROM words w LEFT JOIN rare r USING (word))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(is_rare) AS BIGINT) AS n_rare,
+  floor((CAST(SUM(is_rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5)
+    / 10000.0 AS rare_frac
+FROM flagged GROUP BY doc_id
 """
 
     # as-of join, mirrored with the same union-tag-fill formulation the
