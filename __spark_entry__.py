@@ -1304,6 +1304,44 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+def _pq_setup(spark, sf_dir, n_codes=16):
+    """Shared PQ fixture: double-cast embeddings + the deterministic seed
+    codebook (m=4 subspaces × n_codes codewords over dim 64)."""
+    from aces_spark.datapipe.pq import pq_train
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return emb, pq_train(emb, m=4, n_codes=n_codes, quantizer="seed")
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (datapipe.pq.pq_encode): each 64-dim
+    embedding → 4 one-byte codes (64× compression), nearest seed codeword
+    per subspace, first-min tie-break. Map-only narrow plan (inline
+    codebook literal, zero exchanges) — exploded to (vec_id, subspace,
+    code) scalars for the oracle."""
+    from aces_spark.datapipe.pq import pq_encode
+
+    emb, cb = _pq_setup(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select("vec_id", F.col("subspace").cast("int"), F.col("code").cast("int"))
+
+
+def q_pq_topk(spark, sf_dir):
+    """Compressed-domain ANN (datapipe.pq.pq_topk): asymmetric-distance
+    top-5 over PQ codes — the scan touches only (id, 4-byte code) rows;
+    per-pair work is 4 codeword lookups, independent of dim. Rank on the
+    6-dp-rounded distance, id tie-break (repo determinism rule)."""
+    from aces_spark.datapipe.pq import pq_encode, pq_topk
+
+    emb, cb = _pq_setup(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    return pq_topk(emb.filter(F.col("vec_id") < 5), codes, cb, k=5)
+
+
 def q_doc_chunking(spark, sf_dir):
     """Sliding-window document chunking (datapipe.chunking.chunk_documents):
     64-token windows, stride 48 — completely narrow plan (tokenize →
@@ -1420,6 +1458,8 @@ def q_gapfill_locf(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
     "doc_chunking": q_doc_chunking,
     "rare_token_score": q_rare_token_score,
     "asof_join_views": q_asof_join_views,
@@ -2856,6 +2896,56 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
 SELECT doc_id, term, tf,
   ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
 FROM tf, n
+"""
+
+    # PQ encode: seed codebook = first-16 vectors sliced per subspace;
+    # per-subspace squared distances as ordered 16-element sums (same
+    # left-to-right IEEE order as Spark's sequential aggregate), argmin
+    # with first-min/smallest-code tie-break
+    _PQ_ENC = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v AS w
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(j)),
+d AS (
+  SELECT e.vec_id, s.j, cb.code,
+    list_sum(list_transform(generate_series(1,16),
+      i -> (v[s.j*16+i] - w[s.j*16+i]) * (v[s.j*16+i] - w[s.j*16+i]))) AS dist
+  FROM e, subs s, cb),
+r AS (SELECT vec_id, j, code,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rk
+      FROM d),
+enc AS (SELECT vec_id, j, code FROM r WHERE rk = 1)
+"""
+
+    sql["pq_codes"] = f"""
+WITH {_PQ_ENC}
+SELECT vec_id, CAST(j AS INT) AS subspace, CAST(code AS INT) AS code FROM enc
+"""
+
+    # PQ ADC top-k: per-(query, neighbor) distance is the j-ordered
+    # sequential sum of per-subspace reconstruction distances (list(dj
+    # ORDER BY j) -> list_sum mirrors Spark's j-ascending fold); rank on
+    # the 6-dp-rounded value with id tie-break
+    sql["pq_topk"] = f"""
+WITH {_PQ_ENC},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+sd AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.j,
+    list_sum(list_transform(generate_series(1,16),
+      i -> (qv[enc.j*16+i] - cb.w[enc.j*16+i]) * (qv[enc.j*16+i] - cb.w[enc.j*16+i])))
+      AS dj
+  FROM q, enc JOIN cb ON cb.code = enc.code
+  WHERE q.query_id <> enc.vec_id),
+adc AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_sum(list(dj ORDER BY j)), 6) AS pq_dist
+  FROM sd GROUP BY query_id, neighbor_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY pq_dist ASC, neighbor_id ASC) AS rn
+  FROM adc)
+SELECT query_id, neighbor_id, pq_dist FROM rk WHERE rn <= 5
 """
 
     # sliding-window chunking: DuckDB 1-based inclusive list_slice ends at

@@ -1,0 +1,204 @@
+"""Product quantization (PQ) for embedding compression + compressed-domain
+ANN — the standard memory-side companion to IVF (IVF-PQ is the layout
+FAISS-style systems use at billion-vector scale).
+
+Why it matters at 100 TB: a 64-dim float32 embedding is 256 bytes; its
+PQ code with ``m=4`` subspaces is 4 bytes — a 64× reduction. The
+distance scan then runs over CODES (reconstruction against a tiny
+broadcast codebook), so the working set that has to move through the
+cluster shrinks by the same factor. Encoding and scanning are pure
+Column expressions (JVM, whole-stage codegen): the codebook — an
+``m × n_codes × dim/m`` float tensor, a few KB — is inlined as a nested
+array literal, exactly like the k-means centers in ``similarity.py``.
+
+Determinism: the seed codebook (first ``n_codes`` vectors by id, sliced
+per subspace) plus first-min argmin and sequential subspace-major
+distance sums make every result exactly reproducible in the DuckDB
+oracle; ranking follows the repo rule (rank on the 6-dp-ROUNDED distance
+with an id tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_topk", "pq_compression_stats"]
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential (left-to-right, IEEE-deterministic) squared L2 distance."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in word]) for word in book])
+            for book in codebook
+        ]
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    quantizer: str = "seed",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> list[list[list[float]]]:
+    """Build the PQ codebook: an ``m × n_codes × (dim/m)`` nested list.
+    Subspace ``j`` covers dims ``[j*dim/m, (j+1)*dim/m)``.
+
+    ``quantizer="seed"``: codewords are the first ``n_codes`` vectors by
+    id, sliced per subspace — iteration-free and exactly SQL-mirrorable
+    (the differential-test choice, like ``similarity.seed_centroids``).
+    ``quantizer="kmeans"``: an independent MLlib k-means per subspace
+    (the production choice — subspace codebooks adapt to the data's
+    marginal distributions). Either way the only driver-side
+    materialization is the codebook itself (a few KB), same policy as
+    ``similarity.kmeans_centroids``.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    if quantizer == "seed":
+        rows = (
+            vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+            .orderBy("__id")
+            .limit(n_codes)
+            .collect()
+        )
+        if len(rows) < n_codes:
+            raise ValueError(f"corpus has {len(rows)} vectors < n_codes={n_codes}")
+        return [
+            [[float(x) for x in r["__v"][j * sub : (j + 1) * sub]] for r in rows]
+            for j in range(m)
+        ]
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        books = []
+        for j in range(m):
+            feats = vectors.select(
+                array_to_vector(
+                    F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+                ).alias("__features")
+            )
+            model = KMeans(
+                k=n_codes, seed=seed, maxIter=5, featuresCol="__features"
+            ).fit(feats)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return books
+    raise ValueError(f"unknown quantizer {quantizer!r} (expected 'seed' or 'kmeans')")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to its PQ code: per subspace, the index of the
+    nearest codeword (first-min tie-break → smallest code). Output:
+    ``(id_col, codes array<int>)``.
+
+    Narrow, map-only plan: the codebook is a broadcast-free inline
+    literal; no shuffle, no join — codes inherit the input partitioning,
+    which is exactly what a 100 TB re-encode job needs.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb = _codebook_lit(codebook)
+    vec = F.col(vec_col).cast("array<double>")
+
+    def code_for(j: int) -> Column:
+        dists = F.transform(
+            cb[j], lambda w: _sqdist(F.slice(vec, j * sub + 1, sub), w)
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return vectors.select(
+        F.col(id_col), F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain top-k (asymmetric distance computation): for each
+    query, the ``k`` corpus codes with the smallest reconstruction
+    distance ``sum_j ||q_j - codeword[j][code_j]||²``. Output:
+    ``(query_id, neighbor_id, pq_dist)``; rank on the 6-dp-rounded
+    distance with neighbor-id tie-break (repo determinism rule).
+
+    The scan side touches only ``(id, m-byte code)`` rows — the
+    compressed corpus — and the queries broadcast; per-pair work is m
+    codeword lookups against the inline codebook, independent of the
+    original dimension.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb = _codebook_lit(codebook)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), F.col("codes"))
+    # subspace-major sequential sum — mirrors the oracle's ordered
+    # list_sum so the float result is bit-identical
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sqdist(
+            F.slice(F.col("__qvec"), j * sub + 1, sub),
+            F.element_at(F.element_at(cb, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
+        ),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pq_compression_stats(
+    codes: DataFrame, dim: int, m: int, bytes_per_dim: int = 4
+) -> DataFrame:
+    """One-row compression report: corpus size, raw vs coded bytes, and
+    the compression ratio (codes are 1 byte per subspace for
+    ``n_codes <= 256``). Pure aggregate — a sanity gate before swapping
+    a pipeline onto the compressed path."""
+    n = F.count(F.lit(1)).cast("long")
+    raw = (n * dim * bytes_per_dim).cast("long")
+    coded = (n * m).cast("long")
+    return codes.agg(
+        n.alias("n_vectors"),
+        raw.alias("raw_bytes"),
+        coded.alias("coded_bytes"),
+        F.round(raw.cast("double") / coded.cast("double"), 2).alias("compression_x"),
+    )
