@@ -1304,6 +1304,41 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_mix_sample(spark, sf_dir):
+    """Target-mix downsampling (datapipe.sampling.mix_sample): solve the
+    largest corpus realizing lang weights en/de/fr/zh = 40/20/20/20 given
+    availability (scarcest weighted stratum kept at 100%), then the
+    deterministic hash filter — row-local, zero shuffle beyond one tiny
+    per-stratum count."""
+    from aces_spark.datapipe.sampling import mix_sample
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mix_sample(
+        docs, {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}, strata_col="lang"
+    )
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-key health report (datapipe.analytics.key_skew_stats):
+    cardinality, heaviest-key share, per-key count quantiles, and the
+    max/mean skew ratio for events.user_id — the pre-flight check before
+    keying a 100 TB join on a column."""
+    from aces_spark.datapipe.analytics import key_skew_stats
+
+    return key_skew_stats(_read_events(spark, sf_dir), "user_id")
+
+
+def q_heavy_keys(spark, sf_dir):
+    """Heavy-hitter keys (datapipe.analytics.heavy_keys): top-10
+    events.user_id values by row count with exact basis-point shares —
+    the salting / broadcast-special-case candidates. Distributed top-k
+    plan (TakeOrderedAndProject), no full sort."""
+    from aces_spark.datapipe.analytics import heavy_keys
+
+    return heavy_keys(_read_events(spark, sf_dir), "user_id", top_k=10)
+
+
 def _pq_setup(spark, sf_dir, n_codes=16):
     """Shared PQ fixture: double-cast embeddings + the deterministic seed
     codebook (m=4 subspaces × n_codes codewords over dim 64)."""
@@ -1458,6 +1493,9 @@ def q_gapfill_locf(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "corpus_mix_sample": q_corpus_mix_sample,
+    "key_skew_report": q_key_skew_report,
+    "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "doc_chunking": q_doc_chunking,
@@ -2896,6 +2934,49 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
 SELECT doc_id, term, tf,
   ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
 FROM tf, n
+"""
+
+    # target-mix sampling: recompute the binding size T = min(n_s/w_s)
+    # and per-stratum thresholds floor(w*T/n*1e4 + 0.5) from the same
+    # counts, same expression order as mix_sample, then the shared
+    # portable bucket filter
+    sql["corpus_mix_sample"] = f"""
+WITH w AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('zh', 0.2))
+           t(lang, wt)),
+n AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS ns FROM documents GROUP BY lang),
+tt AS (SELECT MIN(ns / wt) AS t FROM n JOIN w USING (lang)),
+thr AS (SELECT lang, CAST(floor(wt * tt.t / ns * 10000 + 0.5) AS BIGINT) AS threshold
+        FROM n JOIN w USING (lang), tt),
+b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS sample_bucket FROM documents)
+SELECT b.doc_id, b.lang, b.sample_bucket
+FROM b JOIN thr USING (lang) WHERE b.sample_bucket < thr.threshold
+"""
+
+    # shuffle-key skew report: single rollup over per-key counts; mean,
+    # skew ratio, and interpolated quantiles under the floor(x*1e4+0.5)
+    # exact-rounding rule
+    sql["key_skew_report"] = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(MAX(n) AS BIGINT) AS max_rows,
+  floor(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000.0
+    AS mean_rows,
+  floor(quantile_cont(n, 0.5) * 10000 + 0.5) / 10000.0 AS p50_rows,
+  floor(quantile_cont(n, 0.99) * 10000 + 0.5) / 10000.0 AS p99_rows,
+  floor(CAST(MAX(n) AS DOUBLE)
+        / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5)
+    / 10000.0 AS skew_ratio
+FROM c
+"""
+
+    sql["heavy_keys"] = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+           GROUP BY user_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events)
+SELECT user_id, n_rows,
+  floor(CAST(n_rows AS DOUBLE) / tot.t * 10000 + 0.5) / 10000.0 AS row_frac
+FROM c, tot ORDER BY n_rows DESC, user_id ASC LIMIT 10
 """
 
     # PQ encode: seed codebook = first-16 vectors sliced per subspace;

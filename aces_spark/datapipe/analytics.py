@@ -113,6 +113,67 @@ def cohort_retention(
     )
 
 
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """One-row partitioning-health report for a prospective shuffle key:
+    key cardinality, row count, the heaviest key's share, mean/median/p99
+    rows per key, and the max/mean skew ratio — the numbers to look at
+    BEFORE choosing ``key_col`` as a join/groupBy key at scale (a skew
+    ratio in the hundreds means salting or AQE skew-join handling).
+
+    Output: ``(n_keys, n_rows, max_rows, mean_rows, p50_rows, p99_rows,
+    skew_ratio)`` — ratios in exact basis points.
+
+    Plan: one hash aggregate to per-key counts (uniform by definition of
+    counting), then a single-row rollup of the counts relation.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    mean = F.sum("__n").cast("double") / F.count(F.lit(1)).cast("double")
+    ratio = F.max("__n").cast("double") / mean
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.max("__n").cast("long").alias("max_rows"),
+        (F.floor(mean * 10000 + 0.5).cast("double") / 10000.0).alias("mean_rows"),
+        (
+            F.floor(F.expr("percentile(__n, 0.5)") * 10000 + 0.5).cast("double")
+            / 10000.0
+        ).alias("p50_rows"),
+        (
+            F.floor(F.expr("percentile(__n, 0.99)") * 10000 + 0.5).cast("double")
+            / 10000.0
+        ).alias("p99_rows"),
+        (F.floor(ratio * 10000 + 0.5).cast("double") / 10000.0).alias("skew_ratio"),
+    )
+
+
+def heavy_keys(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """The ``top_k`` heaviest values of ``key_col`` with their row share
+    (exact basis points) — the candidates for salting / broadcast
+    special-casing. Output: ``(key_col, n_rows, row_frac)``, ordered
+    count desc then key asc (deterministic; plans as a distributed
+    top-k, not a full sort).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    frac = F.col("n_rows").cast("double") / F.lit(float(total))
+    return (
+        counts.select(
+            F.col(key_col),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.floor(frac * 10000 + 0.5).cast("double") / 10000.0).alias("row_frac"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+        .limit(top_k)
+    )
+
+
 def length_quantiles(
     df: DataFrame,
     value_col: str = "n_chars",

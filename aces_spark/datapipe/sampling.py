@@ -25,6 +25,8 @@ modules (engine-portable: any SQL oracle reproduces it bit-for-bit).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +65,46 @@ def stratified_sample(
         ).otherwise(threshold)
     return df.withColumn("sample_bucket", bucket).filter(
         F.col("sample_bucket") < threshold
+    )
+
+
+def mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample to a TARGET MIX: find the largest corpus size ``T``
+    whose stratum composition matches ``weights`` given availability
+    (``T = min_s n_s / w_s`` — the scarcest weighted stratum binds, kept
+    at 100%; abundant strata are hash-downsampled to ``w_s·T`` expected
+    rows). Strata absent from ``weights`` are dropped.
+
+    This is the "corpus mixing" step of a training-data pipeline ("40%
+    web, 30% books, 30% code") expressed as pure availability math + the
+    deterministic hash filter: the only cluster work beyond the row-local
+    filter is one tiny per-stratum count (collected driver-side — bounded
+    by the number of strata, same policy as the IVF auto-sizing hop).
+
+    Keep-rates are quantized to basis points with ``floor(x·10⁴ + 0.5)``
+    (the engine-exact rounding rule), so a SQL oracle recomputing the
+    rates from the same counts reproduces the sample row-for-row.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    active = {s: w for s, w in weights.items() if s in counts and w > 0}
+    if not active:
+        raise ValueError("no stratum in `weights` exists in the data")
+    t = min(counts[s] / w for s, w in active.items())
+    rates = {}
+    for s, w in active.items():
+        threshold = math.floor(w * t / counts[s] * BUCKETS + 0.5)
+        rates[s] = threshold / BUCKETS
+    return stratified_sample(
+        df, rates, strata_col=strata_col, key_col=key_col,
+        default_rate=0.0, seed=seed,
     )
 
 

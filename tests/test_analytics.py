@@ -146,3 +146,24 @@ def test_length_quantiles(spark):
     # global variant
     g = length_quantiles(df, by=None, probs=[0.5]).collect()[0]
     assert g["q_0_5"] == 9.0
+
+
+def test_key_skew_stats(spark):
+    rows = [(k, i) for k, n in [("a", 8), ("b", 2), ("c", 2)] for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, i long")
+    from aces_spark.datapipe.analytics import key_skew_stats
+
+    r = key_skew_stats(df, "k").collect()[0]
+    assert r["n_keys"] == 3 and r["n_rows"] == 12 and r["max_rows"] == 8
+    assert r["mean_rows"] == 4.0
+    assert r["p50_rows"] == 2.0
+    assert r["skew_ratio"] == 2.0
+
+
+def test_heavy_keys_order_and_frac(spark):
+    rows = [(k, i) for k, n in [("a", 6), ("b", 3), ("c", 1)] for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, i long")
+    from aces_spark.datapipe.analytics import heavy_keys
+
+    got = [(r["k"], r["n_rows"], r["row_frac"]) for r in heavy_keys(df, "k", 2).collect()]
+    assert got == [("a", 6, 0.6), ("b", 3, 0.3)]

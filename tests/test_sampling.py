@@ -56,3 +56,44 @@ def test_seed_changes_selection(corpus):
     s0 = {r["doc_id"] for r in stratified_sample(corpus, {"en": 0.3}, seed=0).collect()}
     s1 = {r["doc_id"] for r in stratified_sample(corpus, {"en": 0.3}, seed=1).collect()}
     assert s0 != s1
+
+
+class TestMixSample:
+    def test_binding_stratum_kept_fully(self, spark):
+        # 300 en / 100 de, target 50/50 -> de binds (T=200): de kept 100%,
+        # en rate = 100/300
+        rows = [(i, "en" if i < 300 else "de") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        from aces_spark.datapipe.sampling import mix_sample
+
+        out = mix_sample(df, {"en": 0.5, "de": 0.5})
+        by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert by_lang["de"] == 100  # binding stratum: every row kept
+        # en is hash-thresholded at 3333/10000 -> close to 100 in expectation
+        assert 70 <= by_lang["en"] <= 130
+
+    def test_unlisted_stratum_dropped(self, spark):
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        from aces_spark.datapipe.sampling import mix_sample
+
+        out = mix_sample(df, {"en": 0.5, "de": 0.5})
+        assert out.filter("lang = 'fr'").count() == 0
+
+    def test_no_matching_stratum_raises(self, spark):
+        df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+        from aces_spark.datapipe.sampling import mix_sample
+
+        with pytest.raises(ValueError):
+            mix_sample(df, {"xx": 1.0})
+
+    def test_deterministic(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        from aces_spark.datapipe.sampling import mix_sample
+
+        a = sorted(r["doc_id"] for r in mix_sample(df, {"en": 0.7, "de": 0.3}).collect())
+        b = sorted(r["doc_id"] for r in mix_sample(df, {"en": 0.7, "de": 0.3}).collect())
+        assert a == b and len(a) > 0
