@@ -1304,6 +1304,35 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Wide activity matrix (datapipe.analytics.event_type_pivot): one row
+    per user, a count column per event type — explicit value list, so ONE
+    hash aggregate with a pinned schema (no distinct-collect pre-job)."""
+    from aces_spark.datapipe.analytics import event_type_pivot
+
+    return event_type_pivot(_read_events(spark, sf_dir), EVENT_TYPES)
+
+
+def q_label_centroids(spark, sf_dir):
+    """Class centroids (datapipe.similarity.label_centroids): per-label
+    mean embedding with DECIMAL-exact component sums — the one
+    formulation whose distributed mean is bit-reproducible (float partial
+    sums across partitions are order-dependent; decimals are not)."""
+    from aces_spark.datapipe.similarity import label_centroids
+
+    return label_centroids(_read_table(spark, sf_dir, "embeddings"))
+
+
+def q_doc_outlier_filter(spark, sf_dir):
+    """Quantile-band trimming (datapipe.text.outlier_filter): keep docs
+    whose length lies inside the corpus [p1, p99] band; the 1-row bounds
+    frame broadcasts onto the scan."""
+    from aces_spark.datapipe.text import outlier_filter
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return outlier_filter(docs, "n_chars", lo=0.01, hi=0.99)
+
+
 def q_corpus_mix_sample(spark, sf_dir):
     """Target-mix downsampling (datapipe.sampling.mix_sample): solve the
     largest corpus realizing lang weights en/de/fr/zh = 40/20/20/20 given
@@ -1493,6 +1522,9 @@ def q_gapfill_locf(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "event_type_pivot": q_event_type_pivot,
+    "label_centroids": q_label_centroids,
+    "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
@@ -2934,6 +2966,47 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
 SELECT doc_id, term, tf,
   ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
 FROM tf, n
+"""
+
+    sql["event_type_pivot"] = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+    # class centroids: DECIMAL(28,12) component sums are exact in both
+    # engines regardless of partial-sum order; per-dim double division +
+    # floor(x*1e6+0.5), reassembled in dimension order
+    sql["label_centroids"] = """
+WITH d AS (
+  SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+per_dim AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+    floor(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM d GROUP BY label, dim)
+SELECT label, MAX(n) AS n_vectors,
+  list(m ORDER BY dim) AS centroid
+FROM per_dim GROUP BY label
+"""
+
+    # quantile-band trim: bounds via exact interpolated percentiles under
+    # the floor rule, then an inclusive band filter
+    sql["doc_outlier_filter"] = """
+WITH b AS (
+  SELECT floor(quantile_cont(n_chars, 0.01) * 10000 + 0.5) / 10000.0 AS lo_bound,
+         floor(quantile_cont(n_chars, 0.99) * 10000 + 0.5) / 10000.0 AS hi_bound
+  FROM documents)
+SELECT d.doc_id, d.n_chars, b.lo_bound, b.hi_bound
+FROM documents d, b
+WHERE CAST(d.n_chars AS DOUBLE) >= b.lo_bound
+  AND CAST(d.n_chars AS DOUBLE) <= b.hi_bound
 """
 
     # target-mix sampling: recompute the binding size T = min(n_s/w_s)

@@ -113,6 +113,31 @@ def cohort_retention(
     )
 
 
+def event_type_pivot(
+    events: DataFrame,
+    types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wide per-entity activity matrix: one row per user, one count column
+    per event type (the feature-matrix shape downstream ML joins expect).
+
+    ``types`` is explicit — passing the value list lets Spark skip the
+    two-job distinct-collect a bare ``pivot(col)`` needs, and pins the
+    output schema (stable columns even when a type is absent in a shard).
+    One hash aggregate; pivot columns are map-side partials like any agg.
+    """
+    out = (
+        events.groupBy(user_col)
+        .pivot(type_col, types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        F.col(user_col),
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
 def key_skew_stats(
     df: DataFrame,
     key_col: str,

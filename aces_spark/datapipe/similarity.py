@@ -442,6 +442,46 @@ def embedding_dim_stats(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding (class centroids): the base artifact for
+    centroid classifiers, per-class drift monitoring, and seeding
+    quantizers from labels. Output: ``(label, n_vectors, centroid)``
+    with the centroid at 6 dp.
+
+    Engine-exact at any scale: components are summed in DECIMAL(28,12)
+    (order-independent EXACT addition — float partial-sum order across
+    partitions is the usual oracle-breaker for distributed means), then
+    one double division per dimension and the floor(x·10⁶+0.5) rounding
+    rule. Plan: narrow ``posexplode`` → (label, dim)-keyed aggregate
+    (uniform keys, map-side partials) → per-label sorted reassembly.
+    """
+    d = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"),
+    )
+    per_dim = d.groupBy("label", "__dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(28,12)")).alias("__sum"),
+    )
+    mean = F.col("__sum").cast("double") / F.col("__n").cast("double")
+    rounded = F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0
+    return (
+        per_dim.select("label", "__dim", "__n", rounded.alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__dim", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid"),
+        )
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -321,3 +321,47 @@ def clean_corpus(
         .filter(F.col("doc_id") == F.col("__canon"))
         .drop("__canon")
     )
+
+
+def quantile_bounds(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """One-row frame with the corpus ``[lo, hi]`` quantile bounds of
+    ``value_col`` (4 dp, floor-rule exact) — the trim thresholds for
+    winsorizing/outlier removal. Exact ``percentile`` with map-side
+    partials; swap ``percentile_approx`` at 100 TB if exactness is not
+    required (same call shape)."""
+    q = F.expr(f"percentile(`{value_col}`, array({lo!r}, {hi!r}))")
+    def _r(c):
+        return F.floor(c * 10000 + 0.5).cast("double") / 10000.0
+    return df.agg(
+        _r(q[0]).alias("lo_bound"), _r(q[1]).alias("hi_bound")
+    )
+
+
+def outlier_filter(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the corpus ``[lo, hi]``
+    quantile band (inclusive) — the distribution-trimming pass that drops
+    pathological outliers (truncated or runaway documents) before
+    training. Adds ``lo_bound`` / ``hi_bound`` for audit.
+
+    Plan: the 1-row bounds frame broadcast-joins onto the scan (Catalyst
+    plans BroadcastNestedLoopJoin over a single row — effectively free)
+    and the band test is a row-local filter; the corpus is scanned twice
+    (once for the percentile, once filtered), the standard two-pass
+    trim — cache the input when it fits, or precompute bounds on a
+    sample."""
+    bounds = quantile_bounds(df, value_col, lo, hi)
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds))
+        .filter((v >= F.col("lo_bound")) & (v <= F.col("hi_bound")))
+    )

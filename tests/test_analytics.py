@@ -167,3 +167,24 @@ def test_heavy_keys_order_and_frac(spark):
 
     got = [(r["k"], r["n_rows"], r["row_frac"]) for r in heavy_keys(df, "k", 2).collect()]
     assert got == [("a", 6, 0.6), ("b", 3, 0.3)]
+
+
+def test_event_type_pivot(spark):
+    rows = [(1, "click"), (1, "click"), (1, "view"), (2, "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from aces_spark.datapipe.analytics import event_type_pivot
+
+    got = {
+        r["user_id"]: (r["n_click"], r["n_view"], r["n_purchase"])
+        for r in event_type_pivot(df, ["click", "view", "purchase"]).collect()
+    }
+    assert got == {1: (2, 1, 0), 2: (0, 0, 1)}
+
+
+def test_event_type_pivot_absent_type_zero_schema_stable(spark):
+    df = spark.createDataFrame([(1, "click")], "user_id long, event_type string")
+    from aces_spark.datapipe.analytics import event_type_pivot
+
+    out = event_type_pivot(df, ["click", "view"])
+    assert out.columns == ["user_id", "n_click", "n_view"]
+    assert out.collect()[0]["n_view"] == 0

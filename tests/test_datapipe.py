@@ -674,3 +674,29 @@ def test_scoped_minhash_jaccard_releases_cache(spark):
         assert pairs.count() >= 1
         assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_label_centroids_exact_mean(spark):
+    from aces_spark.datapipe.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>",
+    )
+    got = {r["label"]: (r["n_vectors"], r["centroid"]) for r in label_centroids(df).collect()}
+    assert got[0] == (2, [2.0, 4.0])
+    assert got[1] == (1, [10.0, 20.0])
+
+
+def test_outlier_filter_trims_band(spark):
+    from aces_spark.datapipe.text import outlier_filter, quantile_bounds
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([1, 50, 51, 52, 53, 54, 55, 56, 57, 1000])],
+        "doc_id long, n_chars long",
+    )
+    b = quantile_bounds(df, "n_chars", 0.1, 0.9).collect()[0]
+    kept = outlier_filter(df, "n_chars", 0.1, 0.9)
+    vals = sorted(r["n_chars"] for r in kept.collect())
+    assert 1 not in vals and 1000 not in vals
+    assert all(b["lo_bound"] <= v <= b["hi_bound"] for v in vals)
