@@ -1304,6 +1304,16 @@ def q_tfidf_features(spark, sf_dir):
     return tfidf_exact(_read_table(spark, sf_dir, "documents"))
 
 
+def q_props_field_stats(spark, sf_dir):
+    """Typed JSON extraction (functions/semistructured.py): parse
+    events.props with an explicit schema (from_json, JVM codegen — never
+    per-field get_json_object or a Python UDF) and profile field ``k``
+    per event type. All-BIGINT output."""
+    from aces_spark.functions.semistructured import json_field_stats
+
+    return json_field_stats(_read_events(spark, sf_dir))
+
+
 def q_event_type_pivot(spark, sf_dir):
     """Wide activity matrix (datapipe.analytics.event_type_pivot): one row
     per user, a count column per event type — explicit value list, so ONE
@@ -1522,6 +1532,7 @@ def q_gapfill_locf(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: new this round, never had a CORRECTNESS row ---
+    "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "label_centroids": q_label_centroids,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -2966,6 +2977,17 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
 SELECT doc_id, term, tf,
   ROUND(tf * ln((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY term) + 1.0)), 6) AS tfidf
 FROM tf, n
+"""
+
+    # typed JSON field profiling: DuckDB's ->> extraction cast to BIGINT
+    # mirrors from_json("k BIGINT"); malformed/absent -> NULL in both
+    sql["props_field_stats"] = """
+WITH e AS (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  MIN(k) AS min_v, MAX(k) AS max_v, CAST(SUM(k) AS BIGINT) AS sum_v
+FROM e GROUP BY event_type
 """
 
     sql["event_type_pivot"] = """

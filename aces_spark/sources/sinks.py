@@ -150,3 +150,31 @@ def write_bucketed_predicates(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout partitioned parquet sink: ``path/col=value/…``
+    directories, optionally sorted within files and capped per file.
+
+    The 100 TB lake layout: partition directories give readers STATIC
+    partition pruning (a ``WHERE col = v`` never opens other directories —
+    the same effect the persisted IVF index exploits), ``sort_cols``
+    gives parquet min/max row-group skipping within files, and
+    ``max_records_per_file`` bounds file sizes without an extra
+    repartition job. Choose low-cardinality columns (date, source, split)
+    — one directory per value per task is the small-files failure mode.
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    w = out.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
