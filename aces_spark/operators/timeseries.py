@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from ..functions.timecol import as_timestamp, epoch_micros
 
-__all__ = ["asof_join", "range_join", "gapfill_locf", "time_rollup"]
+__all__ = [
+    "asof_join",
+    "asof_join_chunked",
+    "range_join",
+    "gapfill_locf",
+    "time_rollup",
+]
 
 _BUCKET_US = {
     "minute": 60 * 1_000_000,
@@ -133,6 +139,114 @@ def asof_join(
         gap = (
             epoch_micros(left_ts) - epoch_micros(F.col("__match.__rts"))
         ) * sign
+        out = out.withColumn(
+            "__match", F.when((gap >= 0) & (gap <= _td_us(tolerance)), F.col("__match"))
+        )
+    proj = [F.col(c) for c in lcols]
+    proj.append(F.col("__match.__rts").alias(ts_out))
+    proj.extend(F.col("__match").getField(c).alias(c) for c in right_cols)
+    return out.select(*proj)
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_order: str | None = None,
+    tolerance: timedelta | None = None,
+    ts_out: str = "asof_ts",
+    chunk: timedelta = timedelta(days=365),
+) -> DataFrame:
+    """Skew-safe backward as-of join: bit-identical to
+    :func:`asof_join(direction="backward")` but the growing fill runs
+    within ``(on, time-chunk)`` partitions — parallelism scales with
+    ``|keys| × |chunks|`` instead of ``|keys|``, the same escape hatch the
+    event-bound kernel uses (``operators/skew.py``) for the
+    one-dominant-key corpus where a single subject holds millions of rows.
+
+    Stitching: each chunk's unmatched prefix takes its match from a tiny
+    per-``(on, chunk)`` side relation (the last right payload of every
+    chunk, prefix-filled over STRICTLY PRIOR chunks with an exclusive
+    frame). Three exchanges total — the wide ``(on, chunk)`` one plus two
+    over the small side relation.
+
+    Pass ``right_order`` whenever right timestamps can repeat per key —
+    it is what makes both the chunked and unchunked results
+    deterministic, and therefore identical.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    chunk_us = _td_us(chunk)
+    if chunk_us <= 0:
+        raise ValueError("chunk must be a positive timedelta")
+
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], as_timestamp(right_ts).alias("__rts")
+    )
+    ord_expr = (
+        F.col(right_order).cast("long") if right_order else F.lit(0).cast("long")
+    )
+    r = right.select(
+        F.col(on),
+        epoch_micros(right_ts).alias("__k"),
+        F.lit(0).alias("__side"),
+        ord_expr.alias("__ord"),
+        payload.alias("__payload"),
+    )
+    payload_type = r.schema["__payload"].dataType
+    lcols = list(left.columns)
+    l = left.select(
+        *lcols,
+        epoch_micros(left_ts).alias("__k"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__ord"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    r_wide = r.select(
+        on, "__k", "__side", "__ord", "__payload",
+        *[F.lit(None).cast(l.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    tagged = r_wide.unionByName(l).withColumn(
+        "__chunk", F.floor(F.col("__k") / chunk_us)
+    )
+
+    w_in = (
+        Window.partitionBy(on, "__chunk")
+        .orderBy(F.col("__k").asc(), F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = tagged.withColumn(
+        "__m_in", F.last("__payload", ignorenulls=True).over(w_in)
+    ).filter(F.col("__side") == 1)
+
+    # tiny side relation: last right payload of every (key, chunk) …
+    chunk_last = (
+        tagged.filter(F.col("__side") == 0)
+        .groupBy(on, "__chunk")
+        .agg(F.max_by("__payload", F.struct("__k", "__ord")).alias("__last"))
+    )
+    # … prefix-filled over strictly prior chunks (exclusive frame), on the
+    # full chunk set so left-only chunks still receive a carry
+    all_chunks = tagged.select(on, "__chunk").distinct()
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_chunks.join(chunk_last, [on, "__chunk"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(w_carry))
+        .select(on, "__chunk", "__carry")
+    )
+
+    out = intra.join(carry, [on, "__chunk"], "left").withColumn(
+        "__match", F.coalesce(F.col("__m_in"), F.col("__carry"))
+    )
+    if tolerance is not None:
+        gap = epoch_micros(left_ts) - epoch_micros(F.col("__match.__rts"))
         out = out.withColumn(
             "__match", F.when((gap >= 0) & (gap <= _td_us(tolerance)), F.col("__match"))
         )

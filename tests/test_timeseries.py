@@ -231,3 +231,70 @@ class TestTimeRollup:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         plan = time_rollup(ev, by="event_type")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestAsofJoinChunked:
+    def test_bit_identical_to_unchunked(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        right = ev.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"),
+            F.col("value").alias("vval"),
+        )
+        from aces_spark.operators.timeseries import asof_join_chunked
+
+        kw = dict(
+            on="user_id", left_ts="ts", right_ts="vts",
+            right_cols=["vid", "vval"], right_order="vid",
+        )
+        base = asof_join(left, right, **kw).select("event_id", "vid", "vval")
+        for chunk in (timedelta(days=1), timedelta(hours=6)):
+            chunked = asof_join_chunked(left, right, chunk=chunk, **kw).select(
+                "event_id", "vid", "vval"
+            )
+            assert sorted(map(tuple, chunked.collect())) == sorted(
+                map(tuple, base.collect())
+            )
+
+    def test_tolerance_matches_unchunked(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        right = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"), F.col("value").alias("vval"),
+        )
+        from aces_spark.operators.timeseries import asof_join_chunked
+
+        kw = dict(
+            on="user_id", left_ts="ts", right_ts="vts",
+            right_cols=["vval"], right_order="vid",
+            tolerance=timedelta(hours=12),
+        )
+        base = asof_join(left, right, **kw).select("event_id", "vval")
+        chunked = asof_join_chunked(
+            left, right, chunk=timedelta(days=2), **kw
+        ).select("event_id", "vval")
+        assert sorted(map(tuple, chunked.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+
+    def test_carry_crosses_empty_chunks(self, spark):
+        # right obs in chunk 0 only; left rows many chunks later must
+        # still match through the strictly-prior carry
+        rows_r = [Row(user_id=1, ts=ts("2024-01-01 00:00"), q=1.0, rid=1)]
+        rows_l = [Row(user_id=1, event_id=9, ts=ts("2024-06-01 00:00"))]
+        from aces_spark.operators.timeseries import asof_join_chunked
+
+        out = asof_join_chunked(
+            spark.createDataFrame(rows_l),
+            spark.createDataFrame(rows_r),
+            on="user_id", right_cols=["q"], right_order="rid",
+            chunk=timedelta(days=7),
+        ).collect()
+        assert out[0]["q"] == 1.0
