@@ -229,8 +229,18 @@ def asof_join_chunked(
         .agg(F.max_by("__payload", F.struct("__k", "__ord")).alias("__last"))
     )
     # … prefix-filled over strictly prior chunks (exclusive frame), on the
-    # full chunk set so left-only chunks still receive a carry
-    all_chunks = tagged.select(on, "__chunk").distinct()
+    # full chunk range so left-only chunks still receive a carry. The
+    # range comes from a per-key min/max span (map-side partial agg —
+    # NOT a distinct over the full relation, which would cost a second
+    # full-data exchange) exploded into the contiguous chunk ids.
+    all_chunks = (
+        tagged.groupBy(on)
+        .agg(F.min("__chunk").alias("__c0"), F.max("__chunk").alias("__c1"))
+        .select(
+            F.col(on),
+            F.explode(F.sequence(F.col("__c0"), F.col("__c1"))).alias("__chunk"),
+        )
+    )
     w_carry = (
         Window.partitionBy(on)
         .orderBy("__chunk")

@@ -298,3 +298,85 @@ class TestAsofJoinChunked:
             chunk=timedelta(days=7),
         ).collect()
         assert out[0]["q"] == 1.0
+
+
+def test_time_rollup_global_no_by(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from aces_spark.operators.timeseries import time_rollup
+
+    out = time_rollup(ev, grains=["day"]).collect()
+    total = [r for r in out if r["grain"] == "all"]
+    assert len(total) == 1 and total[0]["n_events"] == ev.count()
+    daily = sum(r["n_events"] for r in out if r["grain"] == "day")
+    assert daily == ev.count()
+
+
+# ---- property-based as-of fuzz: random two-sided frames vs a pure-python
+# oracle (backward + forward, shared tie rules) ----
+
+from datetime import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EPOCH = _dt(2020, 1, 1)
+
+
+@st.composite
+def _asof_frames(draw):
+    """1-3 keys, up to 8 left and 8 right rows per key, minute-resolution
+    timestamps with deliberate collisions (0-120 range)."""
+    lefts, rights = [], []
+    rid = iter(range(10_000))
+    for k in range(1, draw(st.integers(1, 3)) + 1):
+        for m in draw(st.lists(st.integers(0, 120), min_size=0, max_size=8)):
+            lefts.append((k, next(rid), _EPOCH + timedelta(minutes=m)))
+        for m in draw(st.lists(st.integers(0, 120), min_size=0, max_size=8)):
+            rights.append((k, next(rid), _EPOCH + timedelta(minutes=m), float(m)))
+    return lefts, rights
+
+
+def _py_asof(lefts, rights, direction):
+    out = {}
+    for k, lid, lts in lefts:
+        cands = [
+            (rts, rid, val)
+            for (rk, rid, rts, val) in rights
+            if rk == k and (rts <= lts if direction == "backward" else rts >= lts)
+        ]
+        if not cands:
+            out[lid] = None
+            continue
+        if direction == "backward":
+            best = max(cands, key=lambda c: (c[0], c[1]))  # latest ts, then max rid
+        else:
+            best = min(cands, key=lambda c: (c[0], c[1]))  # earliest ts, then min rid
+        out[lid] = best[2]
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_asof_frames(), st.sampled_from(["backward", "forward"]))
+def test_asof_join_fuzz_vs_python(spark, frames, direction):
+    lefts, rights = frames
+    if not lefts:
+        return
+    l = spark.createDataFrame(lefts, "k long, lid long, ts timestamp")
+    if rights:
+        r = spark.createDataFrame(rights, "k long, rid long, rts timestamp, val double")
+    else:
+        r = spark.createDataFrame(
+            [], "k long, rid long, rts timestamp, val double"
+        )
+    got = {
+        row["lid"]: row["val"]
+        for row in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["val"], right_order="rid", direction=direction,
+        ).collect()
+    }
+    assert got == _py_asof(lefts, rights, direction)
