@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "pq_compression_stats"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_compression_stats",
+    "save_ivfpq_index",
+    "ivfpq_topk_indexed",
+]
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -201,4 +208,123 @@ def pq_compression_stats(
         raw.alias("raw_bytes"),
         coded.alias("coded_bytes"),
         F.round(raw.cast("double") / coded.cast("double"), 2).alias("compression_x"),
+    )
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantizer: str = "kmeans",
+    target_bucket_size: int | None = None,
+) -> None:
+    """Build and persist an IVF-PQ index — the FAISS-style layout for
+    billion-vector corpora: a coarse quantizer routes vectors to cells
+    (directory-level partition pruning at query time, like
+    ``similarity.save_ivf_index``) and each vector is stored as its m-byte
+    PQ CODE instead of the raw floats, so the probed-cell scan reads the
+    compressed corpus (64× smaller here).
+
+    Writes ``{path}/centroids`` (tiny), ``{path}/codebook`` (m × n_codes
+    rows), and ``{path}/cells`` partitioned by ``cell_id`` holding only
+    ``(vec_id, codes)``.
+    """
+    from .similarity import (
+        DEFAULT_TARGET_BUCKET_SIZE,
+        _resolve_centroids,
+        assign_cells,
+    )
+
+    tbs = DEFAULT_TARGET_BUCKET_SIZE if target_bucket_size is None else target_bucket_size
+    cents = _resolve_centroids(
+        corpus, n_cells, None, id_col, vec_col, quantizer, tbs
+    )
+    codebook = pq_train(
+        corpus, m=m, n_codes=n_codes,
+        quantizer="seed" if quantizer == "seed" else "kmeans",
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    assigned = codes.withColumnRenamed(id_col, "vec_id").join(
+        assign_cells(corpus, cents, id_col, vec_col), "vec_id"
+    )
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, c, codebook[j][c])
+        for j in range(len(codebook))
+        for c in range(len(codebook[j]))
+    ]
+    cb_df = spark.createDataFrame(
+        cb_rows, "subspace int, code int, codeword array<double>"
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Query a :func:`save_ivfpq_index` index: route each query to its
+    ``n_probes`` nearest cells, statically prune the scan to those cell
+    directories (the probe-id ``IN`` filter is the same sanctioned driver
+    hop as ``ivf_topk_indexed``), and rank candidates by the PQ
+    asymmetric reconstruction distance over CODES — the scan never touches
+    a raw corpus vector. Output ``(query_id, neighbor_id, pq_dist)``
+    (6-dp rounded, id tie-break)."""
+    from .similarity import assign_cells
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    mx = max(r["subspace"] for r in cb_rows) + 1
+    kx = max(r["code"] for r in cb_rows) + 1
+    codebook = [[None] * kx for _ in range(mx)]
+    for r in cb_rows:
+        codebook[r["subspace"]][r["code"]] = list(r["codeword"])
+
+    query_cells = assign_cells(
+        queries, cents, id_col, vec_col, n_probes=n_probes
+    ).withColumnRenamed("vec_id", "query_id")
+    probe_ids = [r["cell_id"] for r in query_cells.select("cell_id").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probe_ids))
+
+    sub = len(codebook[0][0])
+    cb = _codebook_lit(codebook)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ).join(query_cells, "query_id")
+    c = cells.select(F.col("vec_id").alias("neighbor_id"), "codes", "cell_id")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mx - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sqdist(
+            F.slice(F.col("__qvec"), j * sub + 1, sub),
+            F.element_at(F.element_at(cb, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
+        ),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, on="cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

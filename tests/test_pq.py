@@ -106,3 +106,51 @@ class TestPqTopk:
         assert row["raw_bytes"] == 500 * 64 * 4
         assert row["coded_bytes"] == 500 * 4
         assert row["compression_x"] == 64.0
+
+
+class TestIvfPqIndex:
+    def test_full_probe_matches_pq_topk(self, spark, tmp_path):
+        from aces_spark.datapipe.pq import (
+            ivfpq_topk_indexed,
+            save_ivfpq_index,
+        )
+
+        emb = _emb(spark)
+        path = str(tmp_path / "ivfpq")
+        save_ivfpq_index(emb, path, n_cells=8, quantizer="seed")
+        qs = emb.filter(F.col("vec_id") < 4)
+
+        # probing every cell recovers exactly the global compressed-domain
+        # top-k (same codebook: seed n_codes=16 default in both paths)
+        cb = pq_train(emb, m=4, n_codes=16)
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["pq_dist"])
+            for r in pq_topk(qs, pq_encode(emb, cb), cb, k=3).collect()
+        )
+        got_df = ivfpq_topk_indexed(spark, path, qs, k=3, n_probes=8)
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["pq_dist"]) for r in got_df.collect()
+        )
+        assert got == want
+
+    def test_partition_pruning_and_compressed_scan(self, spark, tmp_path):
+        from aces_spark.datapipe.pq import (
+            ivfpq_topk_indexed,
+            save_ivfpq_index,
+        )
+
+        emb = _emb(spark)
+        path = str(tmp_path / "ivfpq")
+        save_ivfpq_index(emb, path, n_cells=8, quantizer="seed")
+        qs = emb.filter(F.col("vec_id") < 2)
+        out = ivfpq_topk_indexed(spark, path, qs, k=3, n_probes=2)
+        assert out.count() == 6
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # static pruning on the cells scan …
+        assert "PartitionFilters: [" in plan
+        assert any(
+            "cell_id" in seg[:200] for seg in plan.split("PartitionFilters: [")[1:]
+        )
+        # … and the scanned relation carries codes, never raw embeddings
+        cells_schema = spark.read.parquet(f"{path}/cells").schema.fieldNames()
+        assert "codes" in cells_schema and "embedding" not in cells_schema
