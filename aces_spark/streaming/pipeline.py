@@ -279,3 +279,27 @@ def open_window_tracker(
     return pred_events.groupBy("subject_id").applyInPandasWithState(
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "subject_id",
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event frame
+    against a STATIC dimension (user attributes, document metadata, the
+    latest model-score snapshot). Stream-static joins are stateless in
+    Structured Streaming — no watermark, no state store; each micro-batch
+    joins against the dimension as of that batch, and the same call works
+    identically under ``read`` (batch/stream parity, like every stage in
+    this module).
+
+    ``broadcast_dim`` (default) pins the broadcast-hash plan — the right
+    shape whenever the dimension fits on executors; disable it for a
+    huge dimension and let AQE pick a shuffled join (batch) / per-batch
+    hash join (streaming).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)

@@ -213,3 +213,41 @@ def test_open_window_tracker_matches_batch_kernel(spark, tmp_path):
     assert (1, base, base + timedelta(hours=6), 0, 1, 2) in got
     # same-row trigger+boundary closes itself with zero counts
     assert (2, base + timedelta(hours=4), base + timedelta(hours=4), 0, 0, 0) in got
+
+
+def test_enrich_stream_batch_parity(spark, tmp_path):
+    """Stream-static enrichment produces identical rows under read and
+    readStream (availableNow drain)."""
+    from aces_spark.streaming.pipeline import enrich_stream
+
+    src = str(tmp_path / "ev")
+    events = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "a", 40.0)],
+        "subject_id long, code string, v double",
+    )
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (4, "gold")], "subject_id long, tier string"
+    )
+
+    batch = enrich_stream(spark.read.parquet(src), dim).select(
+        "subject_id", "code", "tier"
+    )
+    want = sorted(map(tuple, batch.collect()))
+
+    stream = enrich_stream(
+        spark.readStream.schema(events.schema).parquet(src), dim
+    ).select("subject_id", "code", "tier")
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
+    # no-match stream rows keep null tier (left join semantics)
+    assert (3, "c", None) in got
