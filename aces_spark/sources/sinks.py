@@ -11,6 +11,8 @@ timestamp``, ``boolean_value: boolean``, ``integer_value: long``,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -178,3 +180,37 @@ def write_partitioned(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files (optionally sorted
+    within files for row-group skipping). Returns the output file count.
+
+    The maintenance job every long-lived lake table needs — streaming
+    sinks and fine-grained partitioned writes accumulate files whose
+    per-file open/footer cost eventually dominates scans. Sizing from
+    filesystem metadata (no data pass) keeps the job one shuffle; the
+    rewrite target is a NEW path — swap atomically at the catalog/symlink
+    level rather than overwriting in place while readers are active.
+    """
+    df = spark.read.parquet(path)
+    files = [f[len("file:"):] for f in df.inputFiles() if f.startswith("file:")]
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    n_out = max(1, -(-total // target_file_bytes))
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -82,3 +82,22 @@ class TestWritePartitioned:
             f for f in os.listdir(os.path.join(path, "g=s")) if f.endswith(".parquet")
         ]
         assert len(files) >= 4  # 10 rows / cap 3
+
+
+class TestCompactParquet:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from aces_spark.sources.sinks import compact_parquet
+
+        src = str(tmp_path / "small")
+        spark.range(1000).repartition(20).write.parquet(src)
+        n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_src == 20
+
+        out = str(tmp_path / "compacted")
+        n_out = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+        assert n_out == 1
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 1
+        assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == list(
+            range(1000)
+        )
