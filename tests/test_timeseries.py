@@ -380,3 +380,88 @@ def test_asof_join_fuzz_vs_python(spark, frames, direction):
         ).collect()
     }
     assert got == _py_asof(lefts, rights, direction)
+
+
+@st.composite
+def _series_frames(draw):
+    """1-2 keys, 1-8 observations each at hour resolution (collisions
+    allowed) — small enough for an exact python LOCF oracle."""
+    rows = []
+    rid = iter(range(10_000))
+    for k in range(1, draw(st.integers(1, 2)) + 1):
+        for h in draw(st.lists(st.integers(0, 48), min_size=1, max_size=8)):
+            rows.append((k, next(rid), _EPOCH + timedelta(hours=h, minutes=draw(st.integers(0, 59))), float(draw(st.integers(0, 99)))))
+    return rows
+
+
+def _py_gapfill(rows, bucket_hours=1):
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, rid, ts_, v in rows:
+        by_key[k].append((ts_, rid, v))
+    out = []
+    for k, obs in by_key.items():
+        def bucket(t):
+            return t.replace(minute=0, second=0, microsecond=0)
+        per_bucket = {}
+        for ts_, rid, v in obs:
+            b = bucket(ts_)
+            cur = per_bucket.get(b)
+            if cur is None or (ts_, rid) > (cur[0], cur[1]):
+                per_bucket[b] = (ts_, rid, v)
+        lo = bucket(min(t for t, _, _ in obs))
+        hi = bucket(max(t for t, _, _ in obs))
+        last = None
+        b = lo
+        while b <= hi:
+            if b in per_bucket:
+                last = per_bucket[b][2]
+                out.append((k, b, last, True))
+            else:
+                out.append((k, b, last, False))
+            b = b + timedelta(hours=1)
+    return sorted(out)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_series_frames())
+def test_gapfill_fuzz_vs_python(spark, rows):
+    df = spark.createDataFrame(rows, "k long, rid long, ts timestamp, v double")
+    got = sorted(
+        (r["k"], r["grid_ts"], r["v"], r["is_observed"])
+        for r in gapfill_locf(
+            df, on="k", ts_col="ts", value_col="v", bucket="hour", order_col="rid"
+        ).collect()
+    )
+    assert got == _py_gapfill(rows)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 72), st.integers(1, 2)), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(st.integers(0, 72), st.integers(1, 6), st.integers(1, 2)),
+        min_size=1, max_size=6,
+    ),
+)
+def test_range_join_fuzz_vs_python(spark, points, intervals):
+    lefts = [
+        (k, i, _EPOCH + timedelta(hours=h)) for i, (h, k) in enumerate(points)
+    ]
+    ivs = [
+        (k, i, _EPOCH + timedelta(hours=h), _EPOCH + timedelta(hours=h + dur))
+        for i, (h, dur, k) in enumerate(intervals)
+    ]
+    l = spark.createDataFrame(lefts, "k long, lid long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "k long, ivid long, start_ts timestamp, end_ts timestamp")
+    got = sorted(
+        (r["lid"], r["ivid"]) for r in range_join(l, iv, on="k", bucket="hour").collect()
+    )
+    want = sorted(
+        (lid, ivid)
+        for (lk, lid, lts) in lefts
+        for (ik, ivid, s, e) in ivs
+        if lk == ik and s <= lts < e
+    )
+    assert got == want
