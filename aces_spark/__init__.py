@@ -21,6 +21,13 @@ from .operators.aggregate import (
     boolean_expr_bound_sum,
 )
 from .operators.constraints import check_constraints, check_static_variables
+from .operators.timeseries import (
+    asof_join,
+    asof_join_chunked,
+    gapfill_locf,
+    range_join,
+    time_rollup,
+)
 from .plans.extract_subtree import extract_subtree
 from .query import query
 from .sources.predicates import (
