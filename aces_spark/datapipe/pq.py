@@ -42,6 +42,34 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _adc_table(qvec: Column, cb: Column, sub: int) -> Column:
+    """Per-query ADC distance table: ``tab[j][c] = ||q_j - cb[j][c]||²``
+    — computed ONCE per query row (O(m·n_codes·sub)), so the per-pair
+    scan is pure lookups. The two-arg ``transform`` lambda provides the
+    subspace index for the slice."""
+    return F.transform(
+        cb,
+        lambda book, j: F.transform(
+            book, lambda w: _sqdist(F.slice(qvec, j * sub + 1, sub), w)
+        ),
+    )
+
+
+def _adc_dist(m: int) -> Column:
+    """Sequential subspace-major sum of table lookups — the identical
+    values in the identical order as the direct per-pair formulation,
+    hence bit-equal results."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__tab"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+
+
 def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
     return F.array(
         *[
@@ -153,9 +181,13 @@ def pq_topk(
     distance with neighbor-id tie-break (repo determinism rule).
 
     The scan side touches only ``(id, m-byte code)`` rows — the
-    compressed corpus — and the queries broadcast; per-pair work is m
-    codeword lookups against the inline codebook, independent of the
-    original dimension.
+    compressed corpus — and the queries broadcast. This is true ADC:
+    each query precomputes its ``m × n_codes`` distance TABLE once (all
+    query-to-codeword subspace distances), so per-(query, code) work is
+    m table lookups + m additions — independent of both the original
+    dimension AND the codebook size. The summed values are the identical
+    subspace distances in the identical order, so results are bit-equal
+    to the direct per-pair formulation (and to the SQL oracle).
     """
     m = len(codebook)
     sub = len(codebook[0][0])
@@ -163,20 +195,10 @@ def pq_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        _adc_table(F.col(vec_col).cast("array<double>"), cb, sub).alias("__tab"),
     )
     c = codes.select(F.col(id_col).alias("neighbor_id"), F.col("codes"))
-    # subspace-major sequential sum — mirrors the oracle's ordered
-    # list_sum so the float result is bit-identical
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sqdist(
-            F.slice(F.col("__qvec"), j * sub + 1, sub),
-            F.element_at(F.element_at(cb, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
-        ),
-    )
+    dist = _adc_dist(m)
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -300,20 +322,13 @@ def ivfpq_topk_indexed(
 
     sub = len(codebook[0][0])
     cb = _codebook_lit(codebook)
+    # per-query ADC table (see pq_topk): pure lookups on the probed scan
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        _adc_table(F.col(vec_col).cast("array<double>"), cb, sub).alias("__tab"),
     ).join(query_cells, "query_id")
     c = cells.select(F.col("vec_id").alias("neighbor_id"), "codes", "cell_id")
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(mx - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sqdist(
-            F.slice(F.col("__qvec"), j * sub + 1, sub),
-            F.element_at(F.element_at(cb, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
-        ),
-    )
+    dist = _adc_dist(mx)
     sims = (
         F.broadcast(q)
         .join(c, on="cell_id")
