@@ -535,3 +535,41 @@ def aggregate_event_bound_window_chunked(
         kwargs["offset"],
         chunk=chunk,
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic skew-breaking equi-join: the heavy LEFT side scatters each
+    key across ``n_salts`` sub-partitions (deterministic salt =
+    ``xxhash64(salt_key) mod n_salts`` — pass any stable left column,
+    typically the row's unique id), and the smaller RIGHT side replicates
+    into every salt. The join keys become ``on + [salt]``, so one hot
+    key's rows land on ``n_salts`` reducers instead of one.
+
+    Same results as ``left.join(right, on, how)`` for ``inner`` and
+    ``left`` joins (each left row still meets every matching right row,
+    exactly once per salt replica it can reach — its own). Right-side
+    cost is ``n_salts×`` replication, so keep the replicated side the
+    small one — when it is SMALL enough to broadcast, prefer
+    ``F.broadcast`` (no shuffle at all); salting is for the middle
+    ground where the right side is too big to broadcast and the left
+    key distribution is too hot for a plain shuffle. AQE's skew-join
+    handles sort-merge cases adaptively; salting is the deterministic,
+    plan-time guarantee.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(n_salts)).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return l.join(r, on_cols + ["__salt"], how).drop("__salt")

@@ -189,3 +189,56 @@ def test_chunked_event_bound_actually_chunks(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__chunk" in plan
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        from aces_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [(i, i % 3, f"l{i}") for i in range(200)], "rid long, k long, lv string"
+        )
+        right = spark.createDataFrame(
+            [(k, f"r{k}{j}") for k in range(3) for j in range(2)], "k long, rv string"
+        )
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", salt_key="rid").select(
+                "rid", "k", "lv", "rv").collect())
+        )
+        want = sorted(
+            map(tuple, left.join(right, "k").select("rid", "k", "lv", "rv").collect())
+        )
+        assert got == want
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from aces_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, 10), (2, 99)], "rid long, k long")
+        right = spark.createDataFrame([(10, "hit")], "k long, rv string")
+        got = {
+            r["rid"]: r["rv"]
+            for r in salted_join(left, right, "k", salt_key="rid", how="left").collect()
+        }
+        assert got == {1: "hit", 2: None}
+
+    def test_salts_spread_hot_key(self, spark):
+        from aces_spark.operators.skew import salted_join
+        from pyspark.sql import functions as F2
+
+        left = spark.createDataFrame(
+            [(i, 0) for i in range(1000)], "rid long, k long"
+        )  # one hot key
+        l = left.withColumn(
+            "__salt", F2.pmod(F2.xxhash64(F2.col("rid")), F2.lit(8)).cast("int")
+        )
+        n_salts_seen = l.select("__salt").distinct().count()
+        assert n_salts_seen == 8  # the hot key scatters across all salts
+
+    def test_unsupported_how_rejected(self, spark):
+        from aces_spark.operators.skew import salted_join
+
+        df = spark.createDataFrame([(1, 1)], "rid long, k long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            salted_join(df, df, "k", salt_key="rid", how="full_outer")
