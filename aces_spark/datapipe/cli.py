@@ -1,0 +1,228 @@
+"""Datapipe command line: run the common training-data pipeline stages
+against parquet without writing code.
+
+    python -m aces_spark.datapipe.cli <op> [op flags] \\
+        [--master local[*]] [--shuffle-partitions N]
+
+Operations (each reads ``--input`` parquet, transforms write ``--output``
+parquet; report ops print ONE JSON line to stdout):
+
+    clean     quality-gate + language filter + exact-dedup canonical
+              selection            (--min-quality, --lang)
+    dedup     exact document dedup: keep the canonical copy per
+              fingerprint group    (--text-col)
+    split     deterministic train/val/test assignment
+              (--train/--val/--test fractions, sum to 1)
+    chunk     sliding token-window chunking (--tokens, --stride)
+    pack      concat-and-chunk sequence packing (--max-tokens, --part-col)
+    mix       target-mix downsampling (--weights lang=w,lang=w, --strata-col)
+    validate  data-quality rules report → JSON
+              (--rules "not_null:col,unique:col,non_negative:col")
+    diff      snapshot diff summary → JSON (--old, --new, --key)
+
+The session knobs mirror the cohort CLI (``aces_spark.cli``): one
+SparkSession, parallelism from partitions. Every operation is the
+library function documented in ARCHITECTURE.md — the CLI adds zero
+logic of its own, so anything scripted here behaves identically when
+called from code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(master: str | None, shuffle_partitions: int | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("aces-datapipe")
+    if master:
+        b = b.master(master)
+    b = b.config("spark.sql.session.timeZone", "UTC")
+    b = b.config("spark.sql.adaptive.enabled", "true")
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def _parse_rules(spec: str) -> list[tuple]:
+    rules: list[tuple] = []
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        kind, _, col = item.partition(":")
+        if not col:
+            raise SystemExit(f"bad rule {item!r}: expected kind:column")
+        rules.append((kind.strip(), col.strip()))
+    if not rules:
+        raise SystemExit("no rules given")
+    return rules
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        k, _, v = item.partition("=")
+        if not v:
+            raise SystemExit(f"bad weight {item!r}: expected name=fraction")
+        out[k.strip()] = float(v)
+    if not out:
+        raise SystemExit("no weights given")
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m aces_spark.datapipe.cli")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="op", required=True)
+
+    def _io(sp, output=True):
+        sp.add_argument("--input", required=True)
+        if output:
+            sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("clean")
+    _io(sp)
+    sp.add_argument("--min-quality", type=float, default=0.5)
+    sp.add_argument("--lang", default="en")
+
+    sp = sub.add_parser("dedup")
+    _io(sp)
+    sp.add_argument("--text-col", default="text")
+
+    sp = sub.add_parser("split")
+    _io(sp)
+    sp.add_argument("--train", type=float, default=0.9)
+    sp.add_argument("--val", type=float, default=0.05)
+    sp.add_argument("--test", type=float, default=0.05)
+
+    sp = sub.add_parser("chunk")
+    _io(sp)
+    sp.add_argument("--tokens", type=int, default=512)
+    sp.add_argument("--stride", type=int, default=384)
+
+    sp = sub.add_parser("pack")
+    _io(sp)
+    sp.add_argument("--max-tokens", type=int, default=2048)
+    sp.add_argument("--part-col", default="source")
+
+    sp = sub.add_parser("mix")
+    _io(sp)
+    sp.add_argument("--weights", required=True, help="name=frac,name=frac")
+    sp.add_argument("--strata-col", default="lang")
+
+    sp = sub.add_parser("validate")
+    _io(sp, output=False)
+    sp.add_argument("--rules", required=True)
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("--old", required=True)
+    sp.add_argument("--new", required=True)
+    sp.add_argument("--key", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = _session(args.master, args.shuffle_partitions)
+
+    if args.op == "clean":
+        from .text import clean_corpus
+
+        docs = spark.read.parquet(args.input)
+        kept = clean_corpus(docs, min_quality=args.min_quality, lang=args.lang)
+        docs.join(kept.select("doc_id"), "doc_id").write.mode("overwrite").parquet(
+            args.output
+        )
+    elif args.op == "dedup":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from .text import fingerprint_expr
+
+        docs = spark.read.parquet(args.input)
+        w = Window.partitionBy("__fp")
+        (
+            docs.withColumn("__fp", fingerprint_expr(F.col(args.text_col)))
+            .withColumn("__canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("__canon"))
+            .drop("__fp", "__canon")
+            .write.mode("overwrite")
+            .parquet(args.output)
+        )
+    elif args.op == "split":
+        from .packing import assign_splits
+
+        total = args.train + args.val + args.test
+        if abs(total - 1.0) > 1e-9:
+            raise SystemExit(f"split fractions sum to {total}, expected 1")
+        df = spark.read.parquet(args.input)
+        assign_splits(
+            df, {"train": args.train, "val": args.val, "test": args.test}
+        ).write.mode("overwrite").parquet(args.output)
+    elif args.op == "chunk":
+        from .chunking import chunk_documents
+
+        df = spark.read.parquet(args.input)
+        chunk_documents(
+            df, chunk_tokens=args.tokens, stride=args.stride
+        ).write.mode("overwrite").parquet(args.output)
+    elif args.op == "pack":
+        from .packing import pack_sequences
+
+        df = spark.read.parquet(args.input)
+        pack_sequences(
+            df, max_tokens=args.max_tokens, part_col=args.part_col
+        ).write.mode("overwrite").parquet(args.output)
+    elif args.op == "mix":
+        from .sampling import mix_sample
+
+        df = spark.read.parquet(args.input)
+        mix_sample(
+            df, _parse_weights(args.weights), strata_col=args.strata_col
+        ).write.mode("overwrite").parquet(args.output)
+    elif args.op == "validate":
+        from .validation import check_rules
+
+        df = spark.read.parquet(args.input)
+        rows = check_rules(df, _parse_rules(args.rules)).collect()
+        report = {
+            r["rule"]: {
+                "n_rows": r["n_rows"],
+                "n_violations": r["n_violations"],
+                "violation_frac": r["violation_frac"],
+            }
+            for r in rows
+        }
+        print(json.dumps({"op": "validate", "input": args.input, "rules": report}))
+        return 1 if any(v["n_violations"] for v in report.values()) else 0
+    elif args.op == "diff":
+        from .snapshots import snapshot_diff_summary
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        rows = snapshot_diff_summary(old, new, args.key).collect()
+        print(
+            json.dumps(
+                {
+                    "op": "diff",
+                    "statuses": {
+                        r["status"]: {"n_keys": r["n_keys"], "key_frac": r["key_frac"]}
+                        for r in rows
+                    },
+                }
+            )
+        )
+        return 0
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
