@@ -83,6 +83,27 @@ def main() -> int:
         "assign_splits": timed(lambda: assign_splits(docs)),
         "vocab_topk": timed(lambda: vocab_top_k(docs, k=100)),
     }
+
+    from aces_spark.datapipe.chunking import chunk_documents, rare_token_stats
+    from aces_spark.datapipe.sampling import mix_sample
+    from aces_spark.datapipe.validation import check_rules
+
+    timings["chunk_documents"] = timed(
+        lambda: chunk_documents(docs, chunk_tokens=64, stride=48)
+    )
+    timings["rare_token_stats"] = timed(lambda: rare_token_stats(docs, max_count=2))
+    timings["mix_sample"] = timed(
+        lambda: mix_sample(
+            docs,
+            {f"src{i}": 0.125 for i in range(8)},
+            strata_col="source",
+        )
+    )
+    timings["validate_rules"] = timed(
+        lambda: check_rules(
+            docs, [("not_null", "text"), ("unique", "doc_id"), ("matches", "source", "^src")]
+        )
+    )
     print(
         json.dumps(
             {
