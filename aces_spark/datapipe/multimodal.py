@@ -122,3 +122,64 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("sample_at_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake resize.
+
+    The real implementation would decode (PIL/libvips, not installed
+    here), resample to ``width × height``, and re-encode. The fake emits
+    a reproducible byte string derived from the payload digest and target
+    dims so the Arrow plumbing — binary in, binary out, batch shapes —
+    is exercised end-to-end; swap this one function when codec libraries
+    exist.
+    """
+    if payload is None:
+        return None
+    import hashlib
+
+    seed = hashlib.md5(payload).digest()
+    size = min(64, max(1, (width * height) // 1024))
+    return (seed * (size // len(seed) + 1))[:size]
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Arrow-batched image resize over the binary payload column
+    (``mapInPandas`` — binary in, binary out). Output:
+    ``(media_id, width, height, resized, n_bytes_out)``.
+
+    Same slow-path contract as :func:`extract_features`: Python touches
+    each payload exactly once per batch, the plan stays narrow (no
+    shuffle — output partitioning follows input), and at 100 TB the
+    work is embarrassingly parallel per partition. The decode/resample
+    core is honestly stubbed (``_resize_stub``); everything Spark-side
+    is real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized": resized,
+                    "n_bytes_out": [len(r) if r is not None else 0 for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

@@ -700,3 +700,27 @@ def test_outlier_filter_trims_band(spark):
     vals = sorted(r["n_chars"] for r in kept.collect())
     assert 1 not in vals and 1000 not in vals
     assert all(b["lo_bound"] <= v <= b["hi_bound"] for v in vals)
+
+
+def test_multimodal_resize(spark):
+    from aces_spark.datapipe.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"imagebytes-one"), "image", (640, 480, None, "png")),
+            (2, bytearray(b"imagebytes-two"), "image", (100, 100, None, "jpg")),
+            (3, None, "image", (None, None, None, None)),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert out[1]["width"] == 224 and out[1]["height"] == 224
+    assert out[1]["n_bytes_out"] > 0 and out[1]["resized"] is not None
+    assert out[3]["resized"] is None and out[3]["n_bytes_out"] == 0
+    # deterministic: same payload -> same resized bytes across runs
+    again = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert bytes(out[1]["resized"]) == bytes(again[1]["resized"])
+    # narrow plan: mapInPandas stage, no shuffle
+    plan = resize_images(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
