@@ -724,3 +724,28 @@ def test_multimodal_resize(spark):
     # narrow plan: mapInPandas stage, no shuffle
     plan = resize_images(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lsh_cosine_topk_recall_and_shape(spark):
+    from aces_spark.datapipe.similarity import brute_force_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, qs, k=5)
+    approx = lsh_cosine_topk(emb, qs, k=5, n_planes=5, n_tables=16)
+
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 16 tables x 5 planes on 500 vecs (measured 0.72)
+
+    # deterministic across runs (hash-derived hyperplanes)
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             lsh_cosine_topk(emb, qs, k=5, n_planes=5, n_tables=16).collect()}
+    assert approx_set == again
+
+    # candidate stage is an equi-join, never a cartesian product
+    plan = lsh_cosine_topk(emb, qs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
