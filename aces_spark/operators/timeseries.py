@@ -43,6 +43,7 @@ __all__ = [
     "asof_join",
     "asof_join_chunked",
     "range_join",
+    "interval_overlap_join",
     "gapfill_locf",
     "time_rollup",
 ]
@@ -435,3 +436,53 @@ def time_rollup(
         *extra,
         *agg_names,
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    on: str | None = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Interval × interval OVERLAPS join: every (left, right) pair whose
+    half-open spans intersect (``l.start < r.end AND r.start < l.end`` —
+    the SQL ``OVERLAPS`` convention), optionally equi-matched on ``on``.
+    The conflict-detection / concurrent-session primitive that
+    point-in-interval :func:`range_join` cannot express.
+
+    Plan shape: BOTH sides explode into the coarse buckets their span
+    covers, equi-join on ``(on?, bucket)``, apply the exact predicate,
+    then ``dropDuplicates`` — a pair overlapping several buckets matches
+    in each, so the dedup keys on the two sides' natural columns. Linear
+    in true overlaps when ``bucket`` is near the typical span; the same
+    hash-join-not-nested-loop guarantee as :func:`range_join`.
+
+    Columns must not collide between the two inputs (alias beforehand);
+    the half-open convention means touching endpoints do NOT overlap.
+    """
+    overlap = (
+        (as_timestamp(left_start) < as_timestamp(right_end))
+        & (as_timestamp(right_start) < as_timestamp(left_end))
+    )
+
+    def explode_buckets(df, s, e):
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc(bucket, as_timestamp(s)),
+                    F.date_trunc(bucket, as_timestamp(e)),
+                    F.expr(f"interval 1 {bucket}"),
+                )
+            ),
+        )
+
+    l = explode_buckets(left, left_start, left_end)
+    r = explode_buckets(right, right_start, right_end)
+    keys = ["__bucket"] if on is None else [on, "__bucket"]
+    joined = l.join(r, keys).filter(overlap).drop("__bucket")
+    return joined.dropDuplicates()

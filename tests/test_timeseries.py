@@ -465,3 +465,53 @@ def test_range_join_fuzz_vs_python(spark, points, intervals):
         if lk == ik and s <= lts < e
     )
     assert got == want
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_overlap(self, spark):
+        from aces_spark.operators.timeseries import interval_overlap_join
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        purch = ev.filter(F.col("event_type") == "purchase")
+        a = purch.select(
+            "user_id", F.col("event_id").alias("aid"),
+            F.col("ts").alias("a_start"),
+            (F.col("ts") + F.expr("interval 2 hours")).alias("a_end"),
+        )
+        b = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("bid"),
+            F.col("ts").alias("b_start"),
+            (F.col("ts") + F.expr("interval 90 minutes")).alias("b_end"),
+        )
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", on="user_id"
+            ).collect()
+        )
+        naive = sorted(
+            (r["aid"], r["bid"])
+            for r in a.join(b, "user_id")
+            .filter(
+                (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+            )
+            .collect()
+        )
+        assert got == naive and len(got) > 0
+
+    def test_touching_endpoints_do_not_overlap(self, spark):
+        from aces_spark.operators.timeseries import interval_overlap_join
+
+        a = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00"), ts("2024-01-01 01:00"))],
+            "aid long, a_start timestamp, a_end timestamp",
+        )
+        b = spark.createDataFrame(
+            [(2, ts("2024-01-01 01:00"), ts("2024-01-01 02:00")),
+             (3, ts("2024-01-01 00:30"), ts("2024-01-01 00:45"))],
+            "bid long, b_start timestamp, b_end timestamp",
+        )
+        got = [r["bid"] for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end"
+        ).collect()]
+        assert got == [3]  # half-open: touching at 01:00 is not an overlap
