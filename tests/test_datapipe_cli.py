@@ -81,3 +81,23 @@ def test_cli_mix(spark, docs_path, tmp_path):
     ]) == 0
     langs = {r["lang"] for r in spark.read.parquet(out).collect()}
     assert "de" in langs  # the scarce stratum binds and is fully kept
+
+
+def test_cli_clean(spark, docs_path, tmp_path):
+    out = str(tmp_path / "cleaned")
+    assert main([
+        "clean", "--input", docs_path, "--output", out, "--min-quality", "0.3",
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert 0 < df.count() <= 4
+    assert "text" in df.columns  # original columns survive the join-back
+
+
+def test_cli_pack(spark, docs_path, tmp_path):
+    out = str(tmp_path / "packed")
+    assert main([
+        "pack", "--input", docs_path, "--output", out, "--max-tokens", "256",
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 4
+    assert "pack_id" in df.columns

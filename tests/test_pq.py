@@ -154,3 +154,28 @@ class TestIvfPqIndex:
         # … and the scanned relation carries codes, never raw embeddings
         cells_schema = spark.read.parquet(f"{path}/cells").schema.fieldNames()
         assert "codes" in cells_schema and "embedding" not in cells_schema
+
+
+def test_ivfpq_kmeans_quantizer_roundtrip(spark, tmp_path):
+    """The production (kmeans) quantizer path builds, persists, and
+    queries without the seed determinism crutch."""
+    from aces_spark.datapipe.pq import ivfpq_topk_indexed, save_ivfpq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq_km")
+    save_ivfpq_index(emb, path, n_cells=4, quantizer="kmeans")
+    out = ivfpq_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 3), k=4, n_probes=2
+    ).collect()
+    assert len(out) == 12
+    assert all(r["pq_dist"] >= 0 for r in out)
+
+
+def test_pq_encode_with_kmeans_codebook(spark):
+    from aces_spark.datapipe.pq import pq_encode, pq_train
+
+    emb = _emb(spark)
+    cb = pq_train(emb, m=4, n_codes=4, quantizer="kmeans")
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == 500
+    assert all(0 <= c < 4 for r in codes for c in r["codes"])

@@ -97,3 +97,16 @@ class TestMixSample:
         a = sorted(r["doc_id"] for r in mix_sample(df, {"en": 0.7, "de": 0.3}).collect())
         b = sorted(r["doc_id"] for r in mix_sample(df, {"en": 0.7, "de": 0.3}).collect())
         assert a == b and len(a) > 0
+
+
+def test_mix_sample_weights_are_ratios(spark):
+    """Weights need not sum to 1 — only ratios matter (2:1 == 0.667:0.333)."""
+    from aces_spark.datapipe.sampling import mix_sample
+
+    rows = [(i, "en" if i < 300 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(r["doc_id"] for r in mix_sample(df, {"en": 2.0, "de": 1.0}).collect())
+    b = sorted(
+        r["doc_id"] for r in mix_sample(df, {"en": 2 / 3, "de": 1 / 3}).collect()
+    )
+    assert a == b
