@@ -184,12 +184,18 @@ def heavy_keys(
     special-casing. Output: ``(key_col, n_rows, row_frac)``, ordered
     count desc then key asc (deterministic; plans as a distributed
     top-k, not a full sort).
+
+    One scan: the total is a 1-row aggregate OF the per-key counts,
+    broadcast back onto them — no second pass over the input (the old
+    eager ``df.count()``) and no global window that would funnel a
+    billion-key counts relation through one partition.
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.count()
-    frac = F.col("n_rows").cast("double") / F.lit(float(total))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("__total"))
+    frac = F.col("n_rows").cast("double") / F.col("__total")
     return (
-        counts.select(
+        counts.join(F.broadcast(total))
+        .select(
             F.col(key_col),
             F.col("n_rows").cast("long").alias("n_rows"),
             (F.floor(frac * 10000 + 0.5).cast("double") / 10000.0).alias("row_frac"),

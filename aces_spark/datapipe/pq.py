@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import rank_topk
+
 __all__ = [
     "pq_train",
     "pq_encode",
@@ -205,14 +207,7 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(dist, 6).alias("pq_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "pq_dist", ascending=True)
 
 
 def pq_compression_stats(
@@ -335,11 +330,4 @@ def ivfpq_topk_indexed(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(dist, 6).alias("pq_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "pq_dist", ascending=True)

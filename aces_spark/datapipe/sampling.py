@@ -74,12 +74,20 @@ def mix_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     seed: int = 0,
+    strict: bool = True,
 ) -> DataFrame:
     """Downsample to a TARGET MIX: find the largest corpus size ``T``
     whose stratum composition matches ``weights`` given availability
     (``T = min_s n_s / w_s`` — the scarcest weighted stratum binds, kept
     at 100%; abundant strata are hash-downsampled to ``w_s·T`` expected
     rows). Strata absent from ``weights`` are dropped.
+
+    A WEIGHTED stratum absent from the DATA is an error by default
+    (``strict=True``): by the formula its availability is zero, so
+    ``T = 0`` and the honest answer is an empty corpus — silently
+    renormalizing over the remaining strata would return a composition
+    the caller did not ask for (and hides typos like ``"zh-cn"`` vs
+    ``"zh"``). Pass ``strict=False`` to opt into renormalization.
 
     This is the "corpus mixing" step of a training-data pipeline ("40%
     web, 30% books, 30% code") expressed as pure availability math + the
@@ -94,6 +102,13 @@ def mix_sample(
     counts = {
         r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
     }
+    missing = sorted(s for s, w in weights.items() if w > 0 and s not in counts)
+    if missing and strict:
+        raise ValueError(
+            f"weighted strata absent from the data: {missing} — the target "
+            "mix is unsatisfiable (T = 0); fix the stratum names or pass "
+            "strict=False to renormalize over the present strata"
+        )
     active = {s: w for s, w in weights.items() if s in counts and w > 0}
     if not active:
         raise ValueError("no stratum in `weights` exists in the data")

@@ -76,6 +76,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def rank_topk(
+    sims: DataFrame,
+    k: int,
+    score_col: str,
+    ascending: bool = False,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """THE top-k epilogue every ANN path shares: rank on the (already
+    rounded) score with the id tie-break and keep k per query. One
+    definition so the determinism rule cannot silently diverge between
+    the brute-force, IVF, indexed, LSH, and PQ paths."""
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(query_col).orderBy(score, F.col(id_col).asc())
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two float-array columns (JVM-side)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
@@ -107,12 +128,7 @@ def brute_force_topk(
             F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "cosine_sim")
 
 
 def assign_cells(
@@ -250,12 +266,7 @@ def ivf_topk(
             F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "cosine_sim")
 
 
 def save_ivf_index(
@@ -328,12 +339,7 @@ def ivf_topk_indexed(
             F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "cosine_sim")
 
 
 def ivf_recall_at_k(
@@ -350,7 +356,7 @@ def ivf_recall_at_k(
 ) -> DataFrame:
     """Measured recall@k of the IVF path against exact brute force, per
     query: ``(query_id, n_hits, recall)`` where ``n_hits`` counts IVF
-    results that appear in the exact top-k and ``recall = n_hits / k`` in
+    results that appear in the exact top-k and ``recall = n_hits / |exact top-k|`` in
     exact basis points. The operational dial for the accuracy↔cost
     trade: sweep ``n_probes`` until recall clears the target, THEN scale
     out — measuring on a sample costs |queries|×|corpus| only for the
@@ -673,11 +679,4 @@ def lsh_cosine_topk(
             cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec")), 6
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return rank_topk(sims, k, "cosine_sim")

@@ -59,6 +59,24 @@ def _td_us(td: timedelta) -> int:
     return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
 
 
+def _check_order_col(right: DataFrame, right_order: str | None) -> None:
+    """``right_order`` must be integral: it is cast to long (and sign-
+    flipped for forward joins), so a string/uuid column would silently
+    become all-null and defeat the determinism it exists to provide —
+    fail loudly instead and tell the caller to derive a numeric key."""
+    if right_order is None:
+        return
+    import pyspark.sql.types as _T
+
+    dt = right.schema[right_order].dataType
+    if not isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)):
+        raise ValueError(
+            f"right_order column {right_order!r} has type {dt.simpleString()}; "
+            "an integral column is required (derive one, e.g. xxhash64(col), "
+            "if the natural id is a string)"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -95,6 +113,7 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    _check_order_col(right, right_order)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     sign = 1 if direction == "backward" else -1
@@ -178,6 +197,7 @@ def asof_join_chunked(
     it is what makes both the chunked and unchunked results
     deterministic, and therefore identical.
     """
+    _check_order_col(right, right_order)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     chunk_us = _td_us(chunk)
@@ -290,7 +310,11 @@ def range_join(
     each interval then lands in ~2 buckets and the pre-filter fan-out
     stays linear in the true match count.
     """
-    iv = intervals.withColumn(
+    # end <= start is an empty half-open interval: drop it up front so a
+    # single malformed row cannot crash sequence() with descending bounds
+    iv = intervals.filter(
+        as_timestamp(start_col) < as_timestamp(end_col)
+    ).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -456,10 +480,16 @@ def interval_overlap_join(
 
     Plan shape: BOTH sides explode into the coarse buckets their span
     covers, equi-join on ``(on?, bucket)``, apply the exact predicate,
-    then ``dropDuplicates`` — a pair overlapping several buckets matches
-    in each, so the dedup keys on the two sides' natural columns. Linear
-    in true overlaps when ``bucket`` is near the typical span; the same
-    hash-join-not-nested-loop guarantee as :func:`range_join`.
+    then keep only the join row from the overlap's CANONICAL bucket —
+    the bucket containing ``greatest(l.start, r.start)``, which both
+    sides are guaranteed to have exploded. A pair overlapping several
+    buckets therefore survives exactly once WITHOUT a ``dropDuplicates``
+    (which would also collapse genuinely duplicate input rows and
+    undercount). Linear in true overlaps when ``bucket`` is near the
+    typical span; the same hash-join-not-nested-loop guarantee as
+    :func:`range_join`. Malformed intervals (``end <= start`` — empty
+    under the half-open convention) match nothing instead of crashing
+    the ``sequence`` call.
 
     Columns must not collide between the two inputs (alias beforehand);
     the half-open convention means touching endpoints do NOT overlap.
@@ -470,7 +500,7 @@ def interval_overlap_join(
     )
 
     def explode_buckets(df, s, e):
-        return df.withColumn(
+        return df.filter(as_timestamp(s) < as_timestamp(e)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
@@ -484,5 +514,7 @@ def interval_overlap_join(
     l = explode_buckets(left, left_start, left_end)
     r = explode_buckets(right, right_start, right_end)
     keys = ["__bucket"] if on is None else [on, "__bucket"]
-    joined = l.join(r, keys).filter(overlap).drop("__bucket")
-    return joined.dropDuplicates()
+    canonical = F.col("__bucket") == F.date_trunc(
+        bucket, F.greatest(as_timestamp(left_start), as_timestamp(right_start))
+    )
+    return l.join(r, keys).filter(overlap & canonical).drop("__bucket")

@@ -97,9 +97,17 @@ def read_jsonl(
     ``compression`` only to force a codec. Corrupt lines land in
     ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
     filter/inspect them explicitly rather than discovering data loss
-    later."""
+    later. The field is appended to a user schema automatically: Spark
+    only POPULATES ``_corrupt_record`` when the read schema contains it,
+    so an explicit schema without the field would otherwise silently
+    turn corrupt lines into all-null rows."""
     reader = spark.read
     if schema is not None:
+        if isinstance(schema, str):
+            if "_corrupt_record" not in schema:
+                schema = schema + ", _corrupt_record string"
+        elif "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", T.StringType(), True)
         reader = reader.schema(schema)
     if compression is not None:
         reader = reader.option("compression", compression)
@@ -188,6 +196,7 @@ def compact_parquet(
     out_path: str,
     target_file_bytes: int = 128 << 20,
     sort_cols: list[str] | None = None,
+    n_output_files: int | None = None,
 ) -> int:
     """Small-files compaction: rewrite a parquet dataset into
     ``ceil(total_bytes / target_file_bytes)`` files (optionally sorted
@@ -199,16 +208,30 @@ def compact_parquet(
     filesystem metadata (no data pass) keeps the job one shuffle; the
     rewrite target is a NEW path — swap atomically at the catalog/symlink
     level rather than overwriting in place while readers are active.
+
+    Metadata sizing only works for ``file:`` URIs; on object stores /
+    HDFS pass ``n_output_files`` explicitly — silently defaulting to one
+    partition would funnel a multi-TB table through a single writer, so
+    an un-sizable dataset without an explicit target raises instead.
     """
     df = spark.read.parquet(path)
-    files = [f[len("file:"):] for f in df.inputFiles() if f.startswith("file:")]
-    total = 0
-    for f in files:
-        try:
-            total += os.path.getsize(f)
-        except OSError:
-            pass
-    n_out = max(1, -(-total // target_file_bytes))
+    if n_output_files is not None:
+        n_out = n_output_files
+    else:
+        all_files = df.inputFiles()
+        local = [f[len("file:"):] for f in all_files if f.startswith("file:")]
+        if len(local) != len(all_files) or not local:
+            raise ValueError(
+                "compact_parquet can only size local file: datasets from "
+                "metadata; pass n_output_files explicitly for this path"
+            )
+        total = 0
+        for f in local:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        n_out = max(1, -(-total // target_file_bytes))
     out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)

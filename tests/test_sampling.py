@@ -110,3 +110,14 @@ def test_mix_sample_weights_are_ratios(spark):
         r["doc_id"] for r in mix_sample(df, {"en": 2 / 3, "de": 1 / 3}).collect()
     )
     assert a == b
+
+
+def test_mix_sample_missing_weighted_stratum_raises(spark):
+    from aces_spark.datapipe.sampling import mix_sample
+
+    df = spark.createDataFrame([(1, "en"), (2, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="absent from the data"):
+        mix_sample(df, {"en": 0.5, "zh": 0.5})
+    # strict=False opts into renormalization over present strata
+    out = mix_sample(df, {"en": 0.5, "zh": 0.5}, strict=False)
+    assert out.count() == 2

@@ -101,3 +101,50 @@ class TestCompactParquet:
         assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == list(
             range(1000)
         )
+
+
+class TestJsonlCorruptSchema:
+    def test_user_schema_gains_corrupt_record(self, spark, tmp_path):
+        from aces_spark.sources.sinks import read_jsonl
+
+        p = tmp_path / "data.jsonl"
+        p.write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+        df = read_jsonl(spark, str(p), schema="doc_id long, text string")
+        assert "_corrupt_record" in df.columns
+        rows = df.collect()
+        corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
+
+
+class TestCompactNonLocal:
+    def test_unsizable_dataset_requires_explicit_target(self, spark, tmp_path, monkeypatch):
+        from aces_spark.sources import sinks
+        from aces_spark.sources.sinks import compact_parquet
+
+        src = str(tmp_path / "src")
+        spark.range(10).write.parquet(src)
+        # simulate an object-store dataset: no file:-scheme inputFiles
+        real_read = spark.read.parquet
+
+        class FakeDF:
+            def __init__(self, df):
+                self._df = df
+
+            def inputFiles(self):
+                return ["s3://bucket/part-0.parquet"]
+
+            def __getattr__(self, item):
+                return getattr(self._df, item)
+
+        import pytest as _pt
+
+        class FakeReader:
+            def parquet(self, p):
+                return FakeDF(real_read(p))
+
+        monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()))
+        with _pt.raises(ValueError, match="n_output_files"):
+            compact_parquet(spark, src, str(tmp_path / "out"))
+        # explicit target works regardless of scheme
+        n = compact_parquet(spark, src, str(tmp_path / "out2"), n_output_files=2)
+        assert n == 2

@@ -515,3 +515,38 @@ class TestIntervalOverlapJoin:
             a, b, "a_start", "a_end", "b_start", "b_end"
         ).collect()]
         assert got == [3]  # half-open: touching at 01:00 is not an overlap
+
+
+def test_asof_right_order_must_be_integral(spark):
+    l = spark.createDataFrame([(1, ts("2024-01-01"))], "k long, ts timestamp")
+    r = spark.createDataFrame(
+        [(1, ts("2024-01-01"), "uuid-1", 5.0)],
+        "k long, ts timestamp, rid string, v double",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        asof_join(l, r, on="k", right_cols=["v"], right_order="rid")
+
+
+def test_range_join_malformed_interval_matches_nothing(spark):
+    left = spark.createDataFrame([Row(ts=ts("2024-01-01 01:00"), i=1)])
+    iv = spark.createDataFrame(
+        [Row(start_ts=ts("2024-01-02"), end_ts=ts("2024-01-01"), w=1),  # end < start
+         Row(start_ts=ts("2024-01-01 00:30"), end_ts=ts("2024-01-01 02:00"), w=2)]
+    )
+    got = [r["w"] for r in range_join(left, iv).collect()]
+    assert got == [2]  # no crash; the inverted interval simply matches nothing
+
+
+def test_overlap_join_preserves_duplicate_input_rows(spark):
+    from aces_spark.operators.timeseries import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(ts("2024-01-01 00:00"), ts("2024-01-01 03:00"))] * 2,  # two identical rows
+        "a_start timestamp, a_end timestamp",
+    )
+    b = spark.createDataFrame(
+        [(9, ts("2024-01-01 01:00"), ts("2024-01-01 02:00"))],
+        "bid long, b_start timestamp, b_end timestamp",
+    )
+    out = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
+    assert out.count() == 2  # one match per duplicate left row, no collapse

@@ -15,8 +15,6 @@ Checks per query (plan-only — nothing executes except plan build):
   human can eyeball the query names.
 - ``n_exchanges``: count of shuffle exchanges — not an error, but the
   number that should stay flat as operators evolve.
-- ``scan_pruned``: whether every parquet scan carries a non-empty
-  ReadSchema narrower than the full table when the query projects.
 
 Exit code 1 if any query trips ``python_udf`` or
 ``nonbroadcast_cartesian`` (the two hard bans).
