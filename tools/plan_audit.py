@@ -10,7 +10,7 @@ Checks per query (plan-only — nothing executes except plan build):
 - ``nonbroadcast_cartesian``: a ``CartesianProduct`` operator — an
   all-pairs product that did not become a broadcast nested loop; always
   a bug at scale.
-- ``bnlj_large``: ``BroadcastNestedLoopJoin`` — acceptable ONLY for
+- ``bnlj``: ``BroadcastNestedLoopJoin`` — acceptable ONLY for
   1-row/threshold-sized sides (the quantile-bounds pattern); listed so a
   human can eyeball the query names.
 - ``n_exchanges``: count of shuffle exchanges — not an error, but the
