@@ -1327,10 +1327,18 @@ def q_label_centroids(spark, sf_dir):
     """Class centroids (datapipe.similarity.label_centroids): per-label
     mean embedding with DECIMAL-exact component sums — the one
     formulation whose distributed mean is bit-reproducible (float partial
-    sums across partitions are order-dependent; decimals are not)."""
+    sums across partitions are order-dependent; decimals are not).
+
+    Emitted in LONG format ``(label, dim, n_vectors, value)`` — scalar
+    columns only, because the driver's pandas canonicalizer cannot hash an
+    ``array<double>`` cell (the r4 ``err``); library users keep the
+    array-shaped ``label_centroids`` output."""
     from aces_spark.datapipe.similarity import label_centroids
 
-    return label_centroids(_read_table(spark, sf_dir, "embeddings"))
+    cents = label_centroids(_read_table(spark, sf_dir, "embeddings"))
+    return cents.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("dim", "value")
+    ).select("label", F.col("dim").cast("int").alias("dim"), "n_vectors", "value")
 
 
 def q_doc_outlier_filter(spark, sf_dir):
@@ -2510,11 +2518,13 @@ common AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
-  ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+  floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
+    / 10000.0 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.2
+WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
+    / 10000.0 >= 0.2
 """
 
     # mirrors minhash_signatures: hash `seed` = 32-bit slice j of
@@ -3002,20 +3012,17 @@ FROM events GROUP BY user_id
 
     # class centroids: DECIMAL(28,12) component sums are exact in both
     # engines regardless of partial-sum order; per-dim double division +
-    # floor(x*1e6+0.5), reassembled in dimension order
+    # floor(x*1e6+0.5). LONG format (scalar columns) so the driver's
+    # pandas canonicalizer can hash every cell.
     sql["label_centroids"] = """
 WITH d AS (
   SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
          generate_subscripts(embedding, 1) - 1 AS dim
-  FROM embeddings),
-per_dim AS (
-  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
-    floor(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
-          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS m
-  FROM d GROUP BY label, dim)
-SELECT label, MAX(n) AS n_vectors,
-  list(m ORDER BY dim) AS centroid
-FROM per_dim GROUP BY label
+  FROM embeddings)
+SELECT label, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  floor(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS value
+FROM d GROUP BY label, dim
 """
 
     # quantile-band trim: bounds via exact interpolated percentiles under

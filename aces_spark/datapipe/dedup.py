@@ -137,11 +137,16 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # basis-point floor rule, not ROUND: a jaccard is a small-integer ratio
+    # and CAN land exactly on a half boundary (e.g. 1/32 = 0.03125), where
+    # HALF_UP (Spark) and an oracle engine's rounding diverge; floor(x*1e4
+    # + 0.5) is identical everywhere (same rule as paragraph/quality stats)
+    jac_bp = F.floor(jac * 10000 + 0.5) / 10000
 
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_bp.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -171,7 +176,9 @@ def substring_dup_spans(
     """
     docs = df.filter(F.length(F.col(text_col)) >= window)
     # number of stride-aligned windows that fit: (len - window) // stride + 1
-    n_win = ((F.length(F.col(text_col)) - window) / stride).cast("long") + 1
+    # — integer `div`, so the docstring formula holds by construction (a
+    # double division is exact for realistic lengths but not by-definition)
+    n_win = F.expr(f"(length(`{text_col}`) - {int(window)}) div {int(stride)}") + 1
     pos = docs.select(
         "doc_id",
         F.col(text_col).alias("__t"),

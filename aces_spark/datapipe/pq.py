@@ -102,7 +102,10 @@ def pq_train(
     materialization is the codebook itself (a few KB), same policy as
     ``similarity.kmeans_centroids``.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    head = vectors.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_train: corpus is empty (no vectors to train on)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

@@ -642,7 +642,10 @@ def lsh_cosine_topk(
     driven by the data's angular distribution, and adding tables trades
     compute for recall without re-indexing.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("lsh_cosine_topk: corpus is empty (no vectors)")
+    dim = len(head[0])
     per_table = _hyperplanes(dim, n_planes * n_tables, seed)
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:

@@ -12,6 +12,7 @@ timestamp``, ``boolean_value: boolean``, ``integer_value: long``,
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -107,7 +108,11 @@ def read_jsonl(
             if "_corrupt_record" not in schema:
                 schema = schema + ", _corrupt_record string"
         elif "_corrupt_record" not in schema.fieldNames():
-            schema = schema.add("_corrupt_record", T.StringType(), True)
+            # copy before extending: StructType.add mutates in place, and
+            # silently growing the CALLER's schema object is a side effect
+            schema = T.StructType(list(schema.fields)).add(
+                "_corrupt_record", T.StringType(), True
+            )
         reader = reader.schema(schema)
     if compression is not None:
         reader = reader.option("compression", compression)
@@ -219,7 +224,12 @@ def compact_parquet(
         n_out = n_output_files
     else:
         all_files = df.inputFiles()
-        local = [f[len("file:"):] for f in all_files if f.startswith("file:")]
+        # inputFiles() returns URIs with percent-encoding (' ' → %20) —
+        # decode before touching the filesystem or sizing silently skips
+        # such files and undersizes n_out
+        local = [
+            unquote(urlparse(f).path) for f in all_files if f.startswith("file:")
+        ]
         if len(local) != len(all_files) or not local:
             raise ValueError(
                 "compact_parquet can only size local file: datasets from "
@@ -229,8 +239,13 @@ def compact_parquet(
         for f in local:
             try:
                 total += os.path.getsize(f)
-            except OSError:
-                pass
+            except OSError as e:
+                # no silent undersizing: a file we cannot stat means the
+                # metadata sizing contract is broken for this dataset
+                raise ValueError(
+                    f"compact_parquet could not size {f!r}; pass "
+                    "n_output_files explicitly"
+                ) from e
         n_out = max(1, -(-total // target_file_bytes))
     out = df.repartition(n_out)
     if sort_cols:

@@ -547,6 +547,23 @@ def test_substring_dup_spans_shared_prefix(spark):
     ) / 10000
 
 
+def test_substring_dup_spans_window_count_boundaries(spark):
+    """n_windows is exactly (len - window) // stride + 1 (integer `div` by
+    construction), including lengths landing exactly on window + k*stride."""
+    from aces_spark.datapipe.dedup import substring_dup_spans
+
+    window, stride = 40, 20
+    # len = window + k*stride for k = 0, 1, 3; plus one off-boundary len
+    lens = [40, 60, 100, 73]
+    rows = [(i, chr(ord("a") + i) * n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["n_windows"]
+        for r in substring_dup_spans(df, window=window, stride=stride).collect()
+    }
+    assert out == {i: (n - window) // stride + 1 for i, n in enumerate(lens)}
+
+
 def test_minhash_jaccard_estimate_pipeline(docs):
     from aces_spark.datapipe.dedup import minhash_jaccard_pairs
 
