@@ -1654,7 +1654,27 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_xxh": lambda spark, sf_dir: minhash_lsh_pairs(
             _docs_with_near_dups(spark, sf_dir), n=3, num_hashes=8, bands=4, hasher="xxhash64"
         ),
+        # amortized indexed-ANN read path: the oracled ann_ivf_indexed entry
+        # times build+query together (the build's k-means + partitioned
+        # write dominates); this one builds the index only if absent, so
+        # with bench's best-of-2 policy the recorded number is the pruned
+        # query-only scan the index exists for
+        "ann_ivf_indexed_query_only": _ivf_indexed_query_only,
     }
+
+
+def _ivf_indexed_query_only(spark, sf_dir):
+    import tempfile
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivf_index_qonly_{tag}")
+    if not os.path.isdir(os.path.join(path, "cells")):
+        save_ivf_index(emb, path, n_cells=8, quantizer="seed")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
 
 
 # ---------------------------------------------------------------- oracles

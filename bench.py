@@ -91,19 +91,43 @@ def main() -> int:
     total = round(
         sum(v for k, v in timings.items() if v >= 0 and not k.startswith("bench_only:")), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "aces_spark_full_query_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "n_queries": sum(1 for k in timings if not k.startswith("bench_only:")),
-            }
-        )
+    obj = {
+        "metric": "aces_spark_full_query_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": sum(1 for k in timings if not k.startswith("bench_only:")),
+    }
+    # The driver records only the LAST ~2000 characters of stdout, so the
+    # final printed line must be a COMPLETE JSON object inside that window.
+    # The full per-query detail (which outgrew the window at ~90 queries —
+    # the r4 "parsed": null) goes to a file + a preceding stdout line; the
+    # final line is the full object if it fits, else a summary carrying the
+    # headline numbers, the slowest queries, and a pointer to the detail.
+    compact = json.dumps(obj, separators=(",", ":"))
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(compact + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout detail line still carries it
+    if len(compact) <= 1800:
+        print(compact)
+        return 0
+    print(compact)  # full detail first: may be clipped by the tail window
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:12]
     )
+    summary = dict(obj)
+    del summary["queries"]
+    summary["slowest"] = slowest
+    summary["detail_file"] = detail_path.name
+    print(json.dumps(summary, separators=(",", ":")))
     return 0
 
 
