@@ -1528,6 +1528,117 @@ def q_gapfill_locf(spark, sf_dir):
     return gapfill_locf(ev, on="user_id", bucket="day", order_col="event_id")
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAPS join (operators/timeseries
+    .interval_overlap_join): every (purchase-window, error-window) pair of
+    the same user whose half-open spans intersect — purchases carry a 2 h
+    window, errors a 1 h window. Bucket-exploded hash join; each
+    overlapping pair survives exactly once via the canonical-bucket rule
+    (no dropDuplicates)."""
+    from aces_spark.operators.timeseries import interval_overlap_join
+
+    ev = _read_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("p_end"),
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("e_end"),
+    )
+    out = interval_overlap_join(
+        left, right,
+        left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end",
+        on="user_id", bucket="hour",
+    )
+    return out.select(
+        "user_id", "purchase_id", "p_start", "error_id", "e_start"
+    )
+
+
+def q_ivfpq_topk_indexed(spark, sf_dir):
+    """Persisted IVF-PQ index (datapipe.pq.save_ivfpq_index /
+    ivfpq_topk_indexed): the FAISS billion-vector layout — coarse cells
+    partition the on-disk CODES, queries statically prune to their 2
+    probed cell directories and rank by the asymmetric PQ distance over
+    4-byte codes (the scan never touches a raw corpus vector). Seed
+    quantizers for both stages → exactly SQL-mirrorable."""
+    import tempfile
+
+    from aces_spark.datapipe.pq import ivfpq_topk_indexed, save_ivfpq_index
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivfpq_index_{tag}")
+    save_ivfpq_index(emb, path, n_cells=8, m=4, n_codes=16, quantizer="seed")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk_indexed(spark, path, queries, k=5, n_probes=2)
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (datapipe.similarity.lsh_cosine_topk):
+    16 tables × 4 sign-bits bucket the corpus (inline md5-derived
+    hyperplanes — deterministic across engines and cluster sizes);
+    candidates share a bucket in ANY table, reranked by exact cosine.
+    Training-free alternative to IVF — the (table, bucket) equi-join is
+    linear in collisions, never all-pairs."""
+    from aces_spark.datapipe.similarity import lsh_cosine_topk
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(emb, queries, k=5, n_planes=4, n_tables=16, seed=0)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot diff gate (datapipe.snapshots.snapshot_diff_summary):
+    synthesize two drops of the documents table (old = doc_id % 10 != 0,
+    new = doc_id % 7 != 0 with every doc_id % 5 == 0 text revised), then
+    the added/removed/changed/unchanged report. ONE constant-width
+    digest-keyed full-outer join regardless of table width."""
+    from aces_spark.datapipe.snapshots import snapshot_diff_summary
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff_summary(old, new, "doc_id")
+
+
+def q_check_rules(spark, sf_dir):
+    """Declarative data-quality gate (datapipe.validation.check_rules):
+    six rules over documents — five row-local rules share ONE
+    conditional-sum aggregate (single scan, map-side partials), the
+    uniqueness rule adds one key-count aggregate. The pre-ingest check a
+    100 TB pipeline runs before accepting a drop."""
+    from aces_spark.datapipe.validation import check_rules
+
+    docs = _read_table(spark, sf_dir, "documents")
+    return check_rules(
+        docs,
+        [
+            ("not_null", "text"),
+            ("non_negative", "n_chars"),
+            ("in_range", "n_chars", 10, 2000),
+            ("in_set", "lang", ["en", "de", "fr", "zh"]),
+            ("matches", "source", "^[a-z_]+$"),
+            ("unique", "doc_id"),
+        ],
+    )
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1539,7 +1650,13 @@ def q_gapfill_locf(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1: new this round, never had a CORRECTNESS row ---
+    # --- tier 1 (r5): first-ever oracle rows for the r4 pytest-only ops ---
+    "interval_overlap_join": q_interval_overlap,
+    "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "snapshot_diff": q_snapshot_diff,
+    "check_rules": q_check_rules,
+    # --- green r4 ---
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "label_centroids": q_label_centroids,
@@ -3272,5 +3389,164 @@ SELECT g.user_id, g.grid_ts,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
   o1.obs IS NOT NULL AS is_observed
 FROM grid g LEFT JOIN o1 ON g.user_id = o1.user_id AND g.grid_ts = o1.grid_ts
+"""
+
+    # interval OVERLAPS join: DuckDB plans the raw half-open inequality
+    # pair directly; the Spark side's canonical-bucket rule must emit each
+    # overlapping pair exactly once, so a plain join IS the oracle
+    sql["interval_overlap_join"] = """
+WITH l AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_start,
+         ts + INTERVAL 2 HOUR AS p_end
+  FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, event_id AS error_id, ts AS e_start,
+         ts + INTERVAL 1 HOUR AS e_end
+  FROM events WHERE event_type = 'error')
+SELECT l.user_id, l.purchase_id, l.p_start, r.error_id, r.e_start
+FROM l JOIN r ON l.user_id = r.user_id
+  AND l.p_start < r.e_end AND r.e_start < l.p_end
+"""
+
+    # IVF-PQ index: seed coarse cells (first 8 vectors) route queries to
+    # their 2 nearest cells; candidates are the probed cells' members,
+    # ranked by the PQ asymmetric distance over their codes (same seed
+    # codebook + j-ordered ADC fold as pq_topk)
+    sql["ivfpq_topk_indexed"] = f"""
+WITH {_PQ_ENC},
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+               c.cell_id ASC) AS rk
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, s.cell_id
+  FROM e JOIN scored s ON e.vec_id = s.vec_id
+  WHERE e.vec_id < 5 AND s.rk <= 2),
+sd AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.j,
+    list_sum(list_transform(generate_series(1,16),
+      i -> (q.qv[enc.j*16+i] - cb.w[enc.j*16+i]) * (q.qv[enc.j*16+i] - cb.w[enc.j*16+i])))
+      AS dj
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN enc ON enc.vec_id = a.vec_id
+  JOIN cb ON cb.code = enc.code
+  WHERE q.query_id <> a.vec_id),
+adc AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_sum(list(dj ORDER BY j)), 6) AS pq_dist
+  FROM sd GROUP BY query_id, neighbor_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY pq_dist ASC, neighbor_id ASC) AS rn
+  FROM adc)
+SELECT query_id, neighbor_id, pq_dist FROM rk WHERE rn <= 5
+"""
+
+    # hyperplane LSH: coefficients are md5-derived ((int(md5('0|p|d')[:8],
+    # 16) / 0xFFFFFFFF) * 2 - 1, exactly similarity._hyperplanes); bucket =
+    # 4 sign bits per table, first plane most significant; candidates share
+    # (table, bucket), reranked by exact cosine
+    sql["lsh_cosine_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coef AS (
+  SELECT p, d,
+    CAST(concat('0x', substring(md5(concat('0|', CAST(p AS VARCHAR), '|',
+                                            CAST(d AS VARCHAR))), 1, 8)) AS BIGINT)
+      / 4294967295.0 * 2.0 - 1.0 AS c
+  FROM (SELECT UNNEST(range(0, 64)) AS p) tp,
+       (SELECT UNNEST(range(0, 64)) AS d) td),
+pl AS (SELECT p, list(c ORDER BY d) AS plane FROM coef GROUP BY p),
+bits AS (
+  SELECT e.vec_id, CAST(pl.p // 4 AS INT) AS tbl,
+    SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0 THEN 1 ELSE 0 END
+        * CASE pl.p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+      AS bucket
+  FROM e, pl GROUP BY e.vec_id, pl.p // 4),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      AS cosine_sim
+  FROM cand
+  JOIN e a ON a.vec_id = cand.query_id
+  JOIN e b ON b.vec_id = cand.neighbor_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # snapshot diff gate: direct value comparison mirrors the digest
+    # equality (no nulls in the compared testdata columns); stable 4-row
+    # schema via the VALUES list, fraction under the floor rule
+    sql["snapshot_diff"] = """
+WITH o AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+n AS (SELECT doc_id, lang,
+        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0),
+j AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.lang = n.lang AND o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+c AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM j GROUP BY status),
+s4 AS (SELECT * FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged'))
+       t(status)),
+f AS (SELECT s4.status, CAST(COALESCE(c.n_keys, 0) AS BIGINT) AS n_keys
+      FROM s4 LEFT JOIN c USING (status))
+SELECT status, n_keys,
+  floor(CAST(n_keys AS DOUBLE) / (SELECT CAST(SUM(n_keys) AS DOUBLE) FROM f)
+        * 10000 + 0.5) / 10000.0 AS key_frac
+FROM f
+"""
+
+    # data-quality rules: one SELECT per rule unioned (the Spark side runs
+    # them as ONE conditional-sum aggregate; counts are engine-exact either
+    # way), fraction under the floor rule
+    sql["check_rules"] = """
+WITH t AS (SELECT * FROM documents),
+rows_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+raw AS (
+  SELECT 'not_null(text)' AS rule,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE text IS NULL) AS n_violations
+  UNION ALL
+  SELECT 'non_negative(n_chars)',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+     WHERE n_chars IS NULL OR n_chars < 0)
+  UNION ALL
+  SELECT 'in_range(n_chars)',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+     WHERE n_chars IS NULL OR n_chars < 10 OR n_chars > 2000)
+  UNION ALL
+  SELECT 'in_set(lang)',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+     WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr', 'zh'))
+  UNION ALL
+  SELECT 'matches(source)',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+     WHERE source IS NULL OR NOT regexp_matches(source, '^[a-z_]+$'))
+  UNION ALL
+  SELECT 'unique(doc_id)',
+    (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+      (SELECT COUNT(*) AS c FROM t GROUP BY doc_id HAVING COUNT(*) > 1)))
+SELECT raw.rule, rows_total.n AS n_rows, raw.n_violations,
+  floor(CAST(raw.n_violations AS DOUBLE) / CAST(rows_total.n AS DOUBLE)
+        * 10000 + 0.5) / 10000.0 AS violation_frac
+FROM raw, rows_total
 """
     return sql
