@@ -1639,6 +1639,120 @@ def q_check_rules(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """Lexical retrieval (datapipe.retrieval.bm25_scores): BM25 top-25
+    for the query {join, hash, vector} over documents — Lucene's idf
+    variant, micro-unit-exact per-term contributions summed as integers
+    (order-independent at any parallelism), ranked on the integer score
+    with doc_id tie-break."""
+    from aces_spark.datapipe.retrieval import bm25_scores
+
+    docs = _read_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["join", "hash", "vector"], top_k=25)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct sketch (datapipe.sketches.kmv_distinct)
+    over events.user_id: portable md5 hashes, ascending top-256 via
+    TakeOrderedAndProject, closed-form (k-1)/h_(k) estimate — the
+    reproducible alternative to approx_count_distinct."""
+    from aces_spark.datapipe.sketches import kmv_distinct
+
+    return kmv_distinct(_read_events(spark, sf_dir), "user_id", k=256)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog (datapipe.sketches.hll_distinct, p=9 → 512
+    registers) over events.user_id: md5-derived ranks, INTEGER-scaled
+    harmonic sum (the order-dependent float reduction of naive HLL is
+    gone by construction), linear-counting small-range correction."""
+    from aces_spark.datapipe.sketches import hll_distinct
+
+    return hll_distinct(_read_events(spark, sf_dir), "user_id", p=9)
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (datapipe.analytics
+    .event_transitions): per-user consecutive event-type pairs (ts,
+    event_id order), counts + within-from-type probabilities in exact
+    basis points. ONE user-keyed exchange, tiny |types|^2 aggregate."""
+    from aces_spark.datapipe.analytics import event_transitions
+
+    return event_transitions(_read_events(spark, sf_dir))
+
+
+def q_lang_drift(spark, sf_dir):
+    """Categorical distribution drift (datapipe.analytics
+    .distribution_drift): per-lang counts, add-one-smoothed
+    probabilities, and KL(new || old) contributions between the same two
+    synthetic documents drops as snapshot_diff."""
+    from aces_spark.datapipe.analytics import distribution_drift
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    return distribution_drift(old, new, "lang")
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 5-row moving statistics (operators/timeseries
+    .rolling_stats) of events.value per user: DECIMAL-exact frame sums,
+    floor-rule mean, deterministic (ts, event_id) ordering. One key
+    exchange; O(window) state per task regardless of key size."""
+    from aces_spark.operators.timeseries import rolling_stats
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    return rolling_stats(ev, "user_id", window_rows=5)
+
+
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (datapipe.lm): train add-one-smoothed
+    bigram counts on the even-doc_id half of documents, score the odd
+    half by mean per-token negative log-likelihood — the CCNet/Gopher
+    perplexity-filter signal, fully relational (the model IS a count
+    DataFrame), micro-unit-exact sums."""
+    from aces_spark.datapipe.lm import score_documents_lm, train_bigram_lm
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_documents_lm(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD type-2 history merge (datapipe.cdc.scd2_merge): per-user view
+    history (first view closed by the second, second open-ended) merged
+    with the purchase stream as the change batch — chained changes close
+    each other; union-tag + ONE lead window, zero joins (the Delta-style
+    MERGE without reading the history twice)."""
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    rk = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    v12 = views.withColumn("__rn", F.row_number().over(rk)).filter(F.col("__rn") <= 2)
+    history = v12.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy(F.col("__rn").asc())
+        ).alias("valid_to"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("user_id", "value", F.col("ts").alias("effective_from"))
+    )
+    return scd2_merge(history, purch, "user_id")
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1650,16 +1764,84 @@ def q_check_rules(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (r5): first-ever oracle rows for the r4 pytest-only ops ---
+    # --- tier 1 (r5 new): first-ever oracle rows. 5 formerly pytest-only
+    # operators + 6 operators added this round ---
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "snapshot_diff": q_snapshot_diff,
     "check_rules": q_check_rules,
-    # --- green r4 ---
+    "bm25_search": q_bm25_search,
+    "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
+    "event_transitions": q_event_transitions,
+    "lang_drift": q_lang_drift,
+    "rolling_stats": q_rolling_stats,
+    "lm_score": q_lm_score,
+    "scd2_merge": q_scd2_merge,
+    # label_centroids' only row was the r4 harness `err` (unhashable
+    # array cell) — reshaped to scalar long format this round, it re-debuts
+    # in tier 1 until a green row lands
+    "label_centroids": q_label_centroids,
+    # --- tier 2: stalest green (last green r03) — 29 of the 40 fit the
+    # top-50 window this round; the 10 most-stable shapes (TPC-H mirrors +
+    # single-pass text stats, all pytest-pinned) wait at positions 51-60
+    # and lead tier 2 next round ---
+    "predicates_meds_scan": q_predicates_meds_scan,
+    "esgpt_predicates": q_esgpt_predicates,
+    "predicate_value_range": q_predicate_value_range,
+    "predicate_regex_anyof": q_predicate_regex_anyof,
+    "derived_and_or": q_derived_and_or,
+    "special_predicates": q_special_predicates,
+    "trigger_anchors": q_trigger_anchors,
+    "static_filter": q_static_filter,
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "text_quality": q_text_quality,
+    "corpus_clean": q_corpus_clean,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "stratified_take": q_stratified_take,
+    "multimodal_features": q_multimodal_features,
+    "cohort_feature_vectors": q_cohort_feature_vectors,
+    "tfidf_features": q_tfidf_features,
+    "sessionization": q_sessionization,
+    "decontamination": q_decontamination,
+    "sequence_packing": q_sequence_packing,
+    "split_assignment": q_split_assignment,
+    "vocab_topk": q_vocab_topk,
+    "paragraph_dedup": q_paragraph_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    # --- tier 3: pinned core (flagship + 8 kernel queries) ---
+    "cohort_flagship": q_cohort_flagship,
+    "temporal_window_fwd": q_temporal_window_fwd,
+    "temporal_window_chunked": q_temporal_window_chunked,
+    "temporal_window_bwd": q_temporal_window_bwd,
+    "temporal_window_offset": q_temporal_window_offset,
+    "event_bound_fwd": q_event_bound_fwd,
+    "event_bound_chunked": q_event_bound_chunked,
+    "event_bound_bwd": q_event_bound_bwd,
+    "event_bound_record_end": q_event_bound_record_end,
+    # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    "corpus_pipeline": q_corpus_pipeline,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "revenue_join": q_revenue_join,
+    "region_rollup": q_region_rollup,
+    "local_supplier_volume": q_local_supplier_volume,
+    "brand_revenue": q_brand_revenue,
+    "text_char_stats": q_text_char_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_counts": q_token_counts,
+    "html_extract": q_html_extract,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    # --- tier 4: green r04 (freshest) — past position 50 by design ---
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
-    "label_centroids": q_label_centroids,
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
@@ -1683,7 +1865,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_histogram": q_token_histogram,
     "corpus_mix": q_corpus_mix,
     "embedding_dim_stats": q_embedding_dim_stats,
-    # --- tier 2: stalest green (last row r02; got no r03 row) ---
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1698,59 +1879,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
-    # --- tier 3: pinned core (flagship + 8 kernel queries) ---
-    "cohort_flagship": q_cohort_flagship,
-    "temporal_window_fwd": q_temporal_window_fwd,
-    "temporal_window_chunked": q_temporal_window_chunked,
-    "temporal_window_bwd": q_temporal_window_bwd,
-    "temporal_window_offset": q_temporal_window_offset,
-    "event_bound_fwd": q_event_bound_fwd,
-    "event_bound_chunked": q_event_bound_chunked,
-    "event_bound_bwd": q_event_bound_bwd,
-    "event_bound_record_end": q_event_bound_record_end,
-    # --- tier 4: green in r03; ordered so the freshest-green land past
-    # position 50 (the r3-new batch closes the dict) ---
-    "predicates_meds_scan": q_predicates_meds_scan,
-    "esgpt_predicates": q_esgpt_predicates,
-    "predicate_value_range": q_predicate_value_range,
-    "predicate_regex_anyof": q_predicate_regex_anyof,
-    "derived_and_or": q_derived_and_or,
-    "special_predicates": q_special_predicates,
-    "trigger_anchors": q_trigger_anchors,
-    "static_filter": q_static_filter,
-    "lineitem_pricing_summary": q_lineitem_pricing_summary,
-    "revenue_join": q_revenue_join,
-    "region_rollup": q_region_rollup,
-    "local_supplier_volume": q_local_supplier_volume,
-    "brand_revenue": q_brand_revenue,
-    "dedup_exact": q_dedup_exact,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "text_char_stats": q_text_char_stats,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "corpus_clean": q_corpus_clean,
-    "token_counts": q_token_counts,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
-    "pii_scrub": q_pii_scrub,
-    "stratified_sample": q_stratified_sample,
-    "stratified_take": q_stratified_take,
-    "multimodal_features": q_multimodal_features,
-    "cohort_feature_vectors": q_cohort_feature_vectors,
-    "tfidf_features": q_tfidf_features,
-    "sessionization": q_sessionization,
-    "decontamination": q_decontamination,
-    "sequence_packing": q_sequence_packing,
-    "split_assignment": q_split_assignment,
-    "vocab_topk": q_vocab_topk,
-    "paragraph_dedup": q_paragraph_dedup,
-    "dedup_incremental": q_dedup_incremental,
-    "corpus_pipeline": q_corpus_pipeline,
-    "html_extract": q_html_extract,
-    "event_funnel": q_event_funnel,
-    "cohort_retention": q_cohort_retention,
-    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 
@@ -3548,5 +3676,224 @@ SELECT raw.rule, rows_total.n AS n_rows, raw.n_violations,
   floor(CAST(raw.n_violations AS DOUBLE) / CAST(rows_total.n AS DOUBLE)
         * 10000 + 0.5) / 10000.0 AS violation_frac
 FROM raw, rows_total
+"""
+
+    # BM25 (Lucene idf variant): per-(doc, term) contribution snapped to
+    # integer micro-units before the per-doc sum (order-independent in
+    # both engines); doc stats over docs WITH tokens; rank on the integer
+    sql["bm25_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS term
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term),
+df_ AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df_.df AS DOUBLE) + 0.5)
+               / (CAST(df_.df AS DOUBLE) + 0.5))
+      * CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      / (CAST(tf.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+      * 1000000 + 0.5) AS BIGINT) AS cu
+  FROM tf JOIN df_ USING (term) JOIN dl USING (doc_id), stats),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+               CAST(SUM(cu) AS BIGINT) AS su
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_matched_terms, CAST(su AS DOUBLE) / 1000000.0 AS score
+FROM per ORDER BY su DESC, doc_id ASC LIMIT 25
+"""
+
+    # KMV distinct sketch: ascending top-256 of the distinct 60-bit md5
+    # hashes; estimate (k-1)/(h_(k)/2^60), exact count below k
+    sql["kmv_distinct"] = """
+WITH h AS (SELECT DISTINCT
+    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM events),
+topk AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(h) AS kth_hash FROM topk)
+SELECT CAST(256 AS INT) AS k, kth_hash, n_hashes,
+  floor(CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+        ELSE 255.0 / (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0) END
+        * 10000 + 0.5) / 10000.0 AS estimate
+FROM agg
+"""
+
+    # portable HLL, p=9: register = h & 511, rank = trailing zeros of
+    # h >> 9 (isolate-lowest-bit identity) + 1 capped at 40; harmonic sum
+    # in scaled integers (2^(40-rank), absent registers contribute 2^40);
+    # linear counting below 2.5m with empty registers
+    sql["hll_distinct"] = """
+WITH h AS (SELECT
+    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM events),
+r AS (SELECT h & 511 AS reg,
+        LEAST(bit_count(((h >> 9) & -(h >> 9)) - 1) + 1, 40) AS rnk
+      FROM h),
+regs AS (SELECT reg, MAX(rnk) AS mj FROM r GROUP BY reg),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(SUM(CAST(pow(2.0, 40 - mj) AS BIGINT)) AS BIGINT) AS s_present
+        FROM regs),
+est AS (SELECT n_present,
+    0.7213 / (1.0 + 1.079 / 512) * 512 * 512
+      / (CAST(s_present + (512 - n_present) * 1099511627776 AS DOUBLE)
+         / 1099511627776.0) AS raw
+  FROM agg)
+SELECT CAST(512 AS INT) AS m,
+  CAST(512 - n_present AS BIGINT) AS n_empty_registers,
+  floor(CASE WHEN raw <= 1280.0 AND (512 - n_present) > 0
+        THEN 512.0 * ln(512.0 / CAST(512 - n_present AS DOUBLE))
+        ELSE raw END * 10000 + 0.5) / 10000.0 AS estimate
+FROM est
+"""
+
+    # Markov transition matrix: lead() per user in (ts, event_id) order,
+    # probability as basis points of the from-type row total
+    sql["event_transitions"] = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n_transitions,
+  floor(CAST(n_transitions AS DOUBLE)
+        / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        * 10000 + 0.5) / 10000.0 AS prob
+FROM c
+"""
+
+    # distribution drift: add-one-smoothed probabilities over the union
+    # of observed values, KL(new || old) contribution from the UNROUNDED
+    # probabilities, everything under the floor rule at 6 dp
+    sql["lang_drift"] = """
+WITH o AS (SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS n_old
+           FROM documents WHERE doc_id % 10 <> 0 GROUP BY lang),
+n AS (SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang),
+j AS (SELECT COALESCE(o.value, n.value) AS value,
+             CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+      FROM o FULL OUTER JOIN n ON o.value = n.value),
+t AS (SELECT value, n_old, n_new,
+        (CAST(n_old AS DOUBLE) + 1.0)
+          / (CAST(SUM(n_old) OVER () AS DOUBLE)
+             + 1.0 * CAST(COUNT(*) OVER () AS DOUBLE)) AS p_old_raw,
+        (CAST(n_new AS DOUBLE) + 1.0)
+          / (CAST(SUM(n_new) OVER () AS DOUBLE)
+             + 1.0 * CAST(COUNT(*) OVER () AS DOUBLE)) AS p_new_raw
+      FROM j)
+SELECT value, n_old, n_new,
+  floor(p_old_raw * 1000000 + 0.5) / 1000000.0 AS p_old,
+  floor(p_new_raw * 1000000 + 0.5) / 1000000.0 AS p_new,
+  floor(p_new_raw * ln(p_new_raw / p_old_raw) * 1000000 + 0.5) / 1000000.0
+    AS kl_term
+FROM t
+"""
+
+    # trailing 5-row moving stats: DECIMAL(18,6) frame sums (exact in
+    # both engines), floor-rule mean, (ts, event_id) deterministic order
+    sql["rolling_stats"] = """
+SELECT user_id, event_id, ts,
+  CAST(COUNT(value) OVER w AS BIGINT) AS roll_n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+  floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / CAST(COUNT(value) OVER w AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+    AS roll_mean,
+  MIN(value) OVER w AS roll_min,
+  MAX(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+    # bigram LM: train on even doc_ids, score odd; add-one smoothing over
+    # the training vocab; per-token -ln p in integer micro-units so the
+    # per-doc mean is order-independent in both engines
+    sql["lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS t
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+train_bg AS (
+  SELECT CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 0),
+bigrams AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS c_bg
+            FROM train_bg GROUP BY prev, word),
+unigrams AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_prev
+             FROM train_bg GROUP BY prev),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v_size FROM train_bg),
+score_bg AS (
+  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 1),
+s AS (
+  SELECT sb.doc_id,
+    CAST(floor(-ln((CAST(COALESCE(b.c_bg, 0) AS DOUBLE) + 1.0)
+                   / (CAST(COALESCE(u2.c_prev, 0) AS DOUBLE)
+                      + CAST(v.v_size AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS nll_u
+  FROM score_bg sb
+  LEFT JOIN bigrams b USING (prev, word)
+  LEFT JOIN unigrams u2 USING (prev)
+  CROSS JOIN vocab v),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll_u) AS BIGINT) AS su
+        FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+  floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        * 1000000 + 0.5) / 1000000.0 AS nll
+FROM per
+"""
+
+    # SCD2 merge: history = each user's first two (ts-deduped) views,
+    # changes = the (ts-deduped) purchase stream; the merge rule is the
+    # same union-tag + lead successor formulation the Spark plan uses
+    # (portable window SQL), with empty same-instant spans dropped
+    sql["scd2_merge"] = """
+WITH v0 AS (
+  SELECT user_id, ts, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS r
+  FROM events WHERE event_type = 'view'),
+views AS (SELECT user_id, ts, value FROM v0 WHERE r = 1),
+v12 AS (
+  SELECT user_id, ts, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC) AS rn
+  FROM views),
+hist AS (
+  SELECT user_id, value, ts AS vfrom,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn ASC) AS vto
+  FROM v12 WHERE rn <= 2),
+p0 AS (
+  SELECT user_id, ts, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS r
+  FROM events WHERE event_type = 'purchase'),
+chg AS (SELECT user_id, ts AS vfrom, value FROM p0 WHERE r = 1),
+tagged AS (
+  SELECT user_id, value, vfrom, vto, 0 AS is_change FROM hist
+  UNION ALL
+  SELECT user_id, value, vfrom, CAST(NULL AS TIMESTAMP), 1 FROM chg),
+merged AS (
+  SELECT user_id, value, vfrom, vto,
+    LEAD(vfrom) OVER (PARTITION BY user_id
+                      ORDER BY vfrom ASC, is_change ASC) AS nxt
+  FROM tagged),
+resolved AS (
+  SELECT user_id, value, vfrom,
+    CASE WHEN vto IS NOT NULL AND (nxt IS NULL OR vto < nxt) THEN vto
+         ELSE nxt END AS new_to
+  FROM merged)
+SELECT user_id, value, vfrom AS valid_from, new_to AS valid_to
+FROM resolved WHERE new_to IS NULL OR new_to > vfrom
 """
     return sql

@@ -25,7 +25,9 @@ from .operators.timeseries import (
     asof_join,
     asof_join_chunked,
     gapfill_locf,
+    interval_overlap_join,
     range_join,
+    rolling_stats,
     time_rollup,
 )
 from .plans.extract_subtree import extract_subtree

@@ -14,7 +14,7 @@ uniform keys; quantiles use Spark's exact ``percentile`` aggregate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.timecol import as_timestamp
@@ -230,3 +230,98 @@ def length_quantiles(
     if by is None:
         return df.agg(*aggs)
     return df.groupBy(by).agg(*aggs)
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each key's event stream:
+    for every consecutive pair in (``ts_col``, ``order_col``) order, count
+    ``from_type -> to_type`` and the within-``from_type`` probability.
+    The behavioral-model / next-event-prediction primitive (and a drift
+    check: compare matrices across corpus drops).
+
+    Output ``(from_type, to_type, n_transitions, prob)`` with ``prob``
+    in exact basis points of the from-type row total.
+
+    Scale shape: ONE key-keyed exchange for the ``lead`` window, then a
+    (|types|^2)-row aggregate with map-side partials; the probability
+    normalization runs over that tiny aggregate, not the input.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    frac = F.col("n_transitions").cast("double") / row_total.cast("double")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.floor(frac * 10000 + 0.5).cast("double") / 10000.0).alias("prob"),
+    )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Categorical distribution drift between two corpus drops: per-value
+    counts and add-``smoothing`` (Laplace) probabilities from both sides,
+    plus the value's contribution to KL(new || old). Sum the ``kl_term``
+    column for the scalar divergence; alert when it jumps.
+
+    Output ``(value, n_old, n_new, p_old, p_new, kl_term)`` over the
+    UNION of observed values; probabilities at 6 dp (floor rule),
+    ``kl_term = p_new * ln(p_new / p_old)`` at 6 dp computed from the
+    UNROUNDED probabilities. Smoothing keeps both sides nonzero so the
+    divergence is finite when a value appears on only one side — the
+    standard add-one recipe.
+
+    Scale shape: each side reduces to |values| rows BEFORE the join (two
+    partial-aggregated passes + one tiny full-outer join); totals ride a
+    1-row window over the aggregate, never a second input scan.
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (keeps KL finite)")
+    o = old.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    n = new.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    j = o.join(n, "value", "full_outer").select(
+        "value",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    w = Window.partitionBy()
+    n_values = F.count(F.lit(1)).over(w).cast("double")
+    tot_old = F.sum("n_old").over(w).cast("double")
+    tot_new = F.sum("n_new").over(w).cast("double")
+    s = F.lit(float(smoothing))
+    p_old = (F.col("n_old").cast("double") + s) / (tot_old + s * n_values)
+    p_new = (F.col("n_new").cast("double") + s) / (tot_new + s * n_values)
+    kl = p_new * F.log(p_new / p_old)
+    return j.select(
+        "value",
+        "n_old",
+        "n_new",
+        (F.floor(p_old * 1000000 + 0.5).cast("double") / 1000000.0).alias("p_old"),
+        (F.floor(p_new * 1000000 + 0.5).cast("double") / 1000000.0).alias("p_new"),
+        (F.floor(kl * 1000000 + 0.5).cast("double") / 1000000.0).alias("kl_term"),
+    )

@@ -1,0 +1,111 @@
+"""N-gram language-model scoring: train bigram counts on a corpus, score
+documents by per-token negative log-likelihood (≈ log-perplexity).
+
+The KenLM-style quality signal used throughout public data-curation
+pipelines (CCNet, Gopher, RedPajama all filter on LM perplexity):
+documents whose token sequences are improbable under a reference corpus
+are boilerplate, gibberish, or the wrong language. Whole pipeline stays
+relational — the "model" IS a DataFrame of counts, trainable on one
+corpus and applied to another (the cross-corpus shape: train on a clean
+reference, score a dirty crawl).
+
+Smoothing: add-one (Laplace) over the observed vocabulary —
+``p(w|v) = (c(v,w) + 1) / (c(v) + |V|)``. Deterministic, closed-form,
+and exactly mirrorable in SQL; heavier smoothing (Kneser-Ney) needs
+multi-pass discounting that buys little for a FILTERING signal.
+
+Scale shape: training is two hash aggregates over exploded bigrams
+(uniform token keys, map-side partials). Scoring joins each document
+bigram against the count tables — both sides keyed by token/bigram, and
+the model side is Zipf-small after aggregation (vocab², observed part
+only; unseen bigrams fall through the LEFT join to the smoothed floor).
+Per-token log terms snap to integer micro-units before the per-doc sum,
+so scores are order-independent and engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_tokens
+
+__all__ = ["train_bigram_lm", "score_documents_lm"]
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, word) for every adjacent token pair; the leading token
+    pairs with the sentinel ``<s>`` so position 0 is also scored."""
+    toks = df.select(
+        F.col(id_col), norm_tokens(text_col).alias("__t")
+    ).filter(F.size("__t") > 0)
+    shifted = F.concat(F.array(F.lit("<s>")), F.col("__t"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(shifted, 1, F.size("__t")),
+                F.col("__t"),
+                lambda p, w: F.struct(p.alias("prev"), w.alias("word")),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.prev").alias("prev"), F.col("__bg.word").alias("word"))
+
+
+def train_bigram_lm(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Fit the count model. Returns three small-after-aggregation frames:
+    ``bigrams (prev, word, c_bg)``, ``unigrams (prev, c_prev)``, and the
+    1-row ``vocab (v_size)`` (distinct WORDS, excluding the sentinel).
+    Persist/write them once and score many corpora — the build-once /
+    apply-many shape of the persisted IVF index."""
+    bg = _bigrams(corpus, id_col, text_col)
+    bigrams = bg.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_bg")
+    )
+    unigrams = bg.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("c_prev"))
+    vocab = bg.agg(F.countDistinct("word").cast("long").alias("v_size"))
+    return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
+
+
+def score_documents_lm(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every non-empty document against a :func:`train_bigram_lm`
+    model. Output ``(doc_id, n_tokens, nll)`` — ``nll`` is the mean
+    per-token negative log-likelihood under add-one smoothing (lower =
+    more fluent under the training corpus; ``exp(nll)`` is perplexity).
+
+    Per-token ``-ln p`` values snap to integer micro-units before the
+    per-doc mean, then the floor rule rounds the mean — order-independent
+    and engine-exact. Unseen contexts/words degrade to the smoothed
+    floor via LEFT joins (never dropped rows, never nulls in the sum).
+    """
+    bg = _bigrams(docs, id_col, text_col)
+    # no broadcast hint on the count tables: a reference-corpus model can
+    # exceed the broadcast budget (observed-vocab² rows); AQE picks
+    # broadcast when the aggregated side is actually small. The 1-row
+    # vocab frame is always a broadcast.
+    scored = (
+        bg.join(model["bigrams"], ["prev", "word"], "left")
+        .join(model["unigrams"], ["prev"], "left")
+        .crossJoin(F.broadcast(model["vocab"]))
+    )
+    c_bg = F.coalesce(F.col("c_bg"), F.lit(0)).cast("double")
+    c_prev = F.coalesce(F.col("c_prev"), F.lit(0)).cast("double")
+    p = (c_bg + F.lit(1.0)) / (c_prev + F.col("v_size").cast("double"))
+    nll_u = F.floor(-F.log(p) * 1000000 + 0.5).cast("long")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(nll_u).cast("long").alias("__nll_u"),
+    )
+    mean = F.col("__nll_u").cast("double") / F.col("n_tokens").cast("double") / 1000000.0
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("nll"),
+    )

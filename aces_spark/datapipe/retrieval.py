@@ -1,0 +1,116 @@
+"""Lexical retrieval over a document corpus: BM25 scoring.
+
+The sparse-retrieval half of a training-data search stack (the dense half
+is ``datapipe.similarity``): given a bag of query terms, rank documents by
+Okapi BM25 — the Lucene/Elasticsearch default scoring function. Used in
+data curation for targeted corpus slicing ("find documents about X to
+up/down-sample") and for building retrieval-augmented training pairs.
+
+Reference semantics: Robertson & Zaragoza 2009 (the BM25 survey) with
+Lucene's non-negative idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+Scale shape: the per-term statistics restrict to the QUERY's terms before
+any join (the term filter prunes the exploded token stream immediately —
+at 100 TB the per-term relation is |matching postings|, not |all
+postings|); document lengths need one doc-keyed aggregate over the full
+token stream (the unavoidable full pass — Lucene precomputes the same
+statistic at index time); the corpus-wide N / avgdl reduce to a 1-row
+broadcast. No Python UDFs, no driver loops.
+
+Determinism rule: each (doc, term) score contribution is snapped to
+integer MICRO-units (``floor(x*1e6 + 0.5)`` as BIGINT) before the
+per-doc sum, so the total is an order-independent integer in any engine
+and at any parallelism — the same trick as the repo's DECIMAL sums —
+and the top-k ranking compares integers (doc id tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_tokens
+
+__all__ = ["bm25_scores"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document containing at least one query term.
+
+    Output ``(doc_id, n_matched_terms, score)`` — ``score`` is the BM25
+    sum in micro-unit precision (a multiple of 1e-6, exact in double);
+    with ``top_k`` set, only the k best documents survive (score-desc,
+    id-asc tie-break, ranked on the integer micro-units).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = docs.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+    )
+    # document length: the one full-stream aggregate (index-time stat)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # corpus stats reduce to ONE row and broadcast onto the scoring join
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+
+    # term filter FIRST: everything after this line is query-term-sized
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    # (k1 + 1) as an IN-PLAN addition, not a Python-folded literal: the
+    # driver-side fold could round differently than an engine evaluating
+    # the same sum, and both sides of the oracle must see identical doubles
+    contrib = idf * tf_d * (F.lit(k1) + F.lit(1.0)) / norm
+    # micro-unit snap: per-term integers sum exactly in any order/engine
+    contrib_u = F.floor(contrib * 1000000 + 0.5).cast("long")
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        F.sum(contrib_u).cast("long").alias("__score_u"),
+    )
+    out = per_doc.select(
+        id_col,
+        "n_matched_terms",
+        (F.col("__score_u").cast("double") / 1000000.0).alias("score"),
+        "__score_u",
+    )
+    if top_k is not None:
+        # orderBy + limit → TakeOrderedAndProject: distributed per-partition
+        # top-k with a k-row driver merge, never a global single-task sort
+        out = out.orderBy(
+            F.col("__score_u").desc(), F.col(id_col).asc()
+        ).limit(top_k)
+    return out.drop("__score_u")

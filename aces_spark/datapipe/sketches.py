@@ -1,0 +1,139 @@
+"""Distinct-count sketches with ENGINE-PORTABLE determinism.
+
+Spark ships ``approx_count_distinct`` (HyperLogLog++), but its xxhash64 /
+dense-sparse internals are JVM-specific — the estimate cannot be
+reproduced outside Spark, which fails this repo's differential-oracle
+bar. These sketches trade a little accuracy theory for full portability:
+every hash is md5-derived and every reduction is integer-exact, so the
+SAME estimate falls out of any engine at any parallelism — and the
+sketch itself becomes testable data rather than an opaque binary blob.
+
+Two published estimators:
+
+* **KMV (k-minimum values)** — Bar-Yossef et al. 2002: keep the k
+  smallest normalized hashes; estimate ``(k-1) / h_(k)``. One
+  ``TakeOrderedAndProject`` over distinct hashes — no register state.
+* **HLL (HyperLogLog)** — Flajolet et al. 2007: ``m = 2^p`` registers,
+  register = max trailing-zero rank. The harmonic-mean denominator is
+  computed in SCALED INTEGERS (``2^(RANK_CAP - M_j)`` summed as BIGINT,
+  exact), so the classic order-dependent float-sum nondeterminism of
+  naive HLL implementations is gone by construction.
+
+At 100 TB both are one partial-aggregated pass: HLL reduces to ``m``
+register rows then 1; KMV's top-k merges k rows per partition. Use these
+when the estimate must be auditable/reproducible; use Spark's built-in
+``approx_count_distinct`` when raw speed matters and the value is only
+advisory.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "hll_distinct"]
+
+#: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
+#: (m * 2^RANK_CAP <= 2^16 * 2^40 = 2^56); with a 54-bit hash remainder
+#: ranks above 40 are astronomically rare and clip harmlessly
+_RANK_CAP = 40
+
+#: 60-bit positive hash: 15 hex chars of md5 — portable to any engine
+#: that has md5 + hex parsing (the repo's standard portable-hash recipe)
+
+
+def _h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct estimate. Output one row:
+    ``(k, kth_hash, n_hashes, estimate)`` where ``estimate`` is
+    ``(k-1) / (kth_hash / 2^60)`` when at least ``k`` distinct hashes
+    exist, else ``n_hashes`` exactly (the sketch degenerates to an exact
+    count below k — a feature, not a fallback).
+
+    Plan: distinct hash values → ascending top-k
+    (``TakeOrderedAndProject``: per-partition k-row heaps, k-row merge)
+    → 1-row aggregate. The floor(x*1e4+0.5) rule rounds the estimate.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = df.select(_h60(F.col(col)).alias("__h")).distinct()
+    topk = hashes.orderBy(F.col("__h").asc()).limit(k)
+    agg = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.max("__h").alias("kth_hash"),
+    )
+    full = F.lit(float(k - 1)) / (
+        F.col("kth_hash").cast("double") / F.lit(float(1 << 60))
+    )
+    est = F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double")).otherwise(
+        full
+    )
+    return agg.select(
+        F.lit(k).cast("int").alias("k"),
+        "kth_hash",
+        "n_hashes",
+        (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """Portable HyperLogLog distinct estimate with ``m = 2^p`` registers.
+    Output one row: ``(m, n_empty_registers, estimate)``.
+
+    Per row: 60-bit md5 hash → register ``h % m``, rank = trailing zeros
+    of ``h // m`` plus 1 (capped). Registers aggregate with ``max``; the
+    harmonic denominator sums ``2^(RANK_CAP - rank)`` as exact BIGINTs
+    (absent registers contribute ``2^RANK_CAP``), so the whole sketch is
+    integer-deterministic; the only float math is the final closed-form
+    estimate. Small-range correction (linear counting) applies below
+    ``2.5 m`` when empty registers exist, per the published algorithm.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    h = _h60(F.col(col))
+    # h // m and h % m as BIT ops (m is a power of two): exact at any
+    # width — a double division would lose bits past 2^53 for small p
+    w = F.shiftright(h, p)
+    # trailing zeros via the isolate-lowest-set-bit identity
+    tz = F.bit_count((w.bitwiseAND(-w)) - 1)
+    rank = F.least(tz + 1, F.lit(_RANK_CAP))
+    regs = df.select(
+        h.bitwiseAND(m - 1).alias("__reg"), rank.alias("__rank")
+    ).groupBy("__reg").agg(F.max("__rank").alias("__m"))
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        # 2^(CAP - rank) as a long: pow() of an integer exponent <= 40 is
+        # IEEE-exact, and shiftleft() only takes a literal shift amount
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("__s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_empty = F.lit(m).cast("long") - F.col("n_present")
+    s_total = F.col("__s_present") + n_empty * F.lit(1 << _RANK_CAP).cast("long")
+    denom = s_total.cast("double") / F.lit(float(1 << _RANK_CAP))
+    raw = F.lit(alpha * m * m) / denom
+    # linear counting below 2.5m with empty registers (Flajolet §4)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0), lc).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        n_empty.cast("long").alias("n_empty_registers"),
+        (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
+    )
+
+
+def _expected_error(p: int) -> float:
+    """Standard error bound 1.04/sqrt(m) — exposed for tests/docs."""
+    return 1.04 / math.sqrt(1 << p)

@@ -46,6 +46,7 @@ __all__ = [
     "interval_overlap_join",
     "gapfill_locf",
     "time_rollup",
+    "rolling_stats",
 ]
 
 _BUCKET_US = {
@@ -518,3 +519,53 @@ def interval_overlap_join(
         bucket, F.greatest(as_timestamp(left_start), as_timestamp(right_start))
     )
     return l.join(r, keys).filter(overlap & canonical).drop("__bucket")
+
+
+def rolling_stats(
+    df: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Trailing ``window_rows``-row statistics per key: count, sum, mean,
+    min, max of ``value_col`` over the current row and the
+    ``window_rows - 1`` before it in (``ts_col``, ``order_col``) order —
+    the moving-average / smoothing primitive (pandas ``rolling(n)``,
+    kdb ``mavg``), kept deterministic under timestamp ties by the
+    ``order_col`` tie-break.
+
+    Output: the key, order, and timestamp columns plus ``roll_n``,
+    ``roll_sum``, ``roll_mean``, ``roll_min``, ``roll_max``. Sums run in
+    DECIMAL(18,6) (order-independent exact addition — the repo's
+    engine-portable money-math rule); the mean applies the
+    ``floor(x*1e6 + 0.5)`` rule to the decimal-exact sum/count ratio.
+
+    Scale shape: ONE key exchange for the window sort; the bounded ROWS
+    frame is streaming state of ``window_rows`` rows per task, never a
+    growing buffer — a million-row key costs memory O(window_rows).
+    Nulls in ``value_col`` count toward frame POSITION but not toward
+    n/sum/min/max (SQL aggregate-over-window semantics in both engines).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    val_dec = F.col(value_col).cast("decimal(18,6)")
+    s = F.sum(val_dec).over(w)
+    n = F.count(F.col(value_col)).over(w)
+    mean = s.cast("double") / n.cast("double")
+    return df.select(
+        F.col(on),
+        F.col(order_col),
+        F.col(ts_col),
+        n.cast("long").alias("roll_n"),
+        s.cast("double").alias("roll_sum"),
+        (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("roll_mean"),
+        F.min(F.col(value_col)).over(w).alias("roll_min"),
+        F.max(F.col(value_col)).over(w).alias("roll_max"),
+    )

@@ -1,0 +1,137 @@
+"""Bigram LM scoring and SCD2 change merge."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import ts
+
+
+# ------------------------------------------------------------- bigram LM
+
+@pytest.fixture(scope="module")
+def lm_model(spark):
+    from aces_spark.datapipe.lm import train_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "a dog sat"),
+        ],
+        "doc_id long, text string",
+    )
+    return train_bigram_lm(corpus)
+
+
+def test_train_bigram_counts(lm_model):
+    bg = {
+        (r["prev"], r["word"]): r["c_bg"] for r in lm_model["bigrams"].collect()
+    }
+    # "the cat" appears in docs 1 and 2
+    assert bg[("the", "cat")] == 2
+    # sentence-start sentinel: docs 1 and 2 open with "the"
+    assert bg[("<s>", "the")] == 2
+    uni = {r["prev"]: r["c_prev"] for r in lm_model["unigrams"].collect()}
+    # 'the' is the context of: the→cat, the→mat (doc 1), the→cat (doc 2)
+    assert uni["the"] == 3
+    assert lm_model["vocab"].collect()[0]["v_size"] == 8
+
+
+def test_score_documents_lm_reference(spark, lm_model):
+    """Hand-computed NLL for a two-token doc pins the smoothing formula."""
+    from aces_spark.datapipe.lm import score_documents_lm
+
+    doc = spark.createDataFrame([(10, "the cat")], "doc_id long, text string")
+    out = score_documents_lm(doc, lm_model).collect()[0]
+    assert out["n_tokens"] == 2
+    v = 8
+    p1 = (2 + 1) / (3 + v)  # <s> -> the: c_bg=2, c_prev=3 starts
+    p2 = (2 + 1) / (3 + v)  # the -> cat: c_bg=2, c_prev=3
+    u1 = math.floor(-math.log(p1) * 1e6 + 0.5)
+    u2 = math.floor(-math.log(p2) * 1e6 + 0.5)
+    expected = math.floor((u1 + u2) / 2 / 1e6 * 1e6 + 0.5) / 1e6
+    assert out["nll"] == expected
+
+
+def test_score_unseen_tokens_degrade_not_drop(spark, lm_model):
+    from aces_spark.datapipe.lm import score_documents_lm
+
+    doc = spark.createDataFrame(
+        [(11, "zebra quantum flux")], "doc_id long, text string"
+    )
+    out = score_documents_lm(doc, lm_model).collect()[0]
+    # all three tokens scored (unseen → smoothed floor), none dropped
+    assert out["n_tokens"] == 3
+    # unseen text must score WORSE (higher nll) than in-corpus text
+    seen = spark.createDataFrame([(12, "the cat sat")], "doc_id long, text string")
+    seen_out = score_documents_lm(seen, lm_model).collect()[0]
+    assert out["nll"] > seen_out["nll"]
+
+
+# ------------------------------------------------------------ SCD2 merge
+
+@pytest.fixture()
+def history(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", ts("2024-01-01"), ts("2024-02-01")),
+            (1, "alicia", ts("2024-02-01"), None),
+            (2, "bob", ts("2024-01-01"), None),
+        ],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+
+
+def test_scd2_insert_update_chain(spark, history):
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    changes = spark.createDataFrame(
+        [
+            (1, "alyce", ts("2024-03-01")),   # update key 1
+            (3, "carol", ts("2024-03-15")),   # brand-new key
+            (3, "carole", ts("2024-04-01")),  # chained second change
+        ],
+        "id long, name string, effective_from timestamp",
+    )
+    out = scd2_merge(history, changes, "id")
+    rows = {(r["id"], r["name"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    # old current version of key 1 closed at the change's effective time
+    assert rows[(1, "alicia")] == (ts("2024-02-01"), ts("2024-03-01"))
+    assert rows[(1, "alyce")] == (ts("2024-03-01"), None)
+    # untouched key passes through open
+    assert rows[(2, "bob")] == (ts("2024-01-01"), None)
+    # chained inserts close each other in order
+    assert rows[(3, "carol")] == (ts("2024-03-15"), ts("2024-04-01"))
+    assert rows[(3, "carole")] == (ts("2024-04-01"), None)
+    # closed historical version untouched
+    assert rows[(1, "alice")] == (ts("2024-01-01"), ts("2024-02-01"))
+    assert out.count() == 6
+
+
+def test_scd2_same_instant_supersession(spark, history):
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    changes = spark.createDataFrame(
+        [(2, "robert", ts("2024-01-01"))],
+        "id long, name string, effective_from timestamp",
+    )
+    out = scd2_merge(history, changes, "id")
+    rows = {(r["id"], r["name"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    # the superseded same-instant version vanishes (empty half-open span)
+    assert (2, "bob") not in rows
+    assert rows[(2, "robert")] == (ts("2024-01-01"), None)
+
+
+def test_scd2_validation(spark, history):
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    bad = spark.createDataFrame([(1, ts("2024-03-01"))], "id long, effective_from timestamp")
+    with pytest.raises(ValueError, match="payload"):
+        scd2_merge(history, bad, "id")
+    no_eff = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="effective_from"):
+        scd2_merge(history, no_eff, "id")

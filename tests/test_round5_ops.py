@@ -1,0 +1,200 @@
+"""Round-5 operators: BM25 retrieval, portable distinct sketches,
+event transitions, distribution drift, and rolling window stats."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import ts
+
+
+# ------------------------------------------------------------------ BM25
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick quick quick fox"),
+            (3, "a slow green turtle crawls under a log"),
+            (4, "fox and dog play in the yard with another dog"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_scores_basic(corpus):
+    from aces_spark.datapipe.retrieval import bm25_scores
+
+    out = {r["doc_id"]: r for r in bm25_scores(corpus, ["fox", "dog"]).collect()}
+    # doc 3 and the empty doc match nothing
+    assert set(out) == {1, 2, 4}
+    assert out[1]["n_matched_terms"] == 2
+    assert out[2]["n_matched_terms"] == 1
+    assert out[4]["n_matched_terms"] == 2
+    # "dog" appears twice in the shortest matching doc context → doc 4
+    # outranks doc 1 (one occurrence each of fox+dog in a longer doc)
+    assert out[4]["score"] > out[1]["score"]
+    # every score is a micro-unit multiple (integer-exact summation)
+    for r in out.values():
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
+
+
+def test_bm25_reference_value(corpus):
+    """One hand-computed score pins the formula (Lucene idf variant)."""
+    from aces_spark.datapipe.retrieval import bm25_scores
+
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(corpus, ["turtle"]).collect()}
+    # stats over docs WITH tokens: N=4, avgdl=(9+4+8+10)/4=7.75; df=1, tf=1, dl=8
+    n_docs, avgdl, dl, tf, k1, b = 4, 7.75, 8, 1, 1.2, 0.75
+    idf = math.log(1 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out == {3: math.floor(expected * 1e6 + 0.5) / 1e6}
+
+
+def test_bm25_top_k_and_validation(corpus):
+    from aces_spark.datapipe.retrieval import bm25_scores
+
+    top = bm25_scores(corpus, ["fox", "dog"], top_k=2).collect()
+    assert len(top) == 2
+    assert top[0]["score"] >= top[1]["score"]
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(corpus, [])
+
+
+# --------------------------------------------------------------- sketches
+
+def test_kmv_exact_below_k(spark):
+    from aces_spark.datapipe.sketches import kmv_distinct
+
+    df = spark.range(0, 50).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    # fewer than k distinct values → the sketch IS the exact count
+    assert row["n_hashes"] == 50 and row["estimate"] == 50.0
+
+
+def test_kmv_estimate_accuracy_and_dup_invariance(spark):
+    from aces_spark.datapipe.sketches import kmv_distinct
+
+    df = spark.range(0, 20000).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["estimate"] == pytest.approx(20000, rel=0.15)
+    # duplicates must not move the estimate (distinct hashes drive it)
+    dup = df.union(df).union(df)
+    assert kmv_distinct(dup, "v", k=256).collect()[0]["estimate"] == row["estimate"]
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from aces_spark.datapipe.sketches import hll_distinct
+
+    df = spark.range(0, 20000).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v", p=9).collect()[0]
+    assert row["m"] == 512
+    # 1.04/sqrt(512) ≈ 4.6% standard error; allow 3 sigma
+    assert row["estimate"] == pytest.approx(20000, rel=0.15)
+    # repartition → different partial-aggregation order → SAME estimate
+    # (the integer-scaled harmonic sum is order-independent)
+    again = hll_distinct(df.repartition(13), "v", p=9).collect()[0]
+    assert again["estimate"] == row["estimate"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    from aces_spark.datapipe.sketches import hll_distinct
+
+    df = spark.range(0, 30).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v", p=9).collect()[0]
+    # 30 << 2.5m → linear-counting branch; near-exact in this regime
+    assert row["estimate"] == pytest.approx(30, abs=3)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_distinct(df, "v", p=2)
+
+
+# ------------------------------------------------------- event transitions
+
+def test_event_transitions(spark):
+    from aces_spark.datapipe.analytics import event_transitions
+
+    rows = [
+        (1, "view", ts("2024-01-01 10:00"), 1),
+        (1, "click", ts("2024-01-01 10:01"), 2),
+        (1, "purchase", ts("2024-01-01 10:02"), 3),
+        (2, "view", ts("2024-01-01 11:00"), 4),
+        (2, "click", ts("2024-01-01 11:01"), 5),
+        (2, "view", ts("2024-01-01 11:02"), 6),
+        # same-ts tie broken by event_id: view(7) -> click(8)
+        (3, "view", ts("2024-01-01 12:00"), 7),
+        (3, "click", ts("2024-01-01 12:00"), 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    assert out[("view", "click")] == (3, 1.0)
+    assert out[("click", "purchase")] == (1, 0.5)
+    assert out[("click", "view")] == (1, 0.5)
+    # last event per user emits no transition
+    assert sum(n for n, _ in out.values()) == 5
+
+
+# ------------------------------------------------------ distribution drift
+
+def test_distribution_drift(spark):
+    from aces_spark.datapipe.analytics import distribution_drift
+
+    old = spark.createDataFrame([("en",)] * 8 + [("de",)] * 2, "lang string")
+    new = spark.createDataFrame([("en",)] * 5 + [("fr",)] * 5, "lang string")
+    out = {r["value"]: r for r in distribution_drift(old, new, "lang").collect()}
+    assert set(out) == {"en", "de", "fr"}
+    # Laplace smoothing: p_old(fr) = (0+1)/(10+3) — present despite 0 count
+    assert out["fr"]["n_old"] == 0
+    assert out["fr"]["p_old"] == math.floor(1 / 13 * 1e6 + 0.5) / 1e6
+    # KL terms: positive where new over-represents, negative where under
+    assert out["fr"]["kl_term"] > 0 and out["de"]["kl_term"] < 0
+    with pytest.raises(ValueError, match="smoothing"):
+        distribution_drift(old, new, "lang", smoothing=0)
+
+
+# --------------------------------------------------------- rolling stats
+
+def test_rolling_stats(spark):
+    from aces_spark.operators.timeseries import rolling_stats
+
+    rows = [
+        (1, ts("2024-01-01 10:00"), 10.0, 1),
+        (1, ts("2024-01-01 10:01"), 20.0, 2),
+        (1, ts("2024-01-01 10:02"), 60.0, 3),
+        (1, ts("2024-01-01 10:03"), None, 4),
+        (2, ts("2024-01-01 10:00"), 5.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = {
+        r["event_id"]: r for r in rolling_stats(df, "user_id", window_rows=3).collect()
+    }
+    assert out[1]["roll_n"] == 1 and out[1]["roll_mean"] == 10.0
+    assert out[2]["roll_n"] == 2 and out[2]["roll_mean"] == 15.0
+    assert out[3]["roll_n"] == 3 and out[3]["roll_mean"] == 30.0
+    assert out[3]["roll_min"] == 10.0 and out[3]["roll_max"] == 60.0
+    # null value: occupies frame position, excluded from the aggregates
+    assert out[4]["roll_n"] == 2 and out[4]["roll_sum"] == 80.0
+    assert out[4]["roll_mean"] == 40.0
+    assert out[5]["roll_n"] == 1 and out[5]["roll_mean"] == 5.0
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_stats(df, "user_id", window_rows=0)
+
+
+def test_rolling_stats_partition_invariance(spark):
+    """Decimal sums + floor rule: the same result at any parallelism."""
+    from aces_spark.operators.timeseries import rolling_stats
+
+    rows = [
+        (1, ts("2024-01-01 10:00") , 0.1 * i, i) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    a = sorted(rolling_stats(df, "user_id", window_rows=7).collect())
+    b = sorted(rolling_stats(df.repartition(11), "user_id", window_rows=7).collect())
+    assert a == b
