@@ -1753,6 +1753,18 @@ def q_scd2_merge(spark, sf_dir):
     return scd2_merge(history, purch, "user_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (datapipe.sampling
+    .weighted_sample, Efraimidis-Spirakis A-ExpJ): top-100 documents by
+    the deterministic exponential-jitter key -ln(u)/n_chars — inclusion
+    probability proportional to length. Per-partition top-k heaps +
+    k-row merge (TakeOrderedAndProject), never a global sort."""
+    from aces_spark.datapipe.sampling import weighted_sample
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1779,6 +1791,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_stats": q_rolling_stats,
     "lm_score": q_lm_score,
     "scd2_merge": q_scd2_merge,
+    "weighted_sample": q_weighted_sample,
     # label_centroids' only row was the r4 harness `err` (unhashable
     # array cell) — reshaped to scalar long format this round, it re-debuts
     # in tier 1 until a green row lands
@@ -1813,7 +1826,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignment": q_split_assignment,
     "vocab_topk": q_vocab_topk,
     "paragraph_dedup": q_paragraph_dedup,
-    "dedup_incremental": q_dedup_incremental,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -1825,6 +1837,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
@@ -3895,5 +3908,19 @@ resolved AS (
   FROM merged)
 SELECT user_id, value, vfrom AS valid_from, new_to AS valid_to
 FROM resolved WHERE new_to IS NULL OR new_to > vfrom
+"""
+
+    # Efraimidis-Spirakis weighted sample: u = (h60+1)/2^60 from md5 of
+    # the id, key = -ln(u)/w, k smallest win; rank on the 9-dp-rounded
+    # key with id tie-break (the repo's rank-on-rounded-score rule)
+    sql["weighted_sample"] = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+    ROUND(-ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) + 1) / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars, sample_key
+FROM s ORDER BY sample_key ASC, doc_id ASC LIMIT 100
 """
     return sql

@@ -139,3 +139,44 @@ def stratified_take(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis & Spirakis
+    (2006) A-ExpJ: each row draws a deterministic uniform ``u`` from its
+    id (md5-derived, reproducible anywhere), ranks by the exponential
+    jitter ``-ln(u) / w``, and the k SMALLEST keys win. Inclusion
+    probability is proportional to weight, the one-pass distributed
+    recipe (per-partition top-k heaps + a k-row merge, never a global
+    sort) for "sample 10k docs biased toward length/quality score".
+
+    Output ``(id_col, weight_col, sample_key)``, the winners; ranking
+    uses the 9-dp-rounded key with id tie-break (the repo's
+    rank-on-rounded-score determinism rule). Rows with weight <= 0 or
+    null are excluded (zero weight = never sampled; negative is a caller
+    bug surfaced by the count, not a crash).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    out = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out

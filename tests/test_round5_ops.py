@@ -198,3 +198,37 @@ def test_rolling_stats_partition_invariance(spark):
     a = sorted(rolling_stats(df, "user_id", window_rows=7).collect())
     b = sorted(rolling_stats(df.repartition(11), "user_id", window_rows=7).collect())
     assert a == b
+
+
+# ------------------------------------------------------- weighted sample
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from aces_spark.datapipe.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "w", k=40, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 40
+    # heavy weights dominate: nearly all winners come from the 50 heavy ids
+    heavy = sum(1 for r in rows if r["doc_id"] < 50)
+    assert heavy >= 30
+    # deterministic under repartition (hash-derived keys, total order)
+    again = weighted_sample(df.repartition(17), "w", k=40, id_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from aces_spark.datapipe.sampling import weighted_sample
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double",
+    )
+    rows = weighted_sample(df, "w", k=10, id_col="doc_id").collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", k=0)
