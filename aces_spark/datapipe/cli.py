@@ -19,6 +19,11 @@ parquet; report ops print ONE JSON line to stdout):
     validate  data-quality rules report → JSON
               (--rules "not_null:col,unique:col,non_negative:col")
     diff      snapshot diff summary → JSON (--old, --new, --key)
+    sketch    distinct-count estimate → JSON (--col, --method kmv|hll)
+    sample    weighted sample without replacement (--weight-col, --k)
+    score-lm  bigram-LM NLL scoring (--train corpus, scores --input)
+    bm25      BM25 top-k search report → JSON (--terms a,b,c, --k)
+    merge-scd2  SCD2 history merge (--history, --changes(--input), --key)
 
 The session knobs mirror the cohort CLI (``aces_spark.cli``): one
 SparkSession, parallelism from partitions. Every operation is the
@@ -126,6 +131,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--old", required=True)
     sp.add_argument("--new", required=True)
     sp.add_argument("--key", required=True)
+
+    sp = sub.add_parser("sketch")
+    _io(sp, output=False)
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--method", choices=["kmv", "hll"], default="hll")
+
+    sp = sub.add_parser("sample")
+    _io(sp)
+    sp.add_argument("--weight-col", required=True)
+    sp.add_argument("--k", type=int, required=True)
+    sp.add_argument("--id-col", default="doc_id")
+
+    sp = sub.add_parser("score-lm")
+    _io(sp)
+    sp.add_argument("--train", required=True, help="reference corpus parquet")
+
+    sp = sub.add_parser("bm25")
+    _io(sp, output=False)
+    sp.add_argument("--terms", required=True, help="comma-separated query terms")
+    sp.add_argument("--k", type=int, default=10)
+
+    sp = sub.add_parser("merge-scd2")
+    _io(sp)
+    sp.add_argument("--history", required=True)
+    sp.add_argument("--key", required=True)
     return p
 
 
@@ -221,6 +251,55 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+    elif args.op == "sketch":
+        from .sketches import hll_distinct, kmv_distinct
+
+        df = spark.read.parquet(args.input)
+        fn = hll_distinct if args.method == "hll" else kmv_distinct
+        row = fn(df, args.col).collect()[0]
+        print(
+            json.dumps(
+                {"op": "sketch", "method": args.method, "col": args.col,
+                 **{k: row[k] for k in row.asDict()}}
+            )
+        )
+        return 0
+    elif args.op == "sample":
+        from .sampling import weighted_sample
+
+        df = spark.read.parquet(args.input)
+        winners = weighted_sample(df, args.weight_col, args.k, id_col=args.id_col)
+        df.join(winners.select(args.id_col), args.id_col).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.op == "score-lm":
+        from .lm import score_documents_lm, train_bigram_lm
+
+        model = train_bigram_lm(spark.read.parquet(args.train))
+        score_documents_lm(spark.read.parquet(args.input), model).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.op == "bm25":
+        from .retrieval import bm25_scores
+
+        df = spark.read.parquet(args.input)
+        terms = [t for t in args.terms.split(",") if t.strip()]
+        rows = bm25_scores(df, terms, top_k=args.k).collect()
+        print(
+            json.dumps(
+                {"op": "bm25", "terms": terms,
+                 "hits": [r.asDict() for r in rows]}
+            )
+        )
+        return 0
+    elif args.op == "merge-scd2":
+        from .cdc import scd2_merge
+
+        history = spark.read.parquet(args.history)
+        changes = spark.read.parquet(args.input)
+        scd2_merge(history, changes, args.key).write.mode("overwrite").parquet(
+            args.output
+        )
     return 0
 
 

@@ -101,3 +101,65 @@ def test_cli_pack(spark, docs_path, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 4
     assert "pack_id" in df.columns
+
+
+def test_cli_sketch(docs_path, capsys):
+    rc = main(["sketch", "--input", docs_path, "--col", "doc_id", "--method", "kmv"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["method"] == "kmv" and report["estimate"] == 4.0
+
+    rc = main(["sketch", "--input", docs_path, "--col", "lang"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["method"] == "hll"
+    assert report["estimate"] == pytest.approx(2, abs=1)
+
+
+def test_cli_sample(spark, docs_path, tmp_path):
+    out = str(tmp_path / "sampled")
+    assert main([
+        "sample", "--input", docs_path, "--output", out,
+        "--weight-col", "doc_id", "--k", "2",
+    ]) == 0
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_score_lm(spark, docs_path, tmp_path):
+    out = str(tmp_path / "scored")
+    assert main([
+        "score-lm", "--input", docs_path, "--output", out,
+        "--train", docs_path,
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 4 and "nll" in df.columns
+
+
+def test_cli_bm25(docs_path, capsys):
+    rc = main(["bm25", "--input", docs_path, "--terms", "fox,spark", "--k", "3"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert len(report["hits"]) == 3
+    assert {h["doc_id"] for h in report["hits"]} <= {1, 2, 3, 4}
+
+
+def test_cli_merge_scd2(spark, docs_path, tmp_path, capsys):
+    hist = str(tmp_path / "hist")
+    chg = str(tmp_path / "chg")
+    from conftest import ts as _ts
+
+    spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01"), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    ).write.parquet(hist)
+    spark.createDataFrame(
+        [(1, "b", _ts("2024-02-01"))],
+        "id long, name string, effective_from timestamp",
+    ).write.parquet(chg)
+    out = str(tmp_path / "merged")
+    assert main([
+        "merge-scd2", "--history", hist, "--input", chg,
+        "--output", out, "--key", "id",
+    ]) == 0
+    rows = {r["name"]: (r["valid_from"], r["valid_to"]) for r in spark.read.parquet(out).collect()}
+    assert rows["a"] == (_ts("2024-01-01"), _ts("2024-02-01"))
+    assert rows["b"] == (_ts("2024-02-01"), None)
