@@ -1918,6 +1918,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with bench's best-of-2 policy the recorded number is the pruned
         # query-only scan the index exists for
         "ann_ivf_indexed_query_only": _ivf_indexed_query_only,
+        "ivfpq_indexed_query_only": _ivfpq_indexed_query_only,
     }
 
 
@@ -1933,6 +1934,22 @@ def _ivf_indexed_query_only(spark, sf_dir):
         save_ivf_index(emb, path, n_cells=8, quantizer="seed")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
+
+
+def _ivfpq_indexed_query_only(spark, sf_dir):
+    import tempfile
+
+    from aces_spark.datapipe.pq import ivfpq_topk_indexed, save_ivfpq_index
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivfpq_index_qonly_{tag}")
+    if not os.path.isdir(os.path.join(path, "cells")):
+        save_ivfpq_index(emb, path, n_cells=8, m=4, n_codes=16, quantizer="seed")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk_indexed(spark, path, queries, k=5, n_probes=2)
 
 
 # ---------------------------------------------------------------- oracles

@@ -73,11 +73,13 @@ def _adc_dist(m: int) -> Column:
 
 
 def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in word]) for word in book])
-            for book in codebook
-        ]
+    # ONE Literal node carrying the nested array, not a CreateArray tree
+    # with m × n_codes × sub literal leaves: every column expression that
+    # references the codebook embeds this subtree, so the unrolled form
+    # multiplied ~1k nodes per reference into Catalyst analysis + codegen
+    # (measured: pq_encode at sf0.1 dropped ~2.4 s → ~0.5 s). Same values.
+    return F.lit(
+        [[[float(x) for x in word] for word in book] for book in codebook]
     )
 
 
@@ -155,10 +157,19 @@ def pq_encode(
     literal; no shuffle, no join — codes inherit the input partitioning,
     which is exactly what a 100 TB re-encode job needs.
     """
+    vec = F.col(vec_col).cast("array<double>")
+    return vectors.select(
+        F.col(id_col), pq_encode_expr(vec, codebook).alias("codes")
+    )
+
+
+def pq_encode_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
+    """The PQ code as a pure Column expression over ``vec`` — composable
+    into any projection (e.g. the index build encodes AND cell-assigns in
+    one map pass). Same argmin/tie semantics as :func:`pq_encode`."""
     m = len(codebook)
     sub = len(codebook[0][0])
     cb = _codebook_lit(codebook)
-    vec = F.col(vec_col).cast("array<double>")
 
     def code_for(j: int) -> Column:
         dists = F.transform(
@@ -166,9 +177,7 @@ def pq_encode(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return vectors.select(
-        F.col(id_col), F.array(*[code_for(j) for j in range(m)]).alias("codes")
-    )
+    return F.array(*[code_for(j) for j in range(m)])
 
 
 def pq_topk(
@@ -256,7 +265,8 @@ def save_ivfpq_index(
     from .similarity import (
         DEFAULT_TARGET_BUCKET_SIZE,
         _resolve_centroids,
-        assign_cells,
+        collect_centroid_rows,
+        inline_cell_expr,
     )
 
     tbs = DEFAULT_TARGET_BUCKET_SIZE if target_bucket_size is None else target_bucket_size
@@ -268,22 +278,38 @@ def save_ivfpq_index(
         quantizer="seed" if quantizer == "seed" else "kmeans",
         id_col=id_col, vec_col=vec_col,
     )
-    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
-    assigned = codes.withColumnRenamed(id_col, "vec_id").join(
-        assign_cells(corpus, cents, id_col, vec_col), "vec_id"
+    # encode AND assign row-locally in the same projection: the 100 TB
+    # corpus is read once, map-only — no assignment crossJoin/agg and no
+    # codes ⋈ cells join (both were shuffles of corpus-sized relations)
+    cent_rows = collect_centroid_rows(cents)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        pq_encode_expr(vec, codebook).alias("codes"),
+        inline_cell_expr(vec, cent_rows).alias("cell_id"),
     )
     spark = corpus.sparkSession
-    cb_rows = [
-        (j, c, codebook[j][c])
-        for j in range(len(codebook))
-        for c in range(len(codebook[j]))
-    ]
-    cb_df = spark.createDataFrame(
-        cb_rows, "subspace int, code int, codeword array<double>"
+    # JVM-side literal explode, not createDataFrame: the Python→JVM row
+    # conversion path costs seconds of gateway/serializer overhead for
+    # what is pure driver-known data (measured ~4 s of an ~11 s build)
+    cb_df = (
+        spark.range(1)
+        .select(F.posexplode(_codebook_lit(codebook)).alias("subspace", "__book"))
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.posexplode("__book").alias("code", "codeword"),
+        )
+        .select(
+            "subspace", F.col("code").cast("int").alias("code"), "codeword"
+        )
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cb_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+    # cluster by cell before the partitioned write (see save_ivf_index):
+    # ~1 file per cell instead of |tasks| × |cells| small files
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/cells")
 
 
 def ivfpq_topk_indexed(

@@ -173,6 +173,38 @@ def assign_cells(
     return ranked.select("vec_id", F.explode(F.col("__top.cell_id")).alias("cell_id"))
 
 
+def inline_cell_expr(
+    vec: Column, centroid_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Row-local IVF cell assignment: the centroid matrix rides along as
+    ONE nested-array literal and the argmax runs inside the projection —
+    no crossJoin, no aggregate, no shuffle. Exactly the values
+    :func:`assign_cells` (n_probes=1) produces: cosine rounded to 9 dp,
+    ties to the lowest cell_id (``array_position`` returns the FIRST
+    maximum; rows are scored in cell_id-ascending order).
+
+    This is the storage-side assignment for index BUILDS (encode + assign
+    in one map pass over the corpus — the only shape that doesn't shuffle
+    100 TB twice); the DataFrame-based :func:`assign_cells` remains the
+    query-side multi-probe path.
+    """
+    rows = sorted(centroid_rows)
+    cl = F.lit([[float(x) for x in c] for _, c in rows])
+    ids = F.lit([int(i) for i, _ in rows])
+    scores = F.transform(cl, lambda c: F.round(cosine(vec, c), 9))
+    pos = F.array_position(scores, F.array_max(scores))
+    return F.element_at(ids, pos.cast("int")).alias("cell_id")
+
+
+def collect_centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side (tiny, sanctioned) materialization of a centroid frame
+    for :func:`inline_cell_expr`."""
+    return [
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -293,11 +325,23 @@ def save_ivf_index(
     cents = _resolve_centroids(
         corpus, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
+    # collect once (k rows); assignment becomes a row-local argmax, so the
+    # corpus is read ONCE in one map pass — no crossJoin/agg/join jobs
+    cent_rows = collect_centroid_rows(cents)
     assigned = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(assign_cells(corpus, cents, id_col, vec_col), "vec_id")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).withColumn(
+        "cell_id", inline_cell_expr(F.col("embedding"), cent_rows)
+    )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+    # cluster by cell BEFORE the partitioned write: otherwise every write
+    # task holds rows of every cell and emits |tasks| × |cells| small
+    # files (the small-file storm `sinks.compact_parquet` exists to fix);
+    # hash-repartitioned, each cell's rows sit in one task → ~1 file/cell
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/cells")
 
 
 def ivf_topk_indexed(
@@ -648,22 +692,44 @@ def lsh_cosine_topk(
     dim = len(head[0])
     per_table = _hyperplanes(dim, n_planes * n_tables, seed)
 
+    # ONE nested-array literal + higher-order functions, not n_tables ×
+    # n_planes unrolled dot expressions: the unrolled form put ~4k literal
+    # nodes and 64 aggregate trees in a single projection, and Catalyst
+    # analysis + codegen of that tree dominated wall-clock (~9 s at
+    # sf0.1); the HOF form carries the same numbers as ONE Literal and
+    # loops at runtime — identical results (same fold order per dot, same
+    # MSB-first bit fold), ~10× cheaper to plan
+    planes_lit = F.lit(per_table)
+
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")
-        rows = []
-        for t in range(n_tables):
-            bits = F.lit(0).cast("long")
-            for p in range(n_planes):
-                plane = F.array(
-                    *[F.lit(c) for c in per_table[t * n_planes + p]]
-                )
-                bit = (_dot(vec, plane) >= 0).cast("long")
-                bits = bits * 2 + bit
-            rows.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
+        tb = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.cast("int").alias("table"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    F.lit(0).cast("long"),
+                    lambda bits, p: bits * 2
+                    + (
+                        F.aggregate(
+                            F.zip_with(
+                                vec,
+                                F.element_at(planes_lit, t * n_planes + p + 1),
+                                lambda x, y: x * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        >= 0
+                    ).cast("long"),
+                ).alias("bucket"),
+            ),
+        )
         return df.select(
             F.col(id_col).alias(out_id),
             vec.alias(f"__{out_id}_vec"),
-            F.explode(F.array(*rows)).alias("__tb"),
+            F.explode(tb).alias("__tb"),
         ).select(out_id, f"__{out_id}_vec", "__tb.table", "__tb.bucket")
 
     c = buckets(corpus, "neighbor_id")
