@@ -1765,6 +1765,57 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")
 
 
+def q_rolling_time(spark, sf_dir):
+    """Trailing 1-hour TIME-window statistics (operators/timeseries
+    .rolling_stats_time) of events.value per user — the irregular-stream
+    sibling of rolling_stats (RANGE frame over unix_micros, decimal
+    sums, floor-rule mean)."""
+    from datetime import timedelta as _td
+
+    from aces_spark.operators.timeseries import rolling_stats_time
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    return rolling_stats_time(ev, "user_id", _td(hours=1))
+
+
+def q_value_anomalies(spark, sf_dir):
+    """Per-key z-score outlier flags (datapipe.analytics.anomaly_zscore):
+    each event's deviation from ITS user's mean in population-stddev
+    units; decimal-exact moments, |z| > 3 flags. One |keys|-row aggregate
+    joined back — never a window over the raw stream."""
+    from aces_spark.datapipe.analytics import anomaly_zscore
+
+    ev = _read_events(spark, sf_dir).select("user_id", "event_id", "value")
+    return anomaly_zscore(ev, "user_id", threshold=3.0)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (datapipe.lm.collocations): adjacent word pairs
+    of documents scored by pointwise mutual information, min_count=20,
+    top-50 — phrase mining before tokenizer training. min_count filter
+    runs BEFORE any join."""
+    from aces_spark.datapipe.lm import collocations
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return collocations(docs, min_count=20, top_k=50)
+
+
+def q_item_covisitation(spark, sf_dir):
+    """Item co-visitation counts (datapipe.analytics.covisitation):
+    events' JSON item field (props.k) → per-user item sets, capped at the
+    20 most-frequent items per user (count-desc/item-asc deterministic
+    rank) BEFORE the pair join — the recommender candidate-generation
+    shape whose cap bounds the per-key quadratic at any scale."""
+    from aces_spark.datapipe.analytics import covisitation
+    from aces_spark.functions.semistructured import extract_json_fields
+
+    ev = _read_events(spark, sf_dir)
+    items = extract_json_fields(ev, "props", "k BIGINT").select(
+        "user_id", F.col("k").alias("item")
+    ).filter(F.col("item").isNotNull())
+    return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1792,6 +1843,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "scd2_merge": q_scd2_merge,
     "weighted_sample": q_weighted_sample,
+    "rolling_time": q_rolling_time,
+    "value_anomalies": q_value_anomalies,
+    "collocations": q_collocations,
+    "item_covisitation": q_item_covisitation,
     # label_centroids' only row was the r4 harness `err` (unhashable
     # array cell) — reshaped to scalar long format this round, it re-debuts
     # in tier 1 until a green row lands
@@ -1822,10 +1877,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_features": q_tfidf_features,
     "sessionization": q_sessionization,
     "decontamination": q_decontamination,
-    "sequence_packing": q_sequence_packing,
-    "split_assignment": q_split_assignment,
-    "vocab_topk": q_vocab_topk,
-    "paragraph_dedup": q_paragraph_dedup,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -1837,6 +1888,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    "sequence_packing": q_sequence_packing,
+    "split_assignment": q_split_assignment,
+    "vocab_topk": q_vocab_topk,
+    "paragraph_dedup": q_paragraph_dedup,
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
@@ -3939,5 +3994,97 @@ WITH s AS (
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, sample_key
 FROM s ORDER BY sample_key ASC, doc_id ASC LIMIT 100
+"""
+
+    # trailing 1-hour RANGE frame (inclusive both ends in both engines);
+    # same decimal-sum / floor-mean rules as rolling_stats
+    sql["rolling_time"] = """
+SELECT user_id, event_id, ts,
+  CAST(COUNT(value) OVER w AS BIGINT) AS roll_n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+  floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / CAST(COUNT(value) OVER w AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+    AS roll_mean,
+  MIN(value) OVER w AS roll_min,
+  MAX(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+    # per-user z-scores: DECIMAL(18,6) moments (the square stays inside
+    # the 38-digit decimal ceiling in both engines), explicit E[x²]-E[x]²
+    # population variance, floor-rounded outputs, z=0 for constant keys
+    sql["value_anomalies"] = """
+WITH s AS (
+  SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n,
+    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT user_id,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_raw,
+    sqrt(GREATEST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std_raw
+  FROM s),
+z AS (
+  SELECT e.user_id, e.event_id, e.value, m.mean_raw, m.std_raw,
+    CASE WHEN m.std_raw = 0.0 THEN 0.0
+         ELSE floor((CAST(e.value AS DOUBLE) - m.mean_raw) / m.std_raw
+                    * 10000 + 0.5) / 10000.0 END AS zscore
+  FROM events e JOIN m USING (user_id))
+SELECT user_id, event_id, value,
+  floor(mean_raw * 10000 + 0.5) / 10000.0 AS mean,
+  floor(std_raw * 10000 + 0.5) / 10000.0 AS stddev,
+  zscore,
+  abs(zscore) > 3.0 AS is_anomaly
+FROM z
+"""
+
+    # PMI collocations: adjacent pairs (sentinel/doc-start excluded),
+    # min_count filter BEFORE the joins, expression order mirrored
+    sql["collocations"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS t
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+bg AS (
+  SELECT t[i] AS prev, t[i+1] AS word
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+pairs AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM bg GROUP BY prev, word HAVING COUNT(*) >= 20),
+l AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_prev FROM bg GROUP BY prev),
+r AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM bg GROUP BY word),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bg),
+sc AS (
+  SELECT pairs.prev, pairs.word, pairs.n_pair,
+    floor(ln((CAST(n_pair AS DOUBLE) / CAST(n_total AS DOUBLE))
+             / ((CAST(n_prev AS DOUBLE) / CAST(n_total AS DOUBLE))
+                * (CAST(n_word AS DOUBLE) / CAST(n_total AS DOUBLE))))
+          * 1000000 + 0.5) / 1000000.0 AS pmi
+  FROM pairs JOIN l USING (prev) JOIN r USING (word), tot)
+SELECT prev, word, n_pair, pmi
+FROM sc ORDER BY pmi DESC, prev ASC, word ASC LIMIT 50
+"""
+
+    # co-visitation: per-(user, item) dedup, per-user cap at the 20
+    # most-frequent items (count desc, item asc), key-equi pair join
+    sql["item_covisitation"] = """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item)
+SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
 """
     return sql

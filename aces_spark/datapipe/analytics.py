@@ -325,3 +325,100 @@ def distribution_drift(
         (F.floor(p_new * 1000000 + 0.5).cast("double") / 1000000.0).alias("p_new"),
         (F.floor(kl * 1000000 + 0.5).cast("double") / 1000000.0).alias("kl_term"),
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier flagging: each row's deviation from ITS
+    key's mean in units of the key's population stddev — the monitoring
+    primitive ("this user's metric is 5σ off its own baseline").
+
+    Output: the input's ``(key, value)`` rows plus ``mean``, ``stddev``,
+    ``zscore`` (4 dp, floor rule; 0 when the key's stddev is 0) and
+    ``is_anomaly`` (``|z| > threshold``). Mean/stddev use the explicit
+    E[x²]−E[x]² population formula over DECIMAL(28,12) sums — the same
+    engine-exact recipe as ``embedding_dim_stats`` — so the flags are
+    reproducible, not partial-sum-order-dependent.
+
+    Scale shape: one key-keyed aggregate (map-side partials) joined back
+    to the stream — the aggregate side is |keys| rows, broadcast when
+    small; never a window over the raw stream (a per-key window would
+    sort 100 TB for two scalars).
+    """
+    # DECIMAL(18,6): wide enough for event metrics, and the x·x product
+    # type (37,12) stays inside both engines' 38-digit ceiling WITHOUT
+    # scale truncation — a (28,12) square would overflow precision and
+    # round differently per engine
+    x = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(key_col).agg(
+        F.count(F.col(value_col)).cast("long").alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    ex2 = F.col("__ss").cast("double") / F.col("__n").cast("double")
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    stats = stats.select(
+        key_col,
+        mean.alias("__mean"),
+        F.sqrt(var).alias("__std"),
+    )
+    z_raw = (F.col(value_col).cast("double") - F.col("__mean")) / F.col("__std")
+    z = F.when(F.col("__std") == 0.0, F.lit(0.0)).otherwise(
+        F.floor(z_raw * 10000 + 0.5).cast("double") / 10000.0
+    )
+    return df.join(stats, key_col).select(
+        *[F.col(c) for c in df.columns],
+        (F.floor(F.col("__mean") * 10000 + 0.5).cast("double") / 10000.0).alias("mean"),
+        (F.floor(F.col("__std") * 10000 + 0.5).cast("double") / 10000.0).alias("stddev"),
+        z.alias("zscore"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )
+
+
+def covisitation(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "item",
+    max_items_per_key: int = 50,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Item co-visitation counts: for every pair of items interacted with
+    by the same key, the number of keys sharing both — the
+    candidate-generation backbone of large-scale recommenders (and of
+    "documents cited together" analyses).
+
+    Output ``(item_a, item_b, n_keys)`` with ``item_a < item_b``.
+
+    Scale shape: per (key, item) dedup first (multiplicity within a key
+    must not inflate the pair count), then the per-key item set is CAPPED
+    at ``max_items_per_key`` (keep the key's most-frequent items,
+    count-desc / item-asc deterministic rank) BEFORE the self-join — the
+    cap turns the per-key quadratic blowup (a 10⁶-item crawler key would
+    emit 10¹² pairs) into ≤ cap² bounded work, the standard production
+    mitigation. The pair join is key-keyed (co-partitioned equi-join).
+    """
+    ki = df.groupBy(key_col, item_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__cnt").desc(), F.col(item_col).asc()
+    )
+    capped = (
+        ki.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_items_per_key)
+        .select(key_col, item_col)
+    )
+    a = capped.select(F.col(key_col), F.col(item_col).alias("item_a"))
+    b = capped.select(F.col(key_col), F.col(item_col).alias("item_b"))
+    pairs = (
+        a.join(b, key_col)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    return pairs.filter(F.col("n_keys") >= min_pairs)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["train_bigram_lm", "score_documents_lm"]
+__all__ = ["train_bigram_lm", "score_documents_lm", "collocations"]
 
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -109,3 +109,62 @@ def score_documents_lm(
         "n_tokens",
         (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("nll"),
     )
+
+
+def collocations(
+    corpus: DataFrame,
+    min_count: int = 5,
+    top_k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistically-associated adjacent word pairs by pointwise mutual
+    information — the phrase-mining pass ("new york", "machine learning")
+    run before tokenizer training or query expansion. PMI =
+    ``ln(p(v,w) / (p(v)·p(w)))`` with all probabilities from adjacent-
+    pair position counts (the sentinel row is excluded: document starts
+    are not collocations).
+
+    Output ``(prev, word, n_pair, pmi)`` for pairs seen ≥ ``min_count``
+    times; ``pmi`` at 6 dp (floor rule), ranked desc (pmi, then pair)
+    when ``top_k`` is set. Rare-pair noise is what ``min_count`` is for —
+    PMI famously explodes on hapax pairs.
+
+    Scale shape: one exploded-bigram aggregate + two Zipf-small unigram
+    aggregates joined onto the (min_count-filtered, so tiny) pair
+    relation. The filter runs BEFORE the joins — only surviving pairs
+    pay join cost.
+    """
+    bg = _bigrams(corpus, id_col, text_col).filter(F.col("prev") != "<s>")
+    pairs = (
+        bg.groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    left = bg.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
+    right = bg.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_word"))
+    total = bg.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    j = (
+        pairs.join(left, "prev")
+        .join(right, "word")
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("n_total").cast("double")
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / n)
+        / (
+            (F.col("n_prev").cast("double") / n)
+            * (F.col("n_word").cast("double") / n)
+        )
+    )
+    out = j.select(
+        "prev",
+        "word",
+        "n_pair",
+        (F.floor(pmi * 1000000 + 0.5).cast("double") / 1000000.0).alias("pmi"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("prev").asc(), F.col("word").asc()
+        ).limit(top_k)
+    return out

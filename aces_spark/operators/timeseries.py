@@ -47,6 +47,7 @@ __all__ = [
     "gapfill_locf",
     "time_rollup",
     "rolling_stats",
+    "rolling_stats_time",
 ]
 
 _BUCKET_US = {
@@ -554,6 +555,55 @@ def rolling_stats(
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
         .rowsBetween(-(window_rows - 1), 0)
+    )
+    val_dec = F.col(value_col).cast("decimal(18,6)")
+    s = F.sum(val_dec).over(w)
+    n = F.count(F.col(value_col)).over(w)
+    mean = s.cast("double") / n.cast("double")
+    return df.select(
+        F.col(on),
+        F.col(order_col),
+        F.col(ts_col),
+        n.cast("long").alias("roll_n"),
+        s.cast("double").alias("roll_sum"),
+        (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("roll_mean"),
+        F.min(F.col(value_col)).over(w).alias("roll_min"),
+        F.max(F.col(value_col)).over(w).alias("roll_max"),
+    )
+
+
+def rolling_stats_time(
+    df: DataFrame,
+    on: str,
+    window: timedelta,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Trailing TIME-window statistics per key: count/sum/mean/min/max of
+    ``value_col`` over ``[ts - window, ts]`` (inclusive both ends — SQL
+    RANGE-frame semantics) — the row-count-agnostic sibling of
+    :func:`rolling_stats` for irregular event streams ("value averaged
+    over the last hour", however many events that is).
+
+    Output: key, order, and timestamp columns plus ``roll_n``,
+    ``roll_sum``, ``roll_mean``, ``roll_min``, ``roll_max`` (same
+    DECIMAL-sum / floor-mean determinism rules as :func:`rolling_stats`).
+
+    Scale shape: ONE key exchange; the RANGE frame runs over
+    ``unix_micros`` (integer range bounds — Spark range frames need a
+    numeric sort key). NOTE Spark re-aggregates sliding range frames per
+    row (no inverse combine), so per-row cost is O(frame population);
+    bound ``window`` to what the stream's density supports — the same
+    caveat as the temporal kernel, documented there.
+    """
+    us = _td_us(window)
+    if us <= 0:
+        raise ValueError("window must be a positive timedelta")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(epoch_micros(ts_col).asc())
+        .rangeBetween(-us, 0)
     )
     val_dec = F.col(value_col).cast("decimal(18,6)")
     s = F.sum(val_dec).over(w)

@@ -232,3 +232,89 @@ def test_weighted_sample_excludes_nonpositive(spark):
     assert [r["doc_id"] for r in rows] == [1]
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "w", k=0)
+
+
+# ------------------------------------------------- time-range rolling
+
+def test_rolling_stats_time(spark):
+    import datetime as _dt
+
+    from aces_spark.operators.timeseries import rolling_stats_time
+
+    rows = [
+        (1, ts("2024-01-01 10:00"), 10.0, 1),
+        (1, ts("2024-01-01 10:30"), 20.0, 2),
+        (1, ts("2024-01-01 11:15"), 30.0, 3),  # 10:00 fell out of the 1h window
+        (2, ts("2024-01-01 10:00"), 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = {
+        r["event_id"]: r
+        for r in rolling_stats_time(df, "user_id", _dt.timedelta(hours=1)).collect()
+    }
+    assert out[1]["roll_n"] == 1 and out[1]["roll_mean"] == 10.0
+    assert out[2]["roll_n"] == 2 and out[2]["roll_mean"] == 15.0
+    assert out[3]["roll_n"] == 2 and out[3]["roll_sum"] == 50.0  # 20 + 30
+    assert out[4]["roll_n"] == 1
+    with pytest.raises(ValueError, match="positive"):
+        rolling_stats_time(df, "user_id", _dt.timedelta(0))
+
+
+# ------------------------------------------------------ anomaly z-score
+
+def test_anomaly_zscore(spark):
+    from aces_spark.datapipe.analytics import anomaly_zscore
+
+    rows = [(1, float(v)) for v in [10, 10, 10, 10, 50]] + [(2, 7.0)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = anomaly_zscore(df, "user_id", threshold=1.5).collect()
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert len(flagged) == 1 and flagged[0]["value"] == 50.0
+    # constant key → stddev 0 → z defined as 0, never flagged
+    solo = [r for r in out if r["user_id"] == 2][0]
+    assert solo["zscore"] == 0.0 and not solo["is_anomaly"]
+
+
+# -------------------------------------------------------- collocations
+
+def test_collocations_pmi(spark):
+    import math as _math
+
+    from aces_spark.datapipe.lm import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "machine learning rocks") for i in range(5)]
+        + [(10 + i, "machine shop tools here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {(r["prev"], r["word"]): r for r in collocations(docs, min_count=5).collect()}
+    # "learning rocks" always co-occur: high PMI; sentinel pairs excluded
+    assert ("<s>", "machine") not in out
+    r = out[("learning", "rocks")]
+    # n_total=25 adjacent pairs (2 per 3-token doc, 3 per 4-token doc)
+    pmi = _math.log((5 / 25) / ((5 / 25) * (5 / 25)))
+    assert r["pmi"] == _math.floor(pmi * 1e6 + 0.5) / 1e6
+
+
+# -------------------------------------------------------- co-visitation
+
+def test_covisitation_cap_and_dedup(spark):
+    from aces_spark.datapipe.analytics import covisitation
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),          # dup (1,a) must not inflate
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "b"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    out = {(r["item_a"], r["item_b"]): r["n_keys"] for r in covisitation(df, item_col="item").collect()}
+    assert out[("a", "b")] == 2
+    assert out[("b", "c")] == 2
+    assert out[("a", "c")] == 1
+    # cap: with max_items_per_key=2, user 2 keeps its 2 top items (count
+    # ties → item asc: a, b) so (a,c)/(b,c) lose user 2
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_keys"]
+        for r in covisitation(df, item_col="item", max_items_per_key=2).collect()
+    }
+    assert capped[("a", "b")] == 2 and capped.get(("a", "c")) is None
