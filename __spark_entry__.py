@@ -1816,6 +1816,59 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE pair statistics (datapipe.bpe): the weighted adjacent-symbol
+    pair counts of the FIRST merge iteration over the documents corpus —
+    the aggregate every BPE iteration reruns, top-20 in the merge
+    selection order (count desc, left asc, right asc)."""
+    from aces_spark.datapipe.bpe import _pair_counts, word_freq_table
+
+    docs = _read_table(spark, sf_dir, "documents").select("text")
+    return (
+        _pair_counts(word_freq_table(docs))
+        .orderBy(
+            F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc()
+        )
+        .limit(20)
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer induction (datapipe.bpe.bpe_train): 8 merge rules
+    learned from documents — iterative by nature (each merge reshapes the
+    pair statistics), so there is NO single-query SQL mirror; the driver
+    records a rows-only check and correctness is pinned by the
+    pure-Python-reference differential in tests/test_bpe.py. The corpus
+    is read once; iterations run on the cached Zipf-small vocab table."""
+    from aces_spark.datapipe.bpe import bpe_train
+
+    docs = _read_table(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(docs, n_merges=8)
+    lefts = [m[0] for m in merges]
+    rights = [m[1] for m in merges]
+    counts = [int(m[2]) for m in merges]
+    # literal explode, not createDataFrame (see save_ivfpq_index): the
+    # result is driver-known; this keeps the query JVM-side
+    return (
+        spark.range(1)
+        .select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.lit(lefts).alias("left"),
+                    F.lit(rights).alias("right"),
+                    F.lit(counts).alias("pair_count"),
+                )
+            ).alias("rank", "m")
+        )
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("m.left").alias("left"),
+            F.col("m.right").alias("right"),
+            F.col("m.pair_count").cast("long").alias("pair_count"),
+        )
+    )
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1847,6 +1900,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_anomalies": q_value_anomalies,
     "collocations": q_collocations,
     "item_covisitation": q_item_covisitation,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
     # label_centroids' only row was the r4 harness `err` (unhashable
     # array cell) — reshaped to scalar long format this round, it re-debuts
     # in tier 1 until a green row lands
@@ -1875,8 +1930,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     "tfidf_features": q_tfidf_features,
-    "sessionization": q_sessionization,
-    "decontamination": q_decontamination,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -1888,6 +1941,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    "sessionization": q_sessionization,
+    "decontamination": q_decontamination,
     "sequence_packing": q_sequence_packing,
     "split_assignment": q_split_assignment,
     "vocab_topk": q_vocab_topk,
@@ -4086,5 +4141,29 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # BPE first-iteration pair counts: word-frequency table (one corpus
+    # pass), symbols = characters + '</w>', adjacent pairs weighted by
+    # word count, merge-selection order. bpe_merges itself (the
+    # iterative loop) has NO SQL mirror by design — rows-only + the
+    # python-reference differential in tests/test_bpe.py.
+    sql["bpe_pair_counts"] = f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT UNNEST({_DOC_TOKENS_SQL}) AS word
+    FROM documents WHERE length({_DOC_NORM_SQL}) > 0)
+  GROUP BY word),
+pairs AS (
+  SELECT substring(word, i, 1) AS "left",
+         substring(word, i + 1, 1) AS "right", n
+  FROM words, UNNEST(range(1, CAST(length(word) AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT substring(word, length(word), 1), '</w>', n FROM words),
+agg AS (
+  SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY "left", "right")
+SELECT "left", "right", pair_count
+FROM agg ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20
 """
     return sql
