@@ -219,3 +219,57 @@ def test_minhash_jaccard_reuses_signatures(spark):
     plan = _plan(out)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan[:2000]
     out.sparkSession.catalog.clearCache()
+
+
+def test_scd2_merge_plan_is_join_free(spark):
+    """The SCD2 merge must stay union-tag + ONE window — a Join operator
+    appearing here means the history is being read twice (the MERGE
+    anti-pattern the operator exists to avoid)."""
+    from conftest import ts
+
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    history = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01"), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "b", ts("2024-02-01"))],
+        "id long, name string, effective_from timestamp",
+    )
+    merged = scd2_merge(history, changes, "id")
+    plan = _plan(merged)
+    assert "Join" not in plan
+    counts = _node_counts(merged)
+    assert counts.get("Exchange", 0) == 1  # the one window exchange
+    assert "Union" in plan
+
+
+def test_rolling_stats_single_exchange(spark):
+    """Both rolling variants ride ONE key exchange (the window sort)."""
+    from conftest import ts
+
+    from aces_spark.operators.timeseries import rolling_stats, rolling_stats_time
+
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), 1.0, 1)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    assert _node_counts(rolling_stats(df, "user_id")).get("Exchange", 0) == 1
+    assert (
+        _node_counts(rolling_stats_time(df, "user_id", timedelta(hours=1))).get(
+            "Exchange", 0
+        )
+        == 1
+    )
+
+
+def test_bm25_term_filter_reaches_scan_side(spark):
+    """The query-term filter must apply before the tf aggregate (the
+    pruned side), and the plan must contain no Python UDF stage."""
+    from aces_spark.datapipe.retrieval import bm25_scores
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    plan = _plan(bm25_scores(docs, ["alpha"]))
+    assert "BatchEvalPython" not in plan
+    assert "alpha" in plan  # the term literal is pushed into a Filter

@@ -318,3 +318,42 @@ def test_covisitation_cap_and_dedup(spark):
         for r in covisitation(df, item_col="item", max_items_per_key=2).collect()
     }
     assert capped[("a", "b")] == 2 and capped.get(("a", "c")) is None
+
+
+# ---------------------------------------------- inline cell assignment
+
+def test_inline_cell_expr_matches_assign_cells(spark):
+    """The index-build fast path must agree with the DataFrame-based
+    assignment operator row for row (same rounding, same tie rule)."""
+    import hashlib
+
+    from aces_spark.datapipe.similarity import (
+        assign_cells,
+        collect_centroid_rows,
+        inline_cell_expr,
+        seed_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    def vec(i):
+        return [
+            (int(hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:6], 16) % 1000)
+            / 1000.0
+            for d in range(8)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    cents = seed_centroids(df, k=5)
+    via_join = {
+        r["vec_id"]: r["cell_id"] for r in assign_cells(df, cents).collect()
+    }
+    rows = collect_centroid_rows(cents)
+    via_inline = {
+        r["vec_id"]: r["cell_id"]
+        for r in df.select(
+            "vec_id", inline_cell_expr(F.col("embedding"), rows).alias("cell_id")
+        ).collect()
+    }
+    assert via_inline == via_join
