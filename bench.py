@@ -62,12 +62,27 @@ def main() -> int:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     to_bench = dict(entry_mod.queries())
+    # periodic JVM GC between queries: a 100+-query session accumulates
+    # torn-down broadcasts / generated classes faster than the lazy
+    # ContextCleaner reclaims them, and the resulting late-session GC
+    # churn showed up as 10-30x slowdowns on queries that run in <1 s in
+    # a fresh session — measurement noise, not plan cost. A forced GC
+    # every few queries keeps the driver heap flat; the GC itself runs
+    # OUTSIDE the timed region.
+    gc_every = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8")))
+    n_done = 0
     # bench-only extras (e.g. JVM-intrinsic hash fast paths that have no
     # SQL oracle): timed like any query, prefixed so they are visibly not
     # correctness-gated entries
     for name, fn in getattr(entry_mod, "bench_extras", dict)().items():
         to_bench[f"bench_only:{name}"] = fn
     for name, fn in to_bench.items():
+        if n_done % gc_every == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        n_done += 1
         best = None
         for _ in range(runs):
             spark.catalog.clearCache()
