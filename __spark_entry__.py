@@ -2032,14 +2032,31 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _ivf_indexed_query_only(spark, sf_dir):
+def _qonly_index_path(sf_dir: str, kind: str) -> str:
+    """Reusable-index path for the amortized-read bench extras, keyed by
+    the SOURCE dataset's identity (mtime + size of embeddings.parquet)
+    and an index-layout version — a regenerated dataset or a changed
+    on-disk format gets a fresh path instead of silently querying a
+    stale index built from different data."""
     import tempfile
 
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fresh = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fresh = "unknown"
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), f"aces_spark_{kind}_qonly_v2_{tag}_{fresh}"
+    )
+
+
+def _ivf_indexed_query_only(spark, sf_dir):
     emb = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivf_index_qonly_{tag}")
+    path = _qonly_index_path(sf_dir, "ivf_index")
     if not os.path.isdir(os.path.join(path, "cells")):
         save_ivf_index(emb, path, n_cells=8, quantizer="seed")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -2047,15 +2064,12 @@ def _ivf_indexed_query_only(spark, sf_dir):
 
 
 def _ivfpq_indexed_query_only(spark, sf_dir):
-    import tempfile
-
     from aces_spark.datapipe.pq import ivfpq_topk_indexed, save_ivfpq_index
 
     emb = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivfpq_index_qonly_{tag}")
+    path = _qonly_index_path(sf_dir, "ivfpq_index")
     if not os.path.isdir(os.path.join(path, "cells")):
         save_ivfpq_index(emb, path, n_cells=8, m=4, n_codes=16, quantizer="seed")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -3857,7 +3871,7 @@ FROM per ORDER BY su DESC, doc_id ASC LIMIT 25
 WITH h AS (SELECT DISTINCT
     CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
       AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 topk AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
 agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(h) AS kth_hash FROM topk)
 SELECT CAST(256 AS INT) AS k, kth_hash, n_hashes,
@@ -3875,7 +3889,7 @@ FROM agg
 WITH h AS (SELECT
     CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
       AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT h & 511 AS reg,
         LEAST(bit_count(((h >> 9) & -(h >> 9)) - 1) + 1, 40) AS rnk
       FROM h),
@@ -3924,7 +3938,7 @@ n AS (SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS n_new
 j AS (SELECT COALESCE(o.value, n.value) AS value,
              CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
              CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
-      FROM o FULL OUTER JOIN n ON o.value = n.value),
+      FROM o FULL OUTER JOIN n ON o.value IS NOT DISTINCT FROM n.value),
 t AS (SELECT value, n_old, n_new,
         (CAST(n_old AS DOUBLE) + 1.0)
           / (CAST(SUM(n_old) OVER () AS DOUBLE)
@@ -4024,13 +4038,18 @@ tagged AS (
   UNION ALL
   SELECT user_id, value, vfrom, CAST(NULL AS TIMESTAMP), 1 FROM chg),
 merged AS (
-  SELECT user_id, value, vfrom, vto,
-    LEAD(vfrom) OVER (PARTITION BY user_id
-                      ORDER BY vfrom ASC, is_change ASC) AS nxt
-  FROM tagged),
+  SELECT user_id, value, vfrom, vto, is_change,
+    LEAD(vfrom) OVER wo AS nxt,
+    (LAST_VALUE(CASE WHEN is_change = 0 THEN struct_pack(t := vto) END
+                IGNORE NULLS) OVER wr).t AS bound
+  FROM tagged
+  WINDOW wo AS (PARTITION BY user_id ORDER BY vfrom ASC, is_change ASC),
+         wr AS (PARTITION BY user_id ORDER BY vfrom ASC, is_change ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 resolved AS (
   SELECT user_id, value, vfrom,
-    CASE WHEN vto IS NOT NULL AND (nxt IS NULL OR vto < nxt) THEN vto
+    CASE WHEN bound IS NOT NULL AND bound > vfrom
+              AND (nxt IS NULL OR bound < nxt) THEN bound
          ELSE nxt END AS new_to
   FROM merged)
 SELECT user_id, value, vfrom AS valid_from, new_to AS valid_to
@@ -4046,7 +4065,8 @@ WITH s AS (
     ROUND(-ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) + 1) / 1152921504606846976.0)
           / CAST(n_chars AS DOUBLE), 9) AS sample_key
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, sample_key
 FROM s ORDER BY sample_key ASC, doc_id ASC LIMIT 100
 """

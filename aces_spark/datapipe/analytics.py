@@ -298,14 +298,17 @@ def distribution_drift(
     """
     if smoothing <= 0:
         raise ValueError("smoothing must be positive (keeps KL finite)")
-    o = old.groupBy(F.col(col).alias("value")).agg(
+    o = old.groupBy(F.col(col).alias("__vo")).agg(
         F.count(F.lit(1)).cast("long").alias("n_old")
     )
-    n = new.groupBy(F.col(col).alias("value")).agg(
+    n = new.groupBy(F.col(col).alias("__vn")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
-    j = o.join(n, "value", "full_outer").select(
-        "value",
+    # NULL-SAFE join key: a plain full-outer on `value` splits a null
+    # category into two unmatched rows (null never equals null), double-
+    # counting it in |values| and emitting two spurious KL terms
+    j = o.join(n, F.col("__vo").eqNullSafe(F.col("__vn")), "full_outer").select(
+        F.coalesce("__vo", "__vn").alias("value"),
         F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )

@@ -167,6 +167,12 @@ def bpe_encode(
             )
         ).alias("tokens")
     )
-    return out.select(
-        id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    # zero-token documents (empty / punctuation-only text) explode to no
+    # rows — join back so they surface as (id, [], 0) instead of silently
+    # vanishing from the output
+    ids = df.select(id_col).distinct()
+    return ids.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+        F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
     )

@@ -43,6 +43,7 @@ def scd2_merge(
     effective_col: str = "effective_from",
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    change_order: str | None = None,
 ) -> DataFrame:
     """Merge a change batch into an SCD2 history.
 
@@ -51,11 +52,16 @@ def scd2_merge(
     the same payload columns, and ``effective_col``. Returns the merged
     history with the same schema as ``history``.
 
-    Rows whose version was already closed (``valid_to`` non-null) pass
-    through untouched unless a change's effective time lands INSIDE
-    their interval, in which case that interval truncates — replaying a
-    late-arriving change into the middle of history does the right
-    thing instead of corrupting the chain.
+    A change landing INSIDE a closed interval truncates it and is itself
+    bounded by that interval's ORIGINAL endpoint — a deletion gap in the
+    history stays a gap (the change must not extend validity across a
+    period where the key was absent); a change landing in a gap is a
+    re-insert. Multiple changes for one key chain in effective order.
+
+    ``change_order``: integral column disambiguating two changes sharing
+    the same ``(key, effective_from)`` — the LARGEST wins (its same-
+    instant predecessors collapse to empty intervals and drop). Without
+    it such duplicates are nondeterministic; pre-dedup or pass it.
     """
     payload = [
         c
@@ -68,12 +74,16 @@ def scd2_merge(
     if effective_col not in changes.columns:
         raise ValueError(f"changes is missing {effective_col!r}")
 
+    ord_expr = (
+        F.col(change_order).cast("long") if change_order else F.lit(0).cast("long")
+    )
     h = history.select(
         F.col(key_col),
         *[F.col(c) for c in payload],
         F.col(valid_from_col).alias("__from"),
         F.col(valid_to_col).alias("__to"),
         F.lit(0).alias("__is_change"),
+        F.lit(0).cast("long").alias("__ord"),
     )
     c = changes.select(
         F.col(key_col),
@@ -81,24 +91,41 @@ def scd2_merge(
         F.col(effective_col).alias("__from"),
         F.lit(None).cast(history.schema[valid_to_col].dataType).alias("__to"),
         F.lit(1).alias("__is_change"),
+        ord_expr.alias("__ord"),
     )
     tagged = h.unionByName(c)
 
-    # successor start per key: the NEXT row's __from in (from, is_change)
-    # order — a change at the same instant as an existing version
-    # supersedes it (change sorts after, so the version closes at its own
-    # start: an empty half-open interval, filtered below)
+    # (from, is_change, ord): a change at the same instant as an existing
+    # version supersedes it (sorts after → the version closes at its own
+    # start: empty half-open interval, dropped below); same-instant
+    # changes resolve by __ord, largest surviving
     w = Window.partitionBy(key_col).orderBy(
-        F.col("__from").asc(), F.col("__is_change").asc()
+        F.col("__from").asc(), F.col("__is_change").asc(), F.col("__ord").asc()
     )
     nxt = F.lead("__from").over(w)
+    # the enclosing interval's ORIGINAL endpoint: the latest history
+    # row's __to at or before this row (wrapped in a struct so an OPEN
+    # endpoint — null __to — still counts as "seen a history row")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carry = F.last(
+        F.when(F.col("__is_change") == 0, F.struct(F.col("__to").alias("t"))),
+        ignorenulls=True,
+    ).over(run)
+    bound = carry.getField("t")
     merged = tagged.withColumn(
         "__new_to",
-        # keep an existing closed endpoint when it precedes the successor
-        # (history that was already truncated stays truncated)
+        # ONE rule for both sides: close at the enclosing endpoint when it
+        # is real, after this row's start, and earlier than the successor;
+        # otherwise at the successor. For a history row the "enclosing
+        # endpoint" is its own __to (already-truncated history stays
+        # truncated; a gap before the successor stays a gap); for a change
+        # it is the interval it landed in (a mid-interval change inherits
+        # the deletion boundary, a gap/open-version change runs to nxt).
         F.when(
-            F.col("__to").isNotNull() & (nxt.isNull() | (F.col("__to") < nxt)),
-            F.col("__to"),
+            bound.isNotNull()
+            & (bound > F.col("__from"))
+            & (nxt.isNull() | (bound < nxt)),
+            bound,
         ).otherwise(nxt),
     )
     # drop versions emptied by a same-instant supersession

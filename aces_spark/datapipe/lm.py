@@ -53,19 +53,34 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
     """Fit the count model. Returns three small-after-aggregation frames:
     ``bigrams (prev, word, c_bg)``, ``unigrams (prev, c_prev)``, and the
     1-row ``vocab (v_size)`` (distinct WORDS, excluding the sentinel).
-    Persist/write them once and score many corpora — the build-once /
-    apply-many shape of the persisted IVF index."""
+
+    The corpus is tokenized ONCE: unigrams and vocab derive from the
+    aggregated (Zipf-small) bigram relation, which is persisted by
+    default so the three frames and every later scoring job reuse it —
+    the build-once / apply-many shape of the persisted IVF index. The
+    caller owns the cache lifecycle (``model["bigrams"].unpersist()``);
+    pass ``cache=False`` when immediately writing the model to parquet.
+    """
     bg = _bigrams(corpus, id_col, text_col)
     bigrams = bg.groupBy("prev", "word").agg(
         F.count(F.lit(1)).cast("long").alias("c_bg")
     )
-    unigrams = bg.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("c_prev"))
-    vocab = bg.agg(F.countDistinct("word").cast("long").alias("v_size"))
+    if cache:
+        bigrams = bigrams.persist()
+    # derived from the SMALL aggregate, not the raw bigram stream: these
+    # cost |observed pairs| rows, not another corpus pass
+    unigrams = bigrams.groupBy("prev").agg(
+        F.sum("c_bg").cast("long").alias("c_prev")
+    )
+    vocab = bigrams.agg(F.countDistinct("word").cast("long").alias("v_size"))
     return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
 
 
@@ -85,6 +100,16 @@ def score_documents_lm(
     and engine-exact. Unseen contexts/words degrade to the smoothed
     floor via LEFT joins (never dropped rows, never nulls in the sum).
     """
+    # empty model guard: v_size = 0 would make every smoothed p = 1/0 =
+    # +inf and each token's nll snap to LONG_MIN — garbage scores instead
+    # of an error. The 1-row check is a sanctioned driver hop (cheap when
+    # the model is cached / loaded from parquet).
+    vs_row = model["vocab"].first()
+    if vs_row is None or not vs_row["v_size"]:
+        raise ValueError(
+            "score_documents_lm: empty model (training corpus had no "
+            "tokens) — scores would be meaningless"
+        )
     bg = _bigrams(docs, id_col, text_col)
     # no broadcast hint on the count tables: a reference-corpus model can
     # exceed the broadcast budget (observed-vocab² rows); AQE picks

@@ -163,14 +163,20 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from ..functions.hashing import md5_long60
+
+    h = md5_long60(F.col(id_col))
     # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = -F.log(u) / F.col(weight_col).cast("double")
     out = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        # a null id would hash to a null key, which Spark sorts FIRST
+        # ascending — it would silently win a top-k slot
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .select(
             F.col(id_col),
             F.col(weight_col),

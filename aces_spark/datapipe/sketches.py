@@ -33,21 +33,16 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the 60-bit md5 hash recipe is shared with weighted sampling — one
+# definition, one place to fix (functions/hashing.py)
+from ..functions.hashing import md5_long60 as _h60
+
 __all__ = ["kmv_distinct", "hll_distinct"]
 
 #: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
 #: (m * 2^RANK_CAP <= 2^16 * 2^40 = 2^56); with a 54-bit hash remainder
 #: ranks above 40 are astronomically rare and clip harmlessly
 _RANK_CAP = 40
-
-#: 60-bit positive hash: 15 hex chars of md5 — portable to any engine
-#: that has md5 + hex parsing (the repo's standard portable-hash recipe)
-
-
-def _h60(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
 
 
 def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
@@ -63,7 +58,14 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    hashes = df.select(_h60(F.col(col)).alias("__h")).distinct()
+    # nulls never hash: COUNT(DISTINCT col) semantics — and Spark sorts
+    # null FIRST ascending while other engines sort it last, so a null
+    # hash would nondeterministically occupy a top-k slot
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(_h60(F.col(col)).alias("__h"))
+        .distinct()
+    )
     topk = hashes.orderBy(F.col("__h").asc()).limit(k)
     agg = topk.agg(
         F.count(F.lit(1)).cast("long").alias("n_hashes"),
@@ -98,6 +100,7 @@ def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
+    df = df.filter(F.col(col).isNotNull())  # see kmv_distinct: null never hashes
     h = _h60(F.col(col))
     # h // m and h % m as BIT ops (m is a power of two): exact at any
     # width — a double division would lose bits past 2^53 for small p

@@ -112,3 +112,16 @@ def test_bpe_early_stop_and_validation(spark):
     assert bpe_train(df, n_merges=5, min_pair_count=2) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, n_merges=0)
+
+
+def test_bpe_encode_keeps_empty_documents(spark):
+    from aces_spark.datapipe.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "!!!")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, []).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and list(out[2]["tokens"]) == []
+    assert out[3]["n_tokens"] == 0
+    assert out[1]["n_tokens"] == len("hello") + 1  # chars + </w>

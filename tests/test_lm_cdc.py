@@ -135,3 +135,80 @@ def test_scd2_validation(spark, history):
     no_eff = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(ValueError, match="effective_from"):
         scd2_merge(history, no_eff, "id")
+
+
+def test_scd2_gap_preserved_on_mid_interval_replay(spark):
+    """A late change inside a CLOSED interval inherits that interval's
+    original endpoint — it must not extend validity across a deletion
+    gap."""
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    history = spark.createDataFrame(
+        [
+            (1, "a", ts("2024-01-01"), ts("2024-01-10")),  # then DELETED
+            (1, "b", ts("2024-01-20"), None),              # re-inserted
+        ],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "c", ts("2024-01-05"))],
+        "id long, name string, effective_from timestamp",
+    )
+    rows = {
+        r["name"]: (r["valid_from"], r["valid_to"])
+        for r in scd2_merge(history, changes, "id").collect()
+    }
+    assert rows["a"] == (ts("2024-01-01"), ts("2024-01-05"))
+    # bounded by the interval's ORIGINAL end, not by b's start
+    assert rows["c"] == (ts("2024-01-05"), ts("2024-01-10"))
+    assert rows["b"] == (ts("2024-01-20"), None)
+
+
+def test_scd2_gap_change_is_reinsert(spark):
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    history = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01"), ts("2024-01-10")),
+         (1, "b", ts("2024-02-01"), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "g", ts("2024-01-15"))],  # inside the gap
+        "id long, name string, effective_from timestamp",
+    )
+    rows = {
+        r["name"]: (r["valid_from"], r["valid_to"])
+        for r in scd2_merge(history, changes, "id").collect()
+    }
+    assert rows["a"] == (ts("2024-01-01"), ts("2024-01-10"))  # untouched
+    assert rows["g"] == (ts("2024-01-15"), ts("2024-02-01"))  # runs to b
+    assert rows["b"] == (ts("2024-02-01"), None)
+
+
+def test_scd2_same_instant_changes_resolve_by_change_order(spark, history):
+    from aces_spark.datapipe.cdc import scd2_merge
+
+    changes = spark.createDataFrame(
+        [(2, "X", ts("2024-03-01"), 1), (2, "Y", ts("2024-03-01"), 2)],
+        "id long, name string, effective_from timestamp, seq long",
+    )
+    # extra change columns (seq) beyond the history payload are ignored
+    rows = {
+        r["name"]: (r["valid_from"], r["valid_to"])
+        for r in scd2_merge(history, changes, "id", change_order="seq").collect()
+        if r["id"] == 2
+    }
+    # the largest change_order wins; the other collapses to an empty span
+    assert "X" not in rows
+    assert rows["Y"] == (ts("2024-03-01"), None)
+    assert rows["bob"] == (ts("2024-01-01"), ts("2024-03-01"))
+
+
+def test_score_lm_empty_model_raises(spark):
+    from aces_spark.datapipe.lm import score_documents_lm, train_bigram_lm
+
+    empty = spark.createDataFrame([(1, "!!!")], "doc_id long, text string")
+    model = train_bigram_lm(empty)
+    docs = spark.createDataFrame([(2, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty model"):
+        score_documents_lm(docs, model)

@@ -357,3 +357,35 @@ def test_inline_cell_expr_matches_assign_cells(spark):
         ).collect()
     }
     assert via_inline == via_join
+
+
+def test_sketches_ignore_null_values(spark):
+    """COUNT(DISTINCT col) semantics: nulls never hash (a null hash
+    would occupy a KMV top-k slot / a phantom HLL register — and Spark
+    and other engines disagree on null sort order)."""
+    from aces_spark.datapipe.sketches import hll_distinct, kmv_distinct
+
+    base = spark.range(0, 100).select(F.col("id").alias("v"))
+    with_nulls = base.union(
+        spark.range(0, 5).select(F.lit(None).cast("long").alias("v"))
+    )
+    assert (
+        kmv_distinct(with_nulls, "v", k=16).collect()
+        == kmv_distinct(base, "v", k=16).collect()
+    )
+    assert (
+        hll_distinct(with_nulls, "v").collect()
+        == hll_distinct(base, "v").collect()
+    )
+
+
+def test_drift_null_category_single_row(spark):
+    from aces_spark.datapipe.analytics import distribution_drift
+
+    old = spark.createDataFrame([("en",), (None,)], "lang string")
+    new = spark.createDataFrame([(None,), (None,)], "lang string")
+    out = distribution_drift(old, new, "lang").collect()
+    nulls = [r for r in out if r["value"] is None]
+    # ONE matched null row, counted on both sides — not two unmatched ones
+    assert len(nulls) == 1
+    assert nulls[0]["n_old"] == 1 and nulls[0]["n_new"] == 2
