@@ -104,6 +104,32 @@ def main() -> int:
             docs, [("not_null", "text"), ("unique", "doc_id"), ("matches", "source", "^src")]
         )
     )
+
+    # round-5 operators: retrieval, LM scoring, sketches, sampling,
+    # tokenizer statistics — same linearity story, measured not asserted
+    from aces_spark.datapipe.bpe import _pair_counts, word_freq_table
+    from aces_spark.datapipe.lm import collocations, score_documents_lm, train_bigram_lm
+    from aces_spark.datapipe.retrieval import bm25_scores
+    from aces_spark.datapipe.sampling import weighted_sample
+    from aces_spark.datapipe.sketches import hll_distinct, kmv_distinct
+
+    timings["bm25_search"] = timed(
+        lambda: bm25_scores(docs, ["w1", "w42", "w7"], top_k=100)
+    )
+    model = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    timings["lm_train_and_score"] = timed(
+        lambda: score_documents_lm(docs.filter(F.col("doc_id") % 2 == 1), model)
+    )
+    model["bigrams"].unpersist()
+    timings["collocations"] = timed(lambda: collocations(docs, min_count=100, top_k=100))
+    timings["kmv_distinct"] = timed(lambda: kmv_distinct(docs, "text", k=1024))
+    timings["hll_distinct"] = timed(lambda: hll_distinct(docs, "text", p=12))
+    timings["weighted_sample"] = timed(
+        lambda: weighted_sample(
+            docs.select("doc_id", F.length("text").alias("w")), "w", k=10000
+        )
+    )
+    timings["bpe_pair_counts"] = timed(lambda: _pair_counts(word_freq_table(docs)))
     print(
         json.dumps(
             {
