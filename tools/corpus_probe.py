@@ -65,10 +65,28 @@ def main() -> int:
     )
     docs.count()
 
+    # best-of-N per op (default 2, like bench.py): single-shot numbers on
+    # a shared machine swung up to 4x run-to-run; the minimum is the
+    # operator's cost, the rest is co-tenant noise
+    probe_runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2")))
+
     def timed(fn):
-        t = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t, 2)
+        best = None
+        for _ in range(probe_runs):
+            # forced GC OUTSIDE the timed region (same rationale as
+            # bench.py): back-to-back heavy ops otherwise charge the
+            # previous op's broadcast/codegen garbage to the next
+            # measurement — observed as a phantom slowdown on whichever
+            # op ran after the 1M-doc MinHash pair stage
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            t = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t
+            best = el if best is None else min(best, el)
+        return round(best, 2)
 
     timings = {
         "exact_dedup": timed(lambda: dedup_exact(docs)),
