@@ -1869,6 +1869,16 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_hll_registers(spark, sf_dir):
+    """Mergeable HLL register table (datapipe.sketches.hll_registers,
+    p=9) over events.user_id — the incremental-pipeline form: keep the
+    2^p-row table per corpus drop, merge by max, estimate without
+    rescanning history (merge ≡ union pinned by test)."""
+    from aces_spark.datapipe.sketches import hll_registers
+
+    return hll_registers(_read_events(spark, sf_dir), "user_id", p=9)
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -1902,6 +1912,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_covisitation": q_item_covisitation,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "hll_registers": q_hll_registers,
     # label_centroids' only row was the r4 harness `err` (unhashable
     # array cell) — reshaped to scalar long format this round, it re-debuts
     # in tier 1 until a green row lands
@@ -1929,7 +1940,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_take": q_stratified_take,
     "multimodal_features": q_multimodal_features,
     "cohort_feature_vectors": q_cohort_feature_vectors,
-    "tfidf_features": q_tfidf_features,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -1941,6 +1951,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    "tfidf_features": q_tfidf_features,
     "sessionization": q_sessionization,
     "decontamination": q_decontamination,
     "sequence_packing": q_sequence_packing,
@@ -4185,5 +4196,19 @@ agg AS (
   FROM pairs GROUP BY "left", "right")
 SELECT "left", "right", pair_count
 FROM agg ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20
+"""
+
+    # mergeable HLL register table: same hash/register/rank derivation
+    # as hll_distinct, present registers only
+    sql["hll_registers"] = """
+WITH h AS (SELECT
+    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT h & 511 AS register,
+        LEAST(bit_count(((h >> 9) & -(h >> 9)) - 1) + 1, 40) AS rnk
+      FROM h)
+SELECT register, CAST(MAX(rnk) AS INT) AS max_rank
+FROM r GROUP BY register
 """
     return sql

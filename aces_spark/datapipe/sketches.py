@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 # definition, one place to fix (functions/hashing.py)
 from ..functions.hashing import md5_long60 as _h60
 
-__all__ = ["kmv_distinct", "hll_distinct"]
+__all__ = ["kmv_distinct", "hll_distinct", "hll_registers", "hll_merge"]
 
 #: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
 #: (m * 2^RANK_CAP <= 2^16 * 2^40 = 2^56); with a 54-bit hash remainder
@@ -140,3 +140,60 @@ def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
 def _expected_error(p: int) -> float:
     """Standard error bound 1.04/sqrt(m) — exposed for tests/docs."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """The MERGEABLE form of :func:`hll_distinct`: the register table
+    ``(register, max_rank)`` (present registers only). Registers from
+    disjoint corpora/partitions/days union with ``hll_merge`` — the
+    property that makes HLL the sketch for incremental pipelines: keep
+    yesterday's 2^p-row table, aggregate today's drop, merge, estimate —
+    no rescan of history."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    df = df.filter(F.col(col).isNotNull())
+    h = _h60(F.col(col))
+    w = F.shiftright(h, p)
+    tz = F.bit_count((w.bitwiseAND(-w)) - 1)
+    rank = F.least(tz + 1, F.lit(_RANK_CAP))
+    return (
+        df.select(h.bitwiseAND(m - 1).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame, p: int = 9) -> DataFrame:
+    """Merge :func:`hll_registers` tables (same ``p``) and produce the
+    1-row estimate with the same formula/corrections as
+    :func:`hll_distinct`. Exact property: merging sketches of corpora
+    equals sketching their union — pinned by test."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    m = 1 << p
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    regs = merged.groupBy("register").agg(F.max("max_rank").alias("__m"))
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("__s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_empty = F.lit(m).cast("long") - F.col("n_present")
+    s_total = F.col("__s_present") + n_empty * F.lit(1 << _RANK_CAP).cast("long")
+    denom = s_total.cast("double") / F.lit(float(1 << _RANK_CAP))
+    raw = F.lit(alpha * m * m) / denom
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0), lc).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        n_empty.cast("long").alias("n_empty_registers"),
+        (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
+    )

@@ -389,3 +389,18 @@ def test_drift_null_category_single_row(spark):
     # ONE matched null row, counted on both sides — not two unmatched ones
     assert len(nulls) == 1
     assert nulls[0]["n_old"] == 1 and nulls[0]["n_new"] == 2
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Mergeability: sketch(A) ⊎ sketch(B) == sketch(A ∪ B), including
+    overlapping values."""
+    from aces_spark.datapipe.sketches import hll_distinct, hll_merge, hll_registers
+
+    a = spark.range(0, 12000).select(F.col("id").alias("v"))
+    b = spark.range(8000, 20000).select(F.col("id").alias("v"))  # overlaps a
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v")).collect()[0]
+    direct = hll_distinct(a.union(b), "v").collect()[0]
+    assert merged == direct
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="register table"):
+        hll_merge()
