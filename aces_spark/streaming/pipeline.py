@@ -303,3 +303,63 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on, how)
+
+
+def apply_cdc_stream(
+    changes_stream: DataFrame,
+    history_path: str,
+    key_col: str,
+    checkpoint_dir: str,
+    effective_col: str = "effective_from",
+    trigger_available_now: bool = False,
+    change_order: str | None = None,
+):
+    """Continuously apply a CDC change stream to an SCD2 history table:
+    each micro-batch runs :func:`datapipe.cdc.scd2_merge` against the
+    CURRENT on-disk history and atomically swaps the result in
+    (write-new + overwrite — the lakehouse MERGE loop, expressed with
+    the engine's own join-free merge instead of a table-format API).
+
+    ``foreachBatch`` is the right primitive here: the merge needs the
+    whole existing history as a batch side, which no stateful streaming
+    operator models; the checkpoint guarantees each batch applies at
+    least once, and scd2_merge is idempotent for replayed batches whose
+    changes are already in the history (a replayed change at its own
+    ``effective_from`` supersedes the identical version at the same
+    instant — net zero rows).
+
+    Returns the `StreamingQuery`. Pass ``trigger_available_now=True``
+    for bounded backfills (process everything then stop).
+
+    Scale note: each batch rewrites the history — right for dimension
+    tables (the SCD2 use case: bounded key space), wrong for event
+    streams; partition the history and restrict the rewrite if the
+    dimension itself is huge.
+    """
+    from ..datapipe.cdc import scd2_merge
+
+    spark = changes_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        history = spark.read.parquet(history_path)
+        merged = scd2_merge(
+            history,
+            batch_df,
+            key_col,
+            effective_col=effective_col,
+            change_order=change_order,
+        )
+        # materialize BEFORE overwriting the input path (the merge reads
+        # the same files the write would truncate), then swap
+        tmp = f"{history_path.rstrip('/')}__next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(history_path)
+
+    writer = changes_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -251,3 +251,57 @@ def test_enrich_stream_batch_parity(spark, tmp_path):
     assert got == want
     # no-match stream rows keep null tier (left join semantics)
     assert (3, "c", None) in got
+
+
+def test_apply_cdc_stream_merges_batches(spark, tmp_path):
+    """A change stream applied via foreachBatch produces the same history
+    as one batch scd2_merge over all changes."""
+    import datetime as _dt
+
+    from aces_spark.datapipe.cdc import scd2_merge
+    from aces_spark.streaming.pipeline import apply_cdc_stream
+
+    def ts(s):
+        return _dt.datetime.fromisoformat(s)
+
+    hist_path = str(tmp_path / "history")
+    spark.createDataFrame(
+        [(1, "a", ts("2024-01-01"), None), (2, "b", ts("2024-01-01"), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    ).write.parquet(hist_path)
+
+    changes = [
+        (1, "a2", ts("2024-02-01")),
+        (3, "c", ts("2024-02-15")),
+        (1, "a3", ts("2024-03-01")),
+    ]
+    chg_schema = "id long, name string, effective_from timestamp"
+    chg_dir = str(tmp_path / "changes")
+    spark.createDataFrame(changes, chg_schema).write.parquet(chg_dir)
+
+    stream = spark.readStream.schema(chg_schema).parquet(chg_dir)
+    q = apply_cdc_stream(
+        stream, hist_path, "id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["name"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(hist_path).collect()
+    )
+    original = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01"), None), (2, "b", ts("2024-01-01"), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+    want = sorted(
+        (r["id"], r["name"], r["valid_from"], r["valid_to"])
+        for r in scd2_merge(
+            original, spark.createDataFrame(changes, chg_schema), "id"
+        ).collect()
+    )
+    assert got == want
+    # the stream actually chained: a -> a2 -> a3 and the insert landed
+    names = {n for _, n, _, _ in got}
+    assert {"a", "a2", "a3", "c"} <= names
