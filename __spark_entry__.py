@@ -1816,6 +1816,27 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_pagerank_items(spark, sf_dir):
+    """Fixed-iteration PageRank (operators.graph.pagerank_topk) over the
+    bipartite user<->item co-engagement graph from events' JSON item
+    field — the web-corpus centrality prior, 3 iterations, integer rank
+    units so Spark and the oracle agree bit-for-bit. Top 20 nodes."""
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import pagerank_topk
+
+    ev = _read_events(spark, sf_dir)
+    ui = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .filter(F.col("k").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("i:"), F.col("k")).alias("dst"),
+        )
+    )
+    edges = ui.union(ui.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_topk(edges, k=20, iterations=3)
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE pair statistics (datapipe.bpe): the weighted adjacent-symbol
     pair counts of the FIRST merge iteration over the documents corpus —
@@ -1892,6 +1913,7 @@ def q_hll_registers(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r5 new): first-ever oracle rows. 5 formerly pytest-only
     # operators + 6 operators added this round ---
+    "pagerank_items": q_pagerank_items,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1930,7 +1952,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
     "dedup_exact": q_dedup_exact,
-    "dedup_exact_groups": q_dedup_exact_groups,
     "text_quality": q_text_quality,
     "corpus_clean": q_corpus_clean,
     "dedup_clusters": q_dedup_clusters,
@@ -2013,6 +2034,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
+    # moved to the freshest-green tail in r5 to keep the pinned core
+    # inside the driver's top-50 when pagerank_items debuted in tier 1
+    "dedup_exact_groups": q_dedup_exact_groups,
 }
 
 
@@ -4173,6 +4197,47 @@ p AS (
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
 """
+
+    # fixed-iteration PageRank, integer rank units: the three message
+    # passes unrolled as chained CTEs; '//'(DuckDB) ≡ 'div'(Spark) on the
+    # all-positive operands. UNION (not UNION ALL) dedups edges/nodes.
+    _pr_iter = """
+  SELECT n.node,
+         (SELECT (15 * 1000000000000) // (100 * n) FROM p)
+           + COALESCE(c.in_u, 0) AS rank_u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((r.rank_u * 85) // (100 * d.out_deg)) AS in_u
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node"""
+    sql["pagerank_items"] = (
+        """
+WITH ui AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  'i:' || CAST(TRY_CAST(props->>'k' AS BIGINT) AS VARCHAR) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL),
+edges AS (SELECT src, dst FROM ui UNION SELECT dst, src FROM ui),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, (SELECT 1000000000000 // n FROM p) AS rank_u FROM nodes),
+i1 AS ("""
+        + _pr_iter.format(prev="r0")
+        + """),
+i2 AS ("""
+        + _pr_iter.format(prev="i1")
+        + """),
+i3 AS ("""
+        + _pr_iter.format(prev="i2")
+        + """)
+SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM i3
+ORDER BY rank_u DESC, node ASC LIMIT 20
+"""
+    )
 
     # BPE first-iteration pair counts: word-frequency table (one corpus
     # pass), symbols = characters + '</w>', adjacent pairs weighted by

@@ -1,0 +1,127 @@
+"""Fixed-iteration PageRank over an edge DataFrame — Pregel-lite as pure
+relational algebra, with integer micro-unit arithmetic so every engine
+computes bit-identical ranks.
+
+Reference parity: the reference engine has no graph operator; this is
+part of the beyond-reference large-pipeline surface (link-graph /
+co-engagement centrality is the classic web-corpus quality prior — the
+original PageRank use case was exactly ranking a crawl for downstream
+consumption).
+
+Determinism contract: floating-point PageRank is NOT reproducible across
+engines (per-destination sums associate differently), so ranks here live
+in integer "rank units" (``scale`` = 1e12 by default):
+
+* initial rank   ``r0 = scale // N`` for every node,
+* teleport base  ``base = (100 - damping_pct) * scale // (100 * N)``,
+* edge contribution ``(r_src * damping_pct) div (100 * out_deg)`` —
+  integer floor division; all values positive, so Spark's truncating
+  ``div`` and an oracle engine's flooring ``//`` agree exactly,
+* new rank       ``base + SUM(contributions)`` — a sum of BIGINTs, exact
+  and order-independent in every engine.
+
+Mass lost to integer floors and to dangling nodes (no out-edges) is
+deliberately dropped, not redistributed: both choices are deterministic,
+and redistribution would add a per-iteration global scalar for no gain
+in a *ranking* signal.
+
+Scale shape (100 TB): each iteration is one hash join of the rank table
+(|V| rows) against the edge list keyed by ``src``, then one hash
+aggregate keyed by ``dst`` — the standard Pregel message-pass as two
+exchanges over the edge list. Pre-partitioning the edges by ``src``
+(bucketed sink) makes the join side co-located so only the message
+aggregate shuffles. Lineage is truncated with ``localCheckpoint`` each
+iteration so plan depth stays O(1) regardless of iteration count. The
+only driver-side value is the node count (one scalar, the sanctioned
+bounded hop — same pattern as the IVF probe-cell list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Rank nodes of the directed graph ``edges`` by fixed-iteration
+    PageRank; returns ``(node, rank_u)`` with ``rank_u`` in integer rank
+    units (``scale`` ≈ total mass 1.0).
+
+    Duplicate edges are collapsed first (a repeated edge is one link).
+    ``damping_pct`` is the damping factor in integer percent (85 = the
+    classic 0.85) so the arithmetic stays integral end-to-end.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    if not (0 < damping_pct < 100):
+        raise ValueError("pagerank: damping_pct must be in (0, 100)")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # One bounded driver scalar (node count) sizes the init/teleport
+    # constants; everything else stays distributed.
+    ed = e.join(deg, "src")
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+        ed = ed.localCheckpoint()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: edge list is empty (no nodes)")
+    init_u = scale // n_nodes
+    base_u = (100 - damping_pct) * scale // (100 * n_nodes)
+
+    ranks = nodes.select("node", F.lit(init_u).cast("long").alias("rank_u"))
+    contrib_expr = F.expr(f"(rank_u * {damping_pct}) div (100 * out_deg)")
+    for _ in range(iterations):
+        msgs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), contrib_expr.alias("c_u"))
+            .groupBy("node")
+            .agg(F.sum("c_u").alias("in_u"))
+        )
+        ranks = nodes.join(msgs, "node", "left").select(
+            "node",
+            (F.lit(base_u) + F.coalesce(F.col("in_u"), F.lit(0)))
+            .cast("long")
+            .alias("rank_u"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_topk(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 20,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Top-``k`` nodes by fixed-iteration PageRank, deterministically
+    tie-broken by node id — the query-shaped wrapper."""
+    r = pagerank(
+        edges,
+        src,
+        dst,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        scale=scale,
+    )
+    return r.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(k)
