@@ -1816,6 +1816,33 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_bloom_join_supplier(spark, sf_dir):
+    """Bloom-prefiltered supplier revenue (operators.bloom.bloom_join):
+    lineitem is pruned by a broadcast bloom bitmap of the selected
+    suppliers' keys BEFORE the exact join — result-identical to the
+    plain join (the oracle IS the plain join), with the big-side shuffle
+    cut to matching rows + false positives."""
+    from aces_spark.operators.bloom import bloom_join
+
+    sup = (
+        _read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    li = _read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        bloom_join(li, sup, "l_suppkey")
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_pagerank_items(spark, sf_dir):
     """Fixed-iteration PageRank (operators.graph.pagerank_topk) over the
     bipartite user<->item co-engagement graph from events' JSON item
@@ -1914,6 +1941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r5 new): first-ever oracle rows. 5 formerly pytest-only
     # operators + 6 operators added this round ---
     "pagerank_items": q_pagerank_items,
+    "bloom_join_supplier": q_bloom_join_supplier,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1951,7 +1979,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "special_predicates": q_special_predicates,
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
-    "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "corpus_clean": q_corpus_clean,
     "dedup_clusters": q_dedup_clusters,
@@ -2035,7 +2062,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     # moved to the freshest-green tail in r5 to keep the pinned core
-    # inside the driver's top-50 when pagerank_items debuted in tier 1
+    # inside the driver's top-50 when pagerank_items and
+    # bloom_join_supplier debuted in tier 1
+    "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
 }
 
@@ -4196,6 +4225,18 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # bloom_join is result-identical to the plain join by construction
+    # (no false negatives; the exact join removes false positives), so
+    # the oracle is the plain join itself.
+    sql["bloom_join_supplier"] = """
+SELECT l_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 5
+GROUP BY l_suppkey, s_name
 """
 
     # fixed-iteration PageRank, integer rank units: the three message
