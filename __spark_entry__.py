@@ -1816,6 +1816,24 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_incr_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance (datapipe.incremental): events
+    split into a history half (ts < 2024-01-20) and a delta half; each
+    half's micro-unit-exact partial state is merged by key and finalized
+    — the oracle aggregates the FULL table directly, so the green row
+    pins merge(partial,partial) ≡ partial(whole)."""
+    from aces_spark.datapipe.incremental import incremental_stats
+
+    ev = _read_events(spark, sf_dir).select("event_type", "ts", "value")
+    cut = F.lit("2024-01-20").cast("timestamp")
+    return incremental_stats(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        ["event_type"],
+        "value",
+    )
+
+
 def q_bloom_join_supplier(spark, sf_dir):
     """Bloom-prefiltered supplier revenue (operators.bloom.bloom_join):
     lineitem is pruned by a broadcast bloom bitmap of the selected
@@ -1942,6 +1960,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # operators + 6 operators added this round ---
     "pagerank_items": q_pagerank_items,
     "bloom_join_supplier": q_bloom_join_supplier,
+    "incr_agg_merge": q_incr_agg_merge,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1971,7 +1990,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # top-50 window this round; the 10 most-stable shapes (TPC-H mirrors +
     # single-pass text stats, all pytest-pinned) wait at positions 51-60
     # and lead tier 2 next round ---
-    "predicates_meds_scan": q_predicates_meds_scan,
     "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
     "predicate_regex_anyof": q_predicate_regex_anyof,
@@ -2064,6 +2082,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # moved to the freshest-green tail in r5 to keep the pinned core
     # inside the driver's top-50 when pagerank_items and
     # bloom_join_supplier debuted in tier 1
+    "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
 }
@@ -4225,6 +4244,26 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # incremental merge ≡ full recompute: the oracle aggregates the whole
+    # table in one pass with the same micro-unit snap; mean divides the
+    # exact integer sum by the exact count then snaps back
+    sql["incr_agg_merge"] = """
+WITH u AS (
+  SELECT event_type, value,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(vu), 0) AS BIGINT) AS sum_u,
+         MIN(value) AS min_v, MAX(value) AS max_v
+  FROM u GROUP BY event_type)
+SELECT event_type, n,
+       CAST(FLOOR(CAST(sum_u AS DOUBLE) / n + 0.5) AS DOUBLE) / 1000000 AS mean_v,
+       min_v, max_v
+FROM s
 """
 
     # bloom_join is result-identical to the plain join by construction
