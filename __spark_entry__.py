@@ -1816,6 +1816,28 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_zorder_stats(spark, sf_dir):
+    """Z-order layout diagnostic (sources.layout.zorder_bucket_stats):
+    Morton-interleave (user_id%256, item%256) of events, bucket the key
+    at row-group granularity, report per-bucket min/max of BOTH dims —
+    the tight ranges that make multi-dimensional parquet skipping work.
+    Pure bit arithmetic, mirrored term-for-term in the oracle."""
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.sources.layout import zorder_bucket_stats
+
+    ev = _read_events(spark, sf_dir)
+    d = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .filter(F.col("k").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 256).alias("u"), (F.col("k") % 256).alias("i")
+        )
+    )
+    return zorder_bucket_stats(
+        d, [F.col("u"), F.col("i")], ["u", "i"], bits=8, bucket_shift=10
+    )
+
+
 def q_incr_agg_merge(spark, sf_dir):
     """Incremental aggregate maintenance (datapipe.incremental): events
     split into a history half (ts < 2024-01-20) and a delta half; each
@@ -1961,6 +1983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_items": q_pagerank_items,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
+    "zorder_stats": q_zorder_stats,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2004,7 +2027,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "stratified_take": q_stratified_take,
-    "multimodal_features": q_multimodal_features,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
@@ -2081,7 +2103,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_payload_stats": q_multimodal_payload_stats,
     # moved to the freshest-green tail in r5 to keep the pinned core
     # inside the driver's top-50 when pagerank_items and
-    # bloom_join_supplier debuted in tier 1
+    # bloom_join_supplier debuted in tier 1 (multimodal_features is the
+    # rows-only entry — weakest displaced signal; pinned by pytest)
+    "multimodal_features": q_multimodal_features,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4244,6 +4268,27 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # Morton interleave mirrored term-for-term: bit b of dim i lands at
+    # position b*n + i in both engines (>> & << | on BIGINT)
+    _z_terms = " | ".join(
+        f"(((({dim}) >> {b}) & 1) << {2 * b + i})"
+        for b in range(8)
+        for i, dim in enumerate(("u", "i"))
+    )
+    sql["zorder_stats"] = f"""
+WITH d AS (
+  SELECT user_id % 256 AS u,
+         TRY_CAST(props->>'k' AS BIGINT) % 256 AS i
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL),
+z AS (SELECT ({_z_terms}) AS zk, u, i FROM d)
+SELECT zk >> 10 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(u) AS min_u, MAX(u) AS max_u,
+       MIN(i) AS min_i, MAX(i) AS max_i
+FROM z GROUP BY 1
 """
 
     # incremental merge ≡ full recompute: the oracle aggregates the whole
