@@ -1816,6 +1816,19 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch round trip (datapipe.sketches.cms_registers +
+    cms_lookup): build the mergeable depth=4/width=1024 register table
+    over events.user_id, then point-query every distinct user — the
+    bounded-memory frequency sketch (never under-counts; the oracle
+    replicates hash, registers, and min-probe exactly)."""
+    from aces_spark.datapipe.sketches import cms_lookup, cms_registers
+
+    ev = _read_events(spark, sf_dir).select("user_id")
+    regs = cms_registers(ev, "user_id", depth=4, width=1024)
+    return cms_lookup(regs, ev, "user_id", depth=4, width=1024)
+
+
 def q_zorder_stats(spark, sf_dir):
     """Z-order layout diagnostic (sources.layout.zorder_bucket_stats):
     Morton-interleave (user_id%256, item%256) of events, bucket the key
@@ -1984,6 +1997,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
+    "cms_user_counts": q_cms_user_counts,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2026,7 +2040,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
-    "stratified_take": q_stratified_take,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
@@ -2106,6 +2119,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bloom_join_supplier debuted in tier 1 (multimodal_features is the
     # rows-only entry — weakest displaced signal; pinned by pytest)
     "multimodal_features": q_multimodal_features,
+    # stratified_take ages one extra round (its sibling stratified_sample
+    # stays in the head, so the family still gets a fresh row); it leads
+    # tier 2 in r6
+    "stratified_take": q_stratified_take,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4268,6 +4285,29 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # count-min sketch: same 60-bit md5 hash recipe as the HLL oracle,
+    # seeded per sketch row by the 'r:' prefix; estimate = min over the
+    # depth probed slots, missing slot -> 0
+    sql["cms_user_counts"] = """
+WITH d AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(sketch_row)),
+hashed AS (
+  SELECT sketch_row,
+         CAST(concat('0x', substring(md5(CAST(sketch_row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS slot
+  FROM d CROSS JOIN r),
+regs AS (
+  SELECT sketch_row, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM d),
+probes AS (
+  SELECT user_id, sketch_row,
+         CAST(concat('0x', substring(md5(CAST(sketch_row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS slot
+  FROM keys CROSS JOIN r)
+SELECT p.user_id, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN regs g USING (sketch_row, slot)
+GROUP BY p.user_id
 """
 
     # Morton interleave mirrored term-for-term: bit b of dim i lands at

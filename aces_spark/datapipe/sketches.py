@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 # definition, one place to fix (functions/hashing.py)
 from ..functions.hashing import md5_long60 as _h60
 
-__all__ = ["kmv_distinct", "hll_distinct", "hll_registers", "hll_merge"]
+__all__ = [
+    "kmv_distinct", "hll_distinct", "hll_registers", "hll_merge",
+    "cms_registers", "cms_merge", "cms_lookup",
+]
 
 #: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
 #: (m * 2^RANK_CAP <= 2^16 * 2^40 = 2^56); with a 54-bit hash remainder
@@ -196,4 +199,92 @@ def hll_merge(*register_tables: DataFrame, p: int = 9) -> DataFrame:
         F.lit(m).cast("int").alias("m"),
         n_empty.cast("long").alias("n_empty_registers"),
         (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch register table ``(sketch_row, slot, cnt)`` —
+    the MERGEABLE frequency sketch: disjoint corpora's tables union-sum
+    with :func:`cms_merge`, and any key's frequency is over-estimated by
+    at most ``e·N/width`` with probability ``1 - e^-depth`` (classic CM
+    guarantee; estimates NEVER under-count).
+
+    Each row r of the sketch hashes the key through an independent
+    function (the shared md5 recipe, seeded by prefixing ``r:``), so one
+    explode + one hash aggregate builds all ``depth`` rows in a single
+    pass — at most ``depth × width`` output rows regardless of input
+    size. ``weight_col`` turns it into a weighted frequency sketch
+    (weights must be non-negative for the no-undercount guarantee)."""
+    if depth < 1 or width < 2:
+        raise ValueError("cms_registers: need depth >= 1 and width >= 2")
+    d = df.filter(F.col(col).isNotNull())
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("sketch_row")
+    seeded = F.concat(
+        F.col("sketch_row").cast("string"), F.lit(":"), F.col(col).cast("string")
+    )
+    return (
+        d.select(F.col(col), w.alias("__w"))
+        .select("*", rows)
+        .select(
+            F.col("sketch_row"),
+            (_h60(seeded) % width).cast("int").alias("slot"),
+            F.col("__w"),
+        )
+        .groupBy("sketch_row", "slot")
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union-sum count-min tables built with identical (depth, width):
+    merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) exactly — pinned by
+    test. One key-pair aggregate over at most depth×width rows/input."""
+    if not register_tables:
+        raise ValueError("cms_merge: need at least one register table")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return (
+        merged.groupBy("sketch_row", "slot")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    registers: DataFrame,
+    keys: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys[col]``: the
+    estimate is the MIN over the ``depth`` hashed slots (a missing slot
+    means the key was never seen → 0). The register table is at most
+    depth×width rows, so the probe is a broadcast hash join however big
+    the key list is."""
+    from pyspark.sql.functions import broadcast
+
+    k = keys.select(col).filter(F.col(col).isNotNull()).distinct()
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("sketch_row")
+    seeded = F.concat(
+        F.col("sketch_row").cast("string"), F.lit(":"), F.col(col).cast("string")
+    )
+    probes = k.select("*", rows).select(
+        F.col(col),
+        F.col("sketch_row"),
+        (_h60(seeded) % width).cast("int").alias("slot"),
+    )
+    return (
+        probes.join(broadcast(registers), ["sketch_row", "slot"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )

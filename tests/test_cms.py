@@ -1,0 +1,88 @@
+"""Tests for the count-min sketch (datapipe/sketches.py cms_*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aces_spark.datapipe.sketches import cms_lookup, cms_merge, cms_registers
+
+
+@pytest.fixture()
+def skewed(spark):
+    # key "hot" appears 50x, "warm" 5x, singles once each
+    rows = [("hot",)] * 50 + [("warm",)] * 5 + [(f"s{i}",) for i in range(20)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_undercounts(spark, skewed):
+    regs = cms_registers(skewed, "k")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_lookup(regs, skewed, "k").collect()
+    }
+    true = {r["k"]: r["cnt"] for r in skewed.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # with 25 keys in a 4x1024 sketch, collisions are ~0: estimates exact
+    assert est == true
+
+
+def test_cms_merge_equals_whole(spark, skewed):
+    a = skewed.filter(F.col("k").startswith("s"))
+    b = skewed.filter(~F.col("k").startswith("s"))
+    merged = cms_merge(cms_registers(a, "k"), cms_registers(b, "k"))
+    whole = cms_registers(skewed, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_unseen_key_estimates_zero_when_sparse(spark, skewed):
+    regs = cms_registers(skewed, "k")
+    probe = spark.createDataFrame([("never-seen",)], "k string")
+    est = cms_lookup(regs, probe, "k").collect()[0]["est_count"]
+    # tiny sketch occupancy -> all 4 probed slots almost surely empty
+    assert est == 0
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 4), ("b", 10)], "k string, w int")
+    regs = cms_registers(df, "k", weight_col="w")
+    est = {r["k"]: r["est_count"] for r in cms_lookup(regs, df, "k").collect()}
+    assert est == {"a": 7, "b": 10}
+
+
+def test_cms_register_table_is_bounded(spark, skewed):
+    regs = cms_registers(skewed, "k", depth=3, width=64)
+    assert regs.count() <= 3 * 64
+    assert dict(regs.dtypes) == {
+        "sketch_row": "int", "slot": "int", "cnt": "bigint"
+    }
+
+
+def test_cms_partition_invariance(spark, skewed):
+    one = cms_registers(skewed.coalesce(1), "k")
+    many = cms_registers(skewed.repartition(7), "k")
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_cms_validates(spark, skewed):
+    with pytest.raises(ValueError):
+        cms_registers(skewed, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_registers(skewed, "k", width=1)
+    with pytest.raises(ValueError):
+        cms_merge()
+
+
+def test_cms_lookup_broadcasts_registers(spark, skewed):
+    regs = cms_registers(skewed, "k")
+    plan = (
+        cms_lookup(regs, skewed, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
