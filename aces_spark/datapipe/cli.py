@@ -156,6 +156,26 @@ def build_parser() -> argparse.ArgumentParser:
     _io(sp)
     sp.add_argument("--history", required=True)
     sp.add_argument("--key", required=True)
+
+    sp = sub.add_parser("cms")
+    _io(sp, output=False)
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--probe", help="comma-separated keys to estimate")
+    sp.add_argument("--depth", type=int, default=4)
+    sp.add_argument("--width", type=int, default=1024)
+
+    sp = sub.add_parser("zorder")
+    _io(sp)
+    sp.add_argument("--cols", required=True, help="comma-separated integer columns")
+    sp.add_argument("--bits", type=int, default=16)
+    sp.add_argument("--files", type=int, default=32)
+
+    sp = sub.add_parser("pagerank")
+    _io(sp, output=False)
+    sp.add_argument("--src", default="src")
+    sp.add_argument("--dst", default="dst")
+    sp.add_argument("--iterations", type=int, default=3)
+    sp.add_argument("--k", type=int, default=20)
     return p
 
 
@@ -300,6 +320,49 @@ def main(argv: list[str] | None = None) -> int:
         scd2_merge(history, changes, args.key).write.mode("overwrite").parquet(
             args.output
         )
+    elif args.op == "cms":
+        from pyspark.sql import functions as F
+
+        from .sketches import cms_lookup, cms_registers
+
+        df = spark.read.parquet(args.input)
+        regs = cms_registers(df, args.col, depth=args.depth, width=args.width)
+        if args.probe:
+            keys = spark.createDataFrame(
+                [(k,) for k in args.probe.split(",")], f"{args.col} string"
+            )
+            probed = keys.select(F.col(args.col).cast(dict(df.dtypes)[args.col]))
+            rows = cms_lookup(
+                regs, probed, args.col, depth=args.depth, width=args.width
+            ).collect()
+            print(json.dumps({"op": "cms", "estimates": [r.asDict() for r in rows]}))
+        else:
+            print(
+                json.dumps(
+                    {"op": "cms", "depth": args.depth, "width": args.width,
+                     "n_registers": regs.count()}
+                )
+            )
+        return 0
+    elif args.op == "zorder":
+        from pyspark.sql import functions as F
+
+        from ..sources.layout import zorder_layout
+
+        df = spark.read.parquet(args.input)
+        cols = [F.col(c.strip()) for c in args.cols.split(",") if c.strip()]
+        zorder_layout(df, cols, bits=args.bits, num_files=args.files).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.op == "pagerank":
+        from ..operators.graph import pagerank_topk
+
+        edges = spark.read.parquet(args.input)
+        rows = pagerank_topk(
+            edges, args.src, args.dst, k=args.k, iterations=args.iterations
+        ).collect()
+        print(json.dumps({"op": "pagerank", "top": [r.asDict() for r in rows]}))
+        return 0
     return 0
 
 

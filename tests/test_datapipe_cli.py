@@ -163,3 +163,37 @@ def test_cli_merge_scd2(spark, docs_path, tmp_path, capsys):
     rows = {r["name"]: (r["valid_from"], r["valid_to"]) for r in spark.read.parquet(out).collect()}
     assert rows["a"] == (_ts("2024-01-01"), _ts("2024-02-01"))
     assert rows["b"] == (_ts("2024-02-01"), None)
+
+
+def test_cli_cms(spark, docs_path, capsys):
+    assert main(["cms", "--input", docs_path, "--col", "lang"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "cms" and out["n_registers"] >= 2
+    assert main([
+        "cms", "--input", docs_path, "--col", "lang", "--probe", "en,de,xx",
+    ]) == 0
+    est = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["estimates"]
+    got = {e["lang"]: e["est_count"] for e in est}
+    assert got["en"] == 3 and got["de"] == 1 and got["xx"] == 0
+
+
+def test_cli_zorder(spark, docs_path, tmp_path):
+    out = str(tmp_path / "zordered")
+    assert main([
+        "zorder", "--input", docs_path, "--output", out,
+        "--cols", "doc_id,doc_id", "--bits", "8", "--files", "2",
+    ]) == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_cli_pagerank(spark, tmp_path, capsys):
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    ).write.mode("overwrite").parquet(edges)
+    assert main(["pagerank", "--input", edges, "--k", "3"]) == 0
+    top = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["top"]
+    assert len(top) == 3
+    assert top[0]["rank_u"] >= top[-1]["rank_u"]
