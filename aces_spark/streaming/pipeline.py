@@ -363,3 +363,55 @@ def apply_cdc_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_stats_stream(
+    values_stream: DataFrame,
+    state_path: str,
+    keys: list,
+    value_col: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Continuously maintain an incremental-aggregate state table
+    (:mod:`..datapipe.incremental`) from a value stream: each micro-batch
+    computes its own partial state and merges it into the CURRENT
+    on-disk state — history is never rescanned, each batch's cost is
+    proportional to the batch.
+
+    This is the streaming face of the same commutative-monoid invariant
+    the batch oracle pins (merge(partial, partial) ≡ partial(whole)), so
+    the state after any prefix of batches equals the batch aggregate of
+    their union. Replayed batches are NOT idempotent (sums double), so
+    the checkpoint's exactly-once foreachBatch bookkeeping matters here;
+    crash-with-replay scenarios need a batch_id high-water mark next to
+    the state (kept out of scope: the parquet state table stays a plain
+    relational artifact).
+
+    Scale note: the state is |keys| rows — rewriting it per batch is the
+    dimension-table pattern; at huge key spaces, partition the state and
+    restrict the rewrite to touched partitions.
+    """
+    from ..datapipe.incremental import merge_partials, partial_stats
+
+    spark = values_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = partial_stats(batch_df, keys, value_col)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = merge_partials([state, part])
+        except Exception:
+            merged = part  # first batch: no state yet
+        tmp = f"{state_path.rstrip('/')}__next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    writer = values_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

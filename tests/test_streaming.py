@@ -305,3 +305,45 @@ def test_apply_cdc_stream_merges_batches(spark, tmp_path):
     # the stream actually chained: a -> a2 -> a3 and the insert landed
     names = {n for _, n, _, _ in got}
     assert {"a", "a2", "a3", "c"} <= names
+
+
+def test_maintain_stats_stream_equals_batch_aggregate(spark, tmp_path):
+    """Streaming partial-state maintenance over micro-batches equals one
+    batch aggregate over the union — the monoid invariant, streamed."""
+    from aces_spark.datapipe.incremental import finalize_stats, partial_stats
+    from aces_spark.streaming.pipeline import maintain_stats_stream
+
+    schema = "k string, v double"
+    rows = [("a", 1.5), ("b", 2.0), ("a", -0.5), ("c", 7.25), ("b", None)]
+    src_dir = str(tmp_path / "vals")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).write.mode("overwrite").parquet(
+            f"{src_dir}/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    state_path = str(tmp_path / "state")
+    q = maintain_stats_stream(
+        stream, state_path, ["k"], "v",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, finalize_stats(spark.read.parquet(state_path)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            finalize_stats(
+                partial_stats(spark.createDataFrame(rows, schema), ["k"], "v")
+            ).collect(),
+        )
+    )
+    assert got == want
