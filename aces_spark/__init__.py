@@ -20,7 +20,9 @@ from .operators.aggregate import (
     aggregate_temporal_window,
     boolean_expr_bound_sum,
 )
+from .operators.bloom import bloom_join
 from .operators.constraints import check_constraints, check_static_variables
+from .operators.graph import pagerank, pagerank_topk
 from .operators.timeseries import (
     asof_join,
     asof_join_chunked,
@@ -32,6 +34,7 @@ from .operators.timeseries import (
 )
 from .plans.extract_subtree import extract_subtree
 from .query import query
+from .sources.layout import zorder_key, zorder_layout
 from .sources.predicates import (
     direct_load_plain_predicates,
     generate_plain_predicates_from_meds,
@@ -62,6 +65,7 @@ __all__ = [
     "WindowConfig",
     "aggregate_event_bound_window",
     "aggregate_temporal_window",
+    "bloom_join",
     "boolean_expr_bound_sum",
     "check_constraints",
     "check_static_variables",
@@ -69,7 +73,11 @@ __all__ = [
     "extract_subtree",
     "generate_plain_predicates_from_meds",
     "get_predicates_df",
+    "pagerank",
+    "pagerank_topk",
     "parse_timedelta",
     "preorder_iter",
     "query",
+    "zorder_key",
+    "zorder_layout",
 ]
