@@ -1816,6 +1816,22 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Mergeable histogram quantile sketch (datapipe.sketches
+    hist_registers + hist_quantiles): bucket events.value over the
+    declared [0,500) domain (500 buckets), read 4 quantiles off the
+    cumulative histogram — bounded-memory quantiles whose registers
+    union-sum across corpus drops. IEEE-exact bucketing, mirrored in
+    the oracle."""
+    from aces_spark.datapipe.sketches import hist_quantiles, hist_registers
+
+    ev = _read_events(spark, sf_dir).select("value")
+    regs = hist_registers(ev, "value", lo=0.0, hi=500.0, buckets=500)
+    return hist_quantiles(
+        regs, [0.25, 0.5, 0.9, 0.99], lo=0.0, hi=500.0, buckets=500
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-min sketch round trip (datapipe.sketches.cms_registers +
     cms_lookup): build the mergeable depth=4/width=1024 register table
@@ -1998,6 +2014,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
     "cms_user_counts": q_cms_user_counts,
+    "hist_quantiles": q_hist_quantiles,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2035,7 +2052,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
-    "corpus_clean": q_corpus_clean,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
@@ -2119,10 +2135,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bloom_join_supplier debuted in tier 1 (multimodal_features is the
     # rows-only entry — weakest displaced signal; pinned by pytest)
     "multimodal_features": q_multimodal_features,
-    # stratified_take ages one extra round (its sibling stratified_sample
-    # stays in the head, so the family still gets a fresh row); it leads
-    # tier 2 in r6
+    # stratified_take and corpus_clean age one extra round (siblings
+    # stratified_sample / text_quality stay in the head, so both families
+    # still get fresh rows); they lead tier 2 in r6
     "stratified_take": q_stratified_take,
+    "corpus_clean": q_corpus_clean,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4285,6 +4302,29 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # histogram quantile sketch: affine-floor bucketing and the
+    # ceil(q*total) cumulative rule mirrored exactly; qs cast to DOUBLE
+    # so q*total is IEEE arithmetic in both engines
+    sql["hist_quantiles"] = """
+WITH regs AS (
+  SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 500) AS BIGINT), 0), 499) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT bucket,
+         CAST(SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM regs),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM regs),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.25),(0.5),(0.9),(0.99)) t(q))
+SELECT q, 0.0 + CAST(b + 1 AS DOUBLE) * 1.0 AS est_value
+FROM (
+  SELECT q, MIN(bucket) AS b
+  FROM qs, tot, cum
+  WHERE cum >= CAST(CEIL(q * total) AS BIGINT)
+  GROUP BY q)
 """
 
     # count-min sketch: same 60-bit md5 hash recipe as the HLL oracle,

@@ -40,6 +40,7 @@ from ..functions.hashing import md5_long60 as _h60
 __all__ = [
     "kmv_distinct", "hll_distinct", "hll_registers", "hll_merge",
     "cms_registers", "cms_merge", "cms_lookup",
+    "hist_registers", "hist_merge", "hist_quantiles",
 ]
 
 #: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
@@ -287,4 +288,92 @@ def cms_lookup(
         probes.join(broadcast(registers), ["sketch_row", "slot"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def hist_registers(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Fixed-width histogram register table ``(bucket, cnt)`` over a
+    declared domain — the MERGEABLE quantile sketch: disjoint corpora's
+    tables union-sum with :func:`hist_merge`, and any quantile reads off
+    the cumulative histogram with error ≤ one bucket width. At most
+    ``buckets`` output rows from ONE hash aggregate, however big the
+    input; values outside [lo, hi) clamp to the edge buckets (count
+    them, never drop them — quantiles of the clamped distribution are
+    still upper/lower bounds for the true ones).
+
+    The bucket function is an IEEE-exact affine floor (same contract as
+    sources.layout.quantize), so every engine buckets identically."""
+    if hi <= lo:
+        raise ValueError("hist_registers: need hi > lo")
+    if buckets < 1:
+        raise ValueError("hist_registers: need buckets >= 1")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - lo) / (hi - lo) * buckets).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union-sum histogram tables built with identical (lo, hi, buckets):
+    merge(hist(A), hist(B)) ≡ hist(A ∪ B) exactly."""
+    if not register_tables:
+        raise ValueError("hist_merge: need at least one register table")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    qs: list,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Read quantile estimates off a histogram register table: for each
+    ``q`` the answer is the UPPER EDGE of the first bucket whose
+    cumulative count reaches ``ceil(q · total)`` — deterministic (no
+    interpolation), within one bucket width of the true quantile.
+
+    Plan shape: the register table is ≤ ``buckets`` rows, so the window
+    cumsum and the |qs|×|buckets| probe are driver-trivial relational
+    work — no pass over the original data."""
+    from pyspark.sql import Window
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("hist_quantiles: each q must be in (0, 1]")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        "bucket", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = registers.agg(F.sum("cnt").cast("long").alias("total"))
+    qdf = registers.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    width = (hi - lo) / buckets
+    target = F.ceil(F.col("q") * F.col("total")).cast("long")
+    return (
+        qdf.crossJoin(F.broadcast(total))
+        .join(F.broadcast(cum), cum["cum"] >= target, "inner")
+        .groupBy("q")
+        .agg(F.min("bucket").alias("__b"))
+        .select(
+            "q",
+            (F.lit(lo) + (F.col("__b") + 1).cast("double") * F.lit(width)).alias(
+                "est_value"
+            ),
+        )
     )

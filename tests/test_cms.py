@@ -86,3 +86,71 @@ def test_cms_lookup_broadcasts_registers(spark, skewed):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- histogram quantile sketch (same mergeable-register family) ---
+
+from aces_spark.datapipe.sketches import (  # noqa: E402
+    hist_merge,
+    hist_quantiles,
+    hist_registers,
+)
+
+
+@pytest.fixture()
+def uniform(spark):
+    return spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+
+
+def test_hist_quantiles_within_one_bucket(spark, uniform):
+    regs = hist_registers(uniform, "v", lo=0.0, hi=100.0, buckets=100)
+    est = {
+        r["q"]: r["est_value"]
+        for r in hist_quantiles(
+            regs, [0.5, 0.9], lo=0.0, hi=100.0, buckets=100
+        ).collect()
+    }
+    # true p50 of 0..99 uniform = 49.5, p90 = 89.x; bucket width 1
+    assert abs(est[0.5] - 50.0) <= 1.0
+    assert abs(est[0.9] - 90.0) <= 1.0
+
+
+def test_hist_merge_equals_whole(spark, uniform):
+    a = uniform.filter(F.col("v") < 30)
+    b = uniform.filter(F.col("v") >= 30)
+    merged = hist_merge(
+        hist_registers(a, "v", lo=0.0, hi=100.0, buckets=50),
+        hist_registers(b, "v", lo=0.0, hi=100.0, buckets=50),
+    )
+    whole = hist_registers(uniform, "v", lo=0.0, hi=100.0, buckets=50)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hist_clamps_out_of_domain(spark):
+    df = spark.createDataFrame([(-5.0,), (999.0,), (50.0,)], "v double")
+    regs = {
+        r["bucket"]: r["cnt"]
+        for r in hist_registers(df, "v", lo=0.0, hi=100.0, buckets=10).collect()
+    }
+    assert regs == {0: 1, 9: 1, 5: 1}  # edges counted, nothing dropped
+
+
+def test_hist_register_table_bounded_and_null_safe(spark):
+    df = spark.createDataFrame([(None,), (1.0,)], "v double")
+    regs = hist_registers(df, "v", lo=0.0, hi=10.0, buckets=4)
+    rows = regs.collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 1
+
+
+def test_hist_validates(spark, uniform):
+    with pytest.raises(ValueError):
+        hist_registers(uniform, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        hist_registers(uniform, "v", lo=0.0, hi=1.0, buckets=0)
+    regs = hist_registers(uniform, "v", lo=0.0, hi=100.0)
+    with pytest.raises(ValueError):
+        hist_quantiles(regs, [0.0], lo=0.0, hi=100.0)
+    with pytest.raises(ValueError):
+        hist_merge()
