@@ -1816,6 +1816,25 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Triangle count (operators.graph.triangle_count) over the item
+    co-visitation graph (pairs with n_keys >= 2): degree-ordered
+    orientation bounds the wedge join at O(m^1.5) regardless of degree
+    skew; each triangle counted once at its smallest-order apex."""
+    from aces_spark.datapipe.analytics import covisitation
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import triangle_count
+
+    ev = _read_events(spark, sf_dir)
+    items = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .select("user_id", F.col("k").alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    pairs = covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
+    return triangle_count(pairs, "item_a", "item_b")
+
+
 def q_hist_quantiles(spark, sf_dir):
     """Mergeable histogram quantile sketch (datapipe.sketches
     hist_registers + hist_quantiles): bucket events.value over the
@@ -2015,6 +2034,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_stats": q_zorder_stats,
     "cms_user_counts": q_cms_user_counts,
     "hist_quantiles": q_hist_quantiles,
+    "triangle_count": q_triangle_count,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2053,7 +2073,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "cohort_feature_vectors": q_cohort_feature_vectors,
@@ -2140,6 +2159,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # still get fresh rows); they lead tier 2 in r6
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
+    "dedup_keep_best": q_dedup_keep_best,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4302,6 +4322,46 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # triangle count over the covisitation graph: same capped-pairs CTE
+    # as item_covisitation, then degree-ordered orientation — wedge
+    # (a->p, a->q with p before q) closed by oriented edge (p->q)
+    sql["triangle_count"] = """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+e AS (
+  SELECT a.item AS u, b.item AS v
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 2),
+d AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+o AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS degb
+  FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+w AS (
+  SELECT x.b AS p, y.b AS q
+  FROM o x JOIN o y ON x.a = y.a
+  WHERE (x.degb < y.degb) OR (x.degb = y.degb AND x.b < y.b))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM w JOIN o ON o.a = w.p AND o.b = w.q
 """
 
     # histogram quantile sketch: affine-floor bucketing and the

@@ -128,3 +128,62 @@ def pagerank_topk(
         scale=scale,
     )
     return r.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(k)
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Count triangles in the undirected graph of ``edges`` (one row:
+    ``n_triangles``). Self-loops are dropped and duplicate/reversed
+    edges collapse before counting.
+
+    Algorithm: degree-ordered orientation — every edge points from its
+    lower-(degree, node) endpoint to the higher one, then triangles are
+    wedges ``a→b, a→c`` (b before c in the same order) closed by an
+    oriented edge ``b→c``. Each triangle is counted exactly once (its
+    smallest-order vertex is the unique wedge apex), and the classic
+    bound applies: every oriented out-neighborhood is O(√m), so the
+    wedge join — the only quadratic step — is Σ out-deg² = O(m^1.5)
+    regardless of raw degree skew (a celebrity node of degree 10⁶ gets
+    out-degree ~√m, not 10⁶). All equi-joins on node keys; no cartesian,
+    no driver-side state.
+    """
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    e = (
+        edges.select(u, v)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("degb"),
+    )
+    x = o.select(
+        F.col("a"), F.col("b").alias("p"), F.col("degb").alias("dp")
+    )
+    y = o.select(
+        F.col("a"), F.col("b").alias("q"), F.col("degb").alias("dq")
+    )
+    wedges = x.join(y, "a").filter(
+        (F.col("dp") < F.col("dq"))
+        | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q")))
+    )
+    closing = o.select(F.col("a").alias("p"), F.col("b").alias("q"))
+    return (
+        wedges.join(closing, ["p", "q"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -77,3 +77,68 @@ def test_pagerank_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- triangle counting ---
+
+import itertools
+import random
+
+from aces_spark.operators.graph import triangle_count
+
+
+def _brute_triangles(edge_list):
+    adj: dict = {}
+    nodes = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        nodes |= {a, b}
+    n = 0
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            n += 1
+    return n
+
+
+def test_triangle_count_random_differential(spark):
+    rng = random.Random(13)
+    for _ in range(3):
+        es = [(rng.randint(0, 12), rng.randint(0, 12)) for _ in range(35)]
+        es += [(b, a) for a, b in es[:8]]  # reversed dups must collapse
+        df = spark.createDataFrame(es, "src long, dst long")
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        assert got == _brute_triangles(es)
+
+
+def test_triangle_count_k4_and_bipartite(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert (
+        triangle_count(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()[0]["n_triangles"]
+        == 4
+    )
+    bp = [(a, 100 + b) for a in range(5) for b in range(5)]
+    assert (
+        triangle_count(
+            spark.createDataFrame(bp, "src long, dst long")
+        ).collect()[0]["n_triangles"]
+        == 0
+    )
+
+
+def test_triangle_count_ignores_self_loops(spark):
+    es = [(1, 2), (2, 3), (1, 3), (2, 2)]
+    got = triangle_count(
+        spark.createDataFrame(es, "src long, dst long")
+    ).collect()[0]["n_triangles"]
+    assert got == 1
+
+
+def test_triangle_count_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
