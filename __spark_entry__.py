@@ -1816,6 +1816,17 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_hll_by_type(spark, sf_dir):
+    """Per-group HLL distinct (datapipe.sketches.hll_distinct_by, p=9):
+    distinct users per event_type as one (key, register) aggregate —
+    the scalable GROUP BY COUNT(DISTINCT) replacement whose state is
+    |keys|·2^p registers, not the data."""
+    from aces_spark.datapipe.sketches import hll_distinct_by
+
+    ev = _read_events(spark, sf_dir).select("event_type", "user_id")
+    return hll_distinct_by(ev, "event_type", "user_id", p=9)
+
+
 def q_triangle_count(spark, sf_dir):
     """Triangle count (operators.graph.triangle_count) over the item
     co-visitation graph (pairs with n_keys >= 2): degree-ordered
@@ -2035,6 +2046,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_user_counts": q_cms_user_counts,
     "hist_quantiles": q_hist_quantiles,
     "triangle_count": q_triangle_count,
+    "hll_by_type": q_hll_by_type,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2073,7 +2085,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
     "dedup_clusters": q_dedup_clusters,
-    "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
@@ -2160,6 +2171,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
+    "pii_scrub": q_pii_scrub,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4322,6 +4334,33 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # per-key HLL: identical hash/register/rank/correction recipe as
+    # hll_distinct, grouped by event_type
+    sql["hll_by_type"] = """
+WITH h AS (SELECT event_type,
+    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h & 511 AS reg,
+        LEAST(bit_count(((h >> 9) & -(h >> 9)) - 1) + 1, 40) AS rnk
+      FROM h),
+regs AS (SELECT event_type, reg, MAX(rnk) AS mj FROM r GROUP BY 1, 2),
+agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(SUM(CAST(pow(2.0, 40 - mj) AS BIGINT)) AS BIGINT) AS s_present
+        FROM regs GROUP BY event_type),
+est AS (SELECT event_type, n_present,
+    0.7213 / (1.0 + 1.079 / 512) * 512 * 512
+      / (CAST(s_present + (512 - n_present) * 1099511627776 AS DOUBLE)
+         / 1099511627776.0) AS raw
+  FROM agg)
+SELECT event_type,
+  CAST(512 - n_present AS BIGINT) AS n_empty_registers,
+  floor(CASE WHEN raw <= 1280.0 AND (512 - n_present) > 0
+        THEN 512.0 * ln(512.0 / CAST(512 - n_present AS DOUBLE))
+        ELSE raw END * 10000 + 0.5) / 10000.0 AS estimate
+FROM est
 """
 
     # triangle count over the covisitation graph: same capped-pairs CTE

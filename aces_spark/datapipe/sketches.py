@@ -41,6 +41,7 @@ __all__ = [
     "kmv_distinct", "hll_distinct", "hll_registers", "hll_merge",
     "cms_registers", "cms_merge", "cms_lookup",
     "hist_registers", "hist_merge", "hist_quantiles",
+    "hll_distinct_by",
 ]
 
 #: ranks cap here so 2^(RANK_CAP - rank) sums stay far inside BIGINT
@@ -376,4 +377,55 @@ def hist_quantiles(
                 "est_value"
             ),
         )
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame, keys, col: str, p: int = 9
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — the scalable
+    ``GROUP BY k, COUNT(DISTINCT col)`` replacement: exact distinct
+    needs a (key, value) exchange proportional to the DATA; this needs
+    one (key, register) aggregate whose output is ≤ |keys| · 2^p rows
+    however many values each key holds.
+
+    Output ``(keys…, n_empty_registers, estimate)`` with the identical
+    hash/register/rank/correction pipeline as :func:`hll_distinct`
+    (integer-deterministic registers; the only float math is the final
+    closed-form estimate, snapped to basis points)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    if isinstance(keys, str):
+        keys = [keys]
+    m = 1 << p
+    d = df.filter(F.col(col).isNotNull())
+    h = _h60(F.col(col))
+    w = F.shiftright(h, p)
+    tz = F.bit_count((w.bitwiseAND(-w)) - 1)
+    rank = F.least(tz + 1, F.lit(_RANK_CAP))
+    regs = (
+        d.select(*keys, h.bitwiseAND(m - 1).alias("__reg"), rank.alias("__rank"))
+        .groupBy(*keys, "__reg")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("__s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_empty = F.lit(m).cast("long") - F.col("n_present")
+    s_total = F.col("__s_present") + n_empty * F.lit(1 << _RANK_CAP).cast("long")
+    denom = s_total.cast("double") / F.lit(float(1 << _RANK_CAP))
+    raw = F.lit(alpha * m * m) / denom
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0), lc).otherwise(raw)
+    return agg.select(
+        *keys,
+        n_empty.cast("long").alias("n_empty_registers"),
+        (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
     )

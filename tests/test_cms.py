@@ -154,3 +154,42 @@ def test_hist_validates(spark, uniform):
         hist_quantiles(regs, [0.0], lo=0.0, hi=100.0)
     with pytest.raises(ValueError):
         hist_merge()
+
+
+# --- per-key HLL distinct ---
+
+from aces_spark.datapipe.sketches import hll_distinct, hll_distinct_by  # noqa: E402
+
+
+def test_hll_by_key_close_to_exact(spark):
+    rows = [("a", i) for i in range(300)] + [("b", i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    est = {
+        r["k"]: r["estimate"] for r in hll_distinct_by(df, "k", "v").collect()
+    }
+    assert abs(est["a"] - 300) / 300 < 0.15  # ~4.6% typical error at p=9
+    assert abs(est["b"] - 7) < 1.0  # linear-counting regime: near-exact
+
+
+def test_hll_by_key_single_group_matches_global(spark):
+    df = spark.createDataFrame(
+        [("only", i) for i in range(500)], "k string, v long"
+    )
+    per = hll_distinct_by(df, "k", "v").collect()[0]
+    glob = hll_distinct(df, "v").collect()[0]
+    assert per["estimate"] == glob["estimate"]
+    assert per["n_empty_registers"] == glob["n_empty_registers"]
+
+
+def test_hll_by_key_null_values_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 1)], "k string, v long"
+    )
+    r = hll_distinct_by(df, "k", "v").collect()[0]
+    assert abs(r["estimate"] - 1.0) < 0.01
+
+
+def test_hll_by_key_validates(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        hll_distinct_by(df, "k", "v", p=3)
