@@ -147,6 +147,12 @@ def triangle_count(
     regardless of raw degree skew (a celebrity node of degree 10⁶ gets
     out-degree ~√m, not 10⁶). All equi-joins on node keys; no cartesian,
     no driver-side state.
+
+    The canonical edge list and the oriented edge list are lazily
+    checkpointed: ``o`` feeds THREE join branches (both wedge sides and
+    the closing probe), and without truncation Catalyst would inline its
+    whole upstream pipeline into each branch — plan size (and any
+    non-reused upstream work) triples.
     """
     u = F.least(F.col(src), F.col(dst)).alias("u")
     v = F.greatest(F.col(src), F.col(dst)).alias("v")
@@ -154,6 +160,7 @@ def triangle_count(
         edges.select(u, v)
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -171,7 +178,7 @@ def triangle_count(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("degb"),
-    )
+    ).localCheckpoint(eager=False)
     x = o.select(
         F.col("a"), F.col("b").alias("p"), F.col("degb").alias("dp")
     )
