@@ -1816,6 +1816,26 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_kcore_items(spark, sf_dir):
+    """Bounded-round k-core peeling (operators.graph.k_core_peel,
+    k=3, rounds=3) over the item co-visitation graph: each pass drops
+    degree<3 nodes and recomputes — the dense-community extraction
+    primitive, fully relational (degree agg + two semi-joins per pass)
+    and exactly unrollable in the oracle."""
+    from aces_spark.datapipe.analytics import covisitation
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import k_core_peel
+
+    ev = _read_events(spark, sf_dir)
+    items = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .select("user_id", F.col("k").alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    pairs = covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
+    return k_core_peel(pairs, 3, rounds=3, src="item_a", dst="item_b")
+
+
 def q_hll_by_type(spark, sf_dir):
     """Per-group HLL distinct (datapipe.sketches.hll_distinct_by, p=9):
     distinct users per event_type as one (key, register) aggregate —
@@ -2047,6 +2067,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantiles": q_hist_quantiles,
     "triangle_count": q_triangle_count,
     "hll_by_type": q_hll_by_type,
+    "kcore_items": q_kcore_items,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2084,7 +2105,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
-    "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
@@ -2171,6 +2191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
@@ -4335,6 +4356,41 @@ p AS (
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
 """
+
+    # k-core peeling: the three passes unrolled — per pass a degree agg
+    # (dK), the keep set (nK: deg >= 3), and the edge filter (eK+1)
+    _kc_pass = """
+d{i} AS (SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY node),
+n{i} AS (SELECT node FROM d{i} WHERE deg >= 3),
+e{j} AS (SELECT u, v FROM e{i}
+         WHERE u IN (SELECT node FROM n{i})
+           AND v IN (SELECT node FROM n{i}))"""
+    sql["kcore_items"] = (
+        """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+e0 AS (
+  SELECT a.item AS u, b.item AS v
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 2),"""
+        + ",".join(_kc_pass.format(i=i, j=i + 1) for i in range(3))
+        + """
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+GROUP BY node
+"""
+    )
 
     # per-key HLL: identical hash/register/rank/correction recipe as
     # hll_distinct, grouped by event_type

@@ -22,7 +22,7 @@ from .operators.aggregate import (
 )
 from .operators.bloom import bloom_join
 from .operators.constraints import check_constraints, check_static_variables
-from .operators.graph import pagerank, pagerank_topk
+from .operators.graph import k_core, pagerank, pagerank_topk, triangle_count
 from .operators.timeseries import (
     asof_join,
     asof_join_chunked,
@@ -73,8 +73,10 @@ __all__ = [
     "extract_subtree",
     "generate_plain_predicates_from_meds",
     "get_predicates_df",
+    "k_core",
     "pagerank",
     "pagerank_topk",
+    "triangle_count",
     "parse_timedelta",
     "preorder_iter",
     "query",

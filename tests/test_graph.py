@@ -142,3 +142,68 @@ def test_triangle_count_plan_no_cartesian(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --- k-core ---
+
+from aces_spark.operators.graph import k_core, k_core_peel
+
+
+def _brute_kcore(edge_list, k):
+    adj: dict = {}
+    for a, b in set(map(lambda e: (min(e), max(e)), edge_list)):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(vs) for n, vs in adj.items()}
+
+
+def test_k_core_matches_brute_force(spark):
+    # K4 plus a pendant chain: 3-core is exactly the K4
+    es = [(a, b) for a in range(4) for b in range(4) if a < b]
+    es += [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(es, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in k_core(df, 3).collect()}
+    assert got == _brute_kcore(es, 3) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_peel_converges_to_fixpoint(spark):
+    # a path cascades under k=2: endpoints peel first, exposing new
+    # endpoints each pass — the 2-core of a path is empty
+    es = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(es, "src long, dst long")
+    assert _brute_kcore(es, 2) == {}
+    got = {r["node"]: r["deg"] for r in k_core_peel(df, 2, rounds=3).collect()}
+    assert got == {}
+    # one round only strips the two endpoints — not yet the fixpoint
+    partial = {
+        r["node"]: r["deg"] for r in k_core_peel(df, 2, rounds=1).collect()
+    }
+    assert set(partial) == {1, 2, 3, 4, 5}
+
+
+def test_k_core_empty_when_k_too_high(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(df, 5).count() == 0
+
+
+def test_k_core_validates(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core_peel(df, 0)
+    with _pytest.raises(ValueError):
+        k_core_peel(df, 2, rounds=0)
+    with _pytest.raises(ValueError):
+        k_core(df, 0)
