@@ -1816,6 +1816,17 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Per-document character entropy (datapipe.text.char_entropy):
+    the low-entropy / compression-ratio quality signal in exact integer
+    micro-nats (per-character c·ln(c) terms snap before the per-doc sum
+    — order-independent, engine-exact). Two keyed aggregates, no joins."""
+    from aces_spark.datapipe.text import char_entropy
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(docs)
+
+
 def q_kcore_items(spark, sf_dir):
     """Bounded-round k-core peeling (operators.graph.k_core_peel,
     k=3, rounds=3) over the item co-visitation graph: each pass drops
@@ -2068,6 +2079,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "hll_by_type": q_hll_by_type,
     "kcore_items": q_kcore_items,
+    "doc_entropy": q_doc_entropy,
     "interval_overlap_join": q_interval_overlap,
     "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2106,7 +2118,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
     "stratified_sample": q_stratified_sample,
-    "cohort_feature_vectors": q_cohort_feature_vectors,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2193,6 +2204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
+    "cohort_feature_vectors": q_cohort_feature_vectors,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -4355,6 +4367,27 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # character entropy: H = ln(n) - (1/n)·Σ c·ln(c); the c·ln(c) terms
+    # snap to integer micro-nats before the sum in both engines
+    sql["doc_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents),
+cnt AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ch WHERE c <> '' GROUP BY doc_id, c),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_chars,
+         CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_u
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_chars,
+  FLOOR((CASE WHEN n_chars > 0
+         THEN ln(CAST(n_chars AS DOUBLE)) - (CAST(s_u AS DOUBLE) / n_chars / 1000000.0)
+         ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS entropy_nats
+FROM per_doc
 """
 
     # k-core peeling: the three passes unrolled — per pass a degree agg

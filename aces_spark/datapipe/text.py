@@ -365,3 +365,51 @@ def outlier_filter(
         df.join(F.broadcast(bounds))
         .filter((v >= F.col("lo_bound")) & (v <= F.col("hi_bound")))
     )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy in exact integer
+    micro-nats — the low-entropy/compression-ratio quality signal
+    (Gopher/RedPajama-class rules drop documents whose character
+    distribution is too predictable: boilerplate, repeated padding,
+    base64 blobs sit at the entropy extremes).
+
+    ``H = ln(n) - (1/n)·Σ c_i·ln(c_i)`` over per-character counts —
+    algebraically equal to ``-Σ p·ln p`` but each term depends only on
+    integer counts, so every per-character term snaps to micro-nats
+    (``floor(c·ln(c)·1e6 + 0.5)``) BEFORE the per-doc sum: the sum is
+    integer-exact, order-independent, engine-exact (same contract as
+    datapipe.lm). Empty/null documents emit NO row (they have no
+    characters to explode) — left-join the output back onto the corpus
+    if every id must appear.
+
+    Plan: posexplode to characters → one (doc, char) count aggregate →
+    one doc aggregate. Both aggregates are keyed by doc (uniform), with
+    map-side partials; no joins, no windows.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    term_u = F.floor(
+        F.col("__c").cast("double") * F.log(F.col("__c").cast("double")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.sum(term_u).cast("long").alias("__s_u"),
+    )
+    h = F.log(F.col("n_chars").cast("double")) - (
+        F.col("__s_u").cast("double") / F.col("n_chars") / 1000000.0
+    )
+    ent = F.when(F.col("n_chars") > 0, h).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        "n_chars",
+        (F.floor(ent * 1000000 + F.lit(0.5)).cast("double") / 1000000.0).alias(
+            "entropy_nats"
+        ),
+    )

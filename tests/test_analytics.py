@@ -188,3 +188,34 @@ def test_event_type_pivot_absent_type_zero_schema_stable(spark):
     out = event_type_pivot(df, ["click", "view"])
     assert out.columns == ["user_id", "n_click", "n_view"]
     assert out.collect()[0]["n_view"] == 0
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from aces_spark.datapipe.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # uniform single char -> 0; two chars 50/50 -> ln 2; four distinct -> ln 4
+    assert got[1]["entropy_nats"] == 0.0
+    assert abs(got[2]["entropy_nats"] - math.log(2)) < 1e-5
+    assert abs(got[3]["entropy_nats"] - math.log(4)) < 1e-5
+    # empty doc: no characters -> no row from the explode (documented)
+    assert 4 not in got
+    assert got[3]["n_chars"] == 4
+
+
+def test_char_entropy_partition_invariant(spark):
+    from aces_spark.datapipe.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    one = {tuple(r) for r in char_entropy(df.coalesce(1)).collect()}
+    many = {tuple(r) for r in char_entropy(df.repartition(5)).collect()}
+    assert one == many
