@@ -1994,6 +1994,33 @@ def q_pagerank_items(spark, sf_dir):
     return pagerank_topk(edges, k=20, iterations=3)
 
 
+def q_ppr_items(spark, sf_dir):
+    """Personalized PageRank (operators.graph.personalized_pagerank)
+    over the same co-engagement graph as pagerank_items, teleporting to
+    a fixed 3-item seed set — the related-items / user-neighborhood
+    primitive (rank mass concentrates around the seeds instead of
+    spreading uniformly). Same integer rank units as pagerank so Spark
+    and DuckDB agree bit-for-bit; top 20 by (rank desc, node asc)."""
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import personalized_pagerank
+
+    ev = _read_events(spark, sf_dir)
+    ui = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .filter(F.col("k").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("i:"), F.col("k")).alias("dst"),
+        )
+    )
+    edges = ui.union(ui.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.range(1).select(
+        F.explode(F.array(F.lit("i:1"), F.lit("i:2"), F.lit("i:3"))).alias("node")
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=3)
+    return ranks.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(20)
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE pair statistics (datapipe.bpe): the weighted adjacent-symbol
     pair counts of the FIRST merge iteration over the documents corpus —
@@ -2071,6 +2098,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r5 new): first-ever oracle rows. 5 formerly pytest-only
     # operators + 6 operators added this round ---
     "pagerank_items": q_pagerank_items,
+    "ppr_items": q_ppr_items,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
@@ -2111,7 +2139,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and lead tier 2 next round ---
     "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
-    "predicate_regex_anyof": q_predicate_regex_anyof,
     "derived_and_or": q_derived_and_or,
     "special_predicates": q_special_predicates,
     "trigger_anchors": q_trigger_anchors,
@@ -2198,7 +2225,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     # stratified_take and corpus_clean age one extra round (siblings
     # stratified_sample / text_quality stay in the head, so both families
-    # still get fresh rows); they lead tier 2 in r6
+    # still get fresh rows); they lead tier 2 in r6. predicate_regex_anyof
+    # joined them when ppr_items debuted in tier 1 (siblings
+    # predicate_value_range / derived_and_or / special_predicates keep the
+    # predicate family fresh; it is also pytest-pinned via test_meds.py)
+    "predicate_regex_anyof": q_predicate_regex_anyof,
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4626,6 +4657,53 @@ i2 AS ("""
         + """),
 i3 AS ("""
         + _pr_iter.format(prev="i2")
+        + """)
+SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM i3
+ORDER BY rank_u DESC, node ASC LIMIT 20
+"""
+    )
+
+    # personalized PageRank: same integer arithmetic as pagerank_items
+    # but the teleport base lands ONLY on the fixed 3-item seed set
+    # (init 10^12 // 3 each, per-iteration base 15*10^12 // 300 each);
+    # non-seeds start at 0 and receive link mass only
+    _ppr_iter = """
+  SELECT n.node,
+         CASE WHEN n.is_seed THEN 50000000000 ELSE 0 END
+           + COALESCE(c.in_u, 0) AS rank_u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((r.rank_u * 85) // (100 * d.out_deg)) AS in_u
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node"""
+    sql["ppr_items"] = (
+        """
+WITH ui AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  'i:' || CAST(TRY_CAST(props->>'k' AS BIGINT) AS VARCHAR) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL),
+edges AS (SELECT src, dst FROM ui UNION SELECT dst, src FROM ui),
+seeds AS (SELECT UNNEST(['i:1', 'i:2', 'i:3']) AS node),
+nodes AS (
+  SELECT node, node IN (SELECT node FROM seeds) AS is_seed FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    UNION SELECT node FROM seeds)),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node,
+         CASE WHEN is_seed THEN 1000000000000 // 3 ELSE 0 END AS rank_u
+       FROM nodes),
+i1 AS ("""
+        + _ppr_iter.format(prev="r0")
+        + """),
+i2 AS ("""
+        + _ppr_iter.format(prev="i1")
+        + """),
+i3 AS ("""
+        + _ppr_iter.format(prev="i2")
         + """)
 SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM i3
 ORDER BY rank_u DESC, node ASC LIMIT 20

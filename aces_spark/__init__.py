@@ -22,7 +22,13 @@ from .operators.aggregate import (
 )
 from .operators.bloom import bloom_join
 from .operators.constraints import check_constraints, check_static_variables
-from .operators.graph import k_core, pagerank, pagerank_topk, triangle_count
+from .operators.graph import (
+    k_core,
+    pagerank,
+    pagerank_topk,
+    personalized_pagerank,
+    triangle_count,
+)
 from .operators.timeseries import (
     asof_join,
     asof_join_chunked,
@@ -76,6 +82,7 @@ __all__ = [
     "k_core",
     "pagerank",
     "pagerank_topk",
+    "personalized_pagerank",
     "triangle_count",
     "parse_timedelta",
     "preorder_iter",

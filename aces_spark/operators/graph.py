@@ -281,3 +281,78 @@ def k_core(
             .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank: identical message-pass arithmetic to
+    :func:`pagerank`, but ALL teleport mass returns to the ``seeds``
+    set (split evenly, integer floor) instead of spreading uniformly —
+    the similar-items / related-entities primitive (rank concentrates
+    in the seeds' neighborhood; distant nodes decay geometrically).
+
+    Initial rank: the whole unit mass on the seeds (``scale // n_seeds``
+    each, non-seeds 0); per-iteration base: seeds get
+    ``(100-damping_pct)·scale // (100·n_seeds)``, non-seeds 0. Same
+    engine-exact integer contract as pagerank. Seeds not present in the
+    graph still receive their teleport share (documented PPR semantics:
+    the walk restarts there even if nothing links to them).
+    """
+    if iterations < 1:
+        raise ValueError("personalized_pagerank: iterations must be >= 1")
+    if not (0 < damping_pct < 100):
+        raise ValueError("personalized_pagerank: damping_pct must be in (0, 100)")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = nodes.join(
+        s.withColumn("__is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("__is_seed"), F.lit(False)).alias("is_seed")
+    ).localCheckpoint(eager=False)
+    n_seeds = nodes.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: seeds set is empty")
+    init_u = scale // n_seeds
+    base_u = (100 - damping_pct) * scale // (100 * n_seeds)
+
+    seed_base = F.when(F.col("is_seed"), F.lit(base_u)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(init_u))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_u"),
+    )
+    contrib_expr = F.expr(f"(rank_u * {damping_pct}) div (100 * out_deg)")
+    for _ in range(iterations):
+        msgs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), contrib_expr.alias("c_u"))
+            .groupBy("node")
+            .agg(F.sum("c_u").alias("in_u"))
+        )
+        ranks = nodes.join(msgs, "node", "left").select(
+            "node",
+            (seed_base + F.coalesce(F.col("in_u"), F.lit(0)))
+            .cast("long")
+            .alias("rank_u"),
+        ).localCheckpoint(eager=False)
+    return ranks

@@ -207,3 +207,107 @@ def test_k_core_validates(spark):
         k_core_peel(df, 2, rounds=0)
     with _pytest.raises(ValueError):
         k_core(df, 0)
+
+
+# --- personalized pagerank ---
+
+from aces_spark.operators.graph import personalized_pagerank
+
+
+def _reference_ppr(edge_list, seeds, iterations=3, damping_pct=85, scale=SCALE):
+    """Pure-python integer reference with seed-concentrated teleport."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges} | set(seeds))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = sorted(set(seeds))
+    ns = len(seeds)
+    init = scale // ns
+    base = (100 - damping_pct) * scale // (100 * ns)
+    r = {v: (init if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        new = {v: (base if v in seeds else 0) for v in nodes}
+        for s, d in edges:
+            new[d] += (r[s] * damping_pct) // (100 * deg[s])
+        r = new
+    return r
+
+
+def test_ppr_matches_integer_reference(spark):
+    raw = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("a", "b"),  # duplicate edge must collapse
+        ("d", "a"),
+    ]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("a",)], ["node"])  # dup seed
+    out = personalized_pagerank(edges, seeds, iterations=3)
+    got = {row["node"]: row["rank_u"] for row in out.collect()}
+    assert got == _reference_ppr(raw, ["a"])
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    # star out of s plus a far chain: the seed keeps the max rank and
+    # rank decays monotonically with distance from the seed
+    raw = [("s", "n1"), ("s", "n2"), ("n1", "far1"), ("far1", "far2")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["rank_u"]
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+    assert got == _reference_ppr(raw, ["s"], iterations=4)
+    assert got["s"] == max(got.values())
+    assert got["s"] > got["n1"] > got["far1"] > got["far2"]
+
+
+def test_ppr_seed_outside_graph_still_gets_teleport(spark):
+    raw = [("a", "b")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    seeds = spark.createDataFrame([("z",)], ["node"])
+    got = {
+        r["node"]: r["rank_u"]
+        for r in personalized_pagerank(edges, seeds, iterations=2).collect()
+    }
+    ref = _reference_ppr(raw, ["z"], iterations=2)
+    assert got == ref
+    # z has no in-edges: after the first pass it holds exactly the base
+    assert got["z"] == 15 * SCALE // 100
+
+
+def test_ppr_multi_seed_splits_teleport_evenly(spark):
+    raw = [("a", "b"), ("b", "a")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+    got = {
+        r["node"]: r["rank_u"]
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    assert got == _reference_ppr(raw, ["a", "b"])
+    # symmetric graph + symmetric seeds -> identical ranks
+    assert got["a"] == got["b"]
+
+
+def test_ppr_validates_args(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds, iterations=0)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds, damping_pct=0)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds.filter("node = 'zzz'"))
+
+
+def test_ppr_plan_has_no_cartesian(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    plan = (
+        personalized_pagerank(edges, seeds, iterations=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
