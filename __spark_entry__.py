@@ -834,6 +834,33 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_top_k(_read_table(spark, sf_dir, "documents"), k=50)
 
 
+def q_fuzzy_vocab_pairs(spark, sf_dir):
+    """Symmetric-delete fuzzy join (datapipe.fuzzy.fuzzy_self_pairs):
+    edit-distance-1 near-match pairs over the corpus' 300 most frequent
+    words PLUS a deterministic typo per long word (second character
+    deleted — the synthetic vocabulary has almost no natural distance-1
+    pairs, and a 0-row oracle would be vacuous) — the entity-resolution
+    / typo-clustering primitive. Candidates come from ONE equi-join on
+    exploded delete-variants (recall 1.0, no cartesian); exact
+    `levenshtein` verifies. The oracle checks SEMANTICS with a direct
+    levenshtein join over the tiny vocab — same pairs, different
+    physical strategy; the delete-variant join is the part that scales."""
+    from aces_spark.datapipe.fuzzy import fuzzy_self_pairs
+    from aces_spark.datapipe.text import vocab_top_k
+
+    vocab = vocab_top_k(
+        _read_table(spark, sf_dir, "documents"), k=300
+    ).select("word")
+    typos = vocab.filter(F.length("word") >= 5).select(
+        F.concat(F.substring("word", 1, 1), F.expr("substring(word, 3)")).alias("word")
+    )
+    return fuzzy_self_pairs(vocab.union(typos), "word", max_dist=1).select(
+        F.col("left_str").alias("word_a"),
+        F.col("right_str").alias("word_b"),
+        "dist",
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental-ingest dedup (datapipe.dedup.dedup_against): a new
     batch of perturbed copies (exact dups of every 5th corpus doc, dropped
@@ -2099,6 +2126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # operators + 6 operators added this round ---
     "pagerank_items": q_pagerank_items,
     "ppr_items": q_ppr_items,
+    "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
@@ -2140,7 +2168,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
     "derived_and_or": q_derived_and_or,
-    "special_predicates": q_special_predicates,
     "trigger_anchors": q_trigger_anchors,
     "static_filter": q_static_filter,
     "text_quality": q_text_quality,
@@ -2227,9 +2254,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stratified_sample / text_quality stay in the head, so both families
     # still get fresh rows); they lead tier 2 in r6. predicate_regex_anyof
     # joined them when ppr_items debuted in tier 1 (siblings
-    # predicate_value_range / derived_and_or / special_predicates keep the
-    # predicate family fresh; it is also pytest-pinned via test_meds.py)
+    # predicate_value_range / derived_and_or keep the predicate family
+    # fresh; both are also pytest-pinned via test_meds.py).
+    # special_predicates joined when fuzzy_vocab_pairs debuted.
     "predicate_regex_anyof": q_predicate_regex_anyof,
+    "special_predicates": q_special_predicates,
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
@@ -3041,6 +3070,30 @@ SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM words GROUP BY word
 ORDER BY n_occurrences DESC, word ASC LIMIT 50
+"""
+
+    # fuzzy vocab pairs: the oracle verifies SEMANTICS (all edit-distance-1
+    # pairs in the top-300 vocab) with a direct levenshtein cross join —
+    # tiny here; the engine's symmetric-delete candidate join is the part
+    # that scales, and recall 1.0 makes the two formulations identical
+    sql["fuzzy_vocab_pairs"] = f"""
+WITH words AS (
+  SELECT unnest({_DOC_TOKENS_SQL}) AS word FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM words GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 300)),
+pool AS (
+  SELECT DISTINCT word FROM (
+    SELECT word FROM vocab
+    UNION ALL
+    SELECT substring(word, 1, 1) || substring(word, 3) AS word
+    FROM vocab WHERE length(word) >= 5))
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+FROM pool a JOIN pool b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

@@ -1,0 +1,111 @@
+"""Blocked fuzzy string join: symmetric-delete candidate generation plus
+exact Levenshtein verification.
+
+The reference engine has no string-similarity join; this belongs to the
+beyond-reference LLM-pipeline surface (entity resolution: near-identical
+titles, author names, product strings, OCR'd tokens). The algorithm is
+the public symmetric-delete scheme (Garbe's SymSpell): two strings
+within edit distance ``k`` always share at least one variant obtainable
+by deleting at most ``k`` characters from each, so an equi-join on the
+exploded delete-variant sets yields a candidate SUPERSET (recall 1.0)
+that an exact ``levenshtein`` filter then trims to the true pairs.
+
+Scale shape: explode (narrow, ~``len**k`` variants per string) → ONE
+hash-partitioned equi-join on the variant string → distinct candidate
+pairs → narrow verify. No cartesian anywhere, no UDFs — ``levenshtein``
+and the variant construction are JVM intrinsics, and the join key
+(short variant strings) hash-partitions evenly. At 100 TB the explode
+factor is the knob: ``max_dist=1`` costs ~``len`` rows per string,
+``max_dist=2`` ~``len^2/2`` — both linear in corpus size, versus the
+quadratic cartesian a naive distance join needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _del1_sql(x: str) -> str:
+    """SQL for the set of strings obtained by deleting exactly one
+    character from ``x`` (empty array for the empty string — the
+    ``sequence(1, 0)`` guard matters: Spark's sequence auto-steps
+    DOWNWARD for start > stop, which would fabricate variants)."""
+    return (
+        f"CASE WHEN length({x}) = 0 THEN array() "
+        f"ELSE transform(sequence(1, length({x})), i -> "
+        f"concat(substring({x}, 1, i - 1), substring({x}, i + 1, length({x})))) END"
+    )
+
+
+def delete_variants(col: str, max_dist: int = 1):
+    """Column of distinct delete-variants of ``col`` up to depth
+    ``max_dist`` (the string itself included). ``max_dist`` in {1, 2}:
+    depth-k variant counts grow like ``len**k``, and SymSpell's own
+    guidance is that k>2 stops paying for itself against verification."""
+    if max_dist not in (1, 2):
+        raise ValueError("delete_variants: max_dist must be 1 or 2")
+    d1 = _del1_sql(col)
+    if max_dist == 1:
+        return F.expr(f"array_distinct(concat(array({col}), {d1}))")
+    d2 = _del1_sql("y")
+    return F.expr(
+        f"array_distinct(concat(array({col}), {d1}, "
+        f"flatten(transform({d1}, y -> {d2}))))"
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    *,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of DISTINCT string values ``(left_str, right_str,
+    dist)`` with ``levenshtein(left_str, right_str) <= max_dist``.
+
+    Joins on values, not rows: callers re-attach their payload columns
+    with an equi-join on the string, which keeps the expensive stage —
+    the variant join — proportional to the number of distinct strings,
+    not the number of rows. Null values are dropped; empty strings
+    participate (the empty string is within distance 1 of every
+    single-character string, via the shared ``""`` variant).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_join: max_dist must be 1 or 2")
+    right_col = right_col if right_col is not None else left_col
+    l = (
+        left.select(F.col(left_col).cast("string").alias("left_str"))
+        .filter(F.col("left_str").isNotNull())
+        .distinct()
+    )
+    r = (
+        right.select(F.col(right_col).cast("string").alias("right_str"))
+        .filter(F.col("right_str").isNotNull())
+        .distinct()
+    )
+    lv = l.select(
+        "left_str", F.explode(delete_variants("left_str", max_dist)).alias("__v")
+    )
+    rv = r.select(
+        "right_str", F.explode(delete_variants("right_str", max_dist)).alias("__v")
+    )
+    cand = lv.join(rv, "__v").select("left_str", "right_str").distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("left_str", "right_str"))
+        .filter(F.col("dist") <= max_dist)
+        .select("left_str", "right_str", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, col: str, *, max_dist: int = 1
+) -> DataFrame:
+    """Unordered near-match pairs within one column: ``fuzzy_join`` of
+    the distinct values against themselves, keeping each pair once
+    (``left_str < right_str`` — identical values are never a pair)."""
+    return fuzzy_join(df, df, col, col, max_dist=max_dist).filter(
+        F.col("left_str") < F.col("right_str")
+    )

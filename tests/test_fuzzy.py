@@ -1,0 +1,102 @@
+"""Tests for datapipe/fuzzy.py: symmetric-delete fuzzy join."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from aces_spark.datapipe.fuzzy import fuzzy_join, fuzzy_self_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein DP (insert/delete/substitute, unit costs)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(words, k):
+    ws = sorted(set(words))
+    return {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(ws)
+        for b in ws[i + 1 :]
+        if _lev(a, b) <= k
+    }
+
+
+def _rand_words(rng, n, maxlen=7, alphabet="abc"):
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, maxlen)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_self_pairs_match_brute_force(spark, k):
+    rng = random.Random(7 + k)
+    words = _rand_words(rng, 60)
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        (r["left_str"], r["right_str"], r["dist"])
+        for r in fuzzy_self_pairs(df, "word", max_dist=k).collect()
+    }
+    assert got == _brute_pairs(words, k)
+
+
+def test_cross_join_match_brute_force(spark):
+    rng = random.Random(11)
+    lw, rw = _rand_words(rng, 40), _rand_words(rng, 40)
+    l = spark.createDataFrame([(w,) for w in lw], ["a"])
+    r = spark.createDataFrame([(w,) for w in rw], ["b"])
+    got = {
+        (row["left_str"], row["right_str"], row["dist"])
+        for row in fuzzy_join(l, r, "a", "b", max_dist=1).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for a in set(lw)
+        for b in set(rw)
+        if _lev(a, b) <= 1
+    }
+    assert got == want
+
+
+def test_empty_string_participates(spark):
+    df = spark.createDataFrame([("",), ("a",), ("ab",), (None,)], ["word"])
+    got = {
+        (r["left_str"], r["right_str"], r["dist"])
+        for r in fuzzy_self_pairs(df, "word", max_dist=1).collect()
+    }
+    assert got == {("", "a", 1), ("a", "ab", 1)}
+
+
+def test_duplicate_values_collapse_to_one_pair(spark):
+    df = spark.createDataFrame([("cat",), ("cat",), ("cot",)], ["word"])
+    rows = fuzzy_self_pairs(df, "word", max_dist=1).collect()
+    assert [(r["left_str"], r["right_str"], r["dist"]) for r in rows] == [
+        ("cat", "cot", 1)
+    ]
+
+
+def test_validates_max_dist(spark):
+    df = spark.createDataFrame([("x",)], ["word"])
+    with pytest.raises(ValueError):
+        fuzzy_join(df, df, "word", max_dist=3)
+
+
+def test_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([("cat",), ("cot",)], ["word"])
+    plan = (
+        fuzzy_self_pairs(df, "word", max_dist=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
