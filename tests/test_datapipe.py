@@ -78,20 +78,26 @@ def test_scoped_ngram_jaccard_releases_cache(spark):
 
     # a frame of our own (the shared `docs` fixture's plan may already sit
     # in the CacheManager from earlier tests, making persist() a no-op),
-    # and RELATIVE size assertions (other tests' lineage checkpoints may
-    # legitimately persist RDDs in the shared session)
+    # and RDD-ID SET DIFFERENCES rather than counts: other tests' lineage
+    # checkpoints legitimately persist RDDs in the shared session AND the
+    # async ContextCleaner may unpersist them mid-test, so counts race but
+    # "no NEW id survives the with-block" does not
     rows = [
         (1, "spark scoped cache test one two three four five"),
         (2, "spark scoped cache test one two three four five"),
         (3, "entirely unrelated content with different words here"),
     ]
     frame = spark.createDataFrame(rows, "doc_id long, text string")
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def _cached_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    base = _cached_ids()
     with scoped_ngram_jaccard_pairs(frame, n=3, threshold=0.3, max_doc_freq=None) as pairs:
         got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
         assert (1, 2) in got
-        assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+        assert _cached_ids() - base  # the scoped persist is live inside
+    assert not (_cached_ids() - base)  # and fully released on exit
 
 
 def test_paragraph_dedup_stats(spark):
