@@ -1732,6 +1732,19 @@ def q_rolling_stats(spark, sf_dir):
     return rolling_stats(ev, "user_id", window_rows=5)
 
 
+def q_value_trend(spark, sf_dir):
+    """Per-user least-squares value trend (operators/timeseries
+    .group_linear_trend): integer-exact normal-equation slope over
+    day-grain re-based x and micro-unit y — the "is this metric
+    drifting" feature, ONE key exchange shared by the window min and
+    the five-sum aggregate. Sign-decomposed integer division keeps
+    Spark's trunc and DuckDB's floor semantics identical."""
+    from aces_spark.operators.timeseries import group_linear_trend
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts", "value")
+    return group_linear_trend(ev, "user_id")
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM quality scoring (datapipe.lm): train add-one-smoothed
     bigram counts on the even-doc_id half of documents, score the odd
@@ -2127,6 +2140,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_items": q_pagerank_items,
     "ppr_items": q_ppr_items,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
+    "value_trend": q_value_trend,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
@@ -2169,7 +2183,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predicate_value_range": q_predicate_value_range,
     "derived_and_or": q_derived_and_or,
     "trigger_anchors": q_trigger_anchors,
-    "static_filter": q_static_filter,
     "text_quality": q_text_quality,
     "stratified_sample": q_stratified_sample,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
@@ -2256,9 +2269,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # joined them when ppr_items debuted in tier 1 (siblings
     # predicate_value_range / derived_and_or keep the predicate family
     # fresh; both are also pytest-pinned via test_meds.py).
-    # special_predicates joined when fuzzy_vocab_pairs debuted.
+    # special_predicates joined when fuzzy_vocab_pairs debuted,
+    # static_filter when value_trend did (both pinned by the reference
+    # doctest goldens in tests/test_e2e.py; they lead tier 2 in r6).
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
+    "static_filter": q_static_filter,
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4375,6 +4391,36 @@ SELECT user_id, event_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+    # per-user linear trend: the documented integer contract verbatim —
+    # day-grain re-based x, micro-unit y, normal-equation integers,
+    # sign-decomposed // so DuckDB's floor matches Spark's trunc
+    sql["value_trend"] = """
+WITH pts AS (
+  SELECT user_id,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 86400000000 AS x,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         MAX(x) AS span
+  FROM pts GROUP BY user_id),
+s AS (
+  SELECT user_id, n, span, sx, sy,
+    CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         WHEN n*sxy - sx*sy >= 0 THEN (n*sxy - sx*sy) // (n*sxx - sx*sx)
+         ELSE -((sx*sy - n*sxy) // (n*sxx - sx*sx)) END AS slope_u
+  FROM agg)
+SELECT user_id, n AS n_points, CAST(span AS BIGINT) AS x_span,
+  CAST(slope_u AS DOUBLE) / 1000000.0 AS slope_per_unit,
+  CAST(CASE WHEN sy - COALESCE(slope_u, 0)*sx >= 0
+            THEN (sy - COALESCE(slope_u, 0)*sx) // n
+            ELSE -((COALESCE(slope_u, 0)*sx - sy) // n) END AS DOUBLE)
+    / 1000000.0 AS intercept
+FROM s
 """
 
     # per-user z-scores: DECIMAL(18,6) moments (the square stays inside

@@ -619,3 +619,84 @@ def rolling_stats_time(
         F.min(F.col(value_col)).over(w).alias("roll_min"),
         F.max(F.col(value_col)).over(w).alias("roll_max"),
     )
+
+
+def group_linear_trend(
+    df: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    x_unit_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Per-key least-squares linear trend of ``value_col`` over time —
+    the trend-feature primitive ("is this lab drifting up?", "is this
+    user's activity decaying?"). One aggregation, engine-exact.
+
+    The slope is computed entirely in INTEGER arithmetic so every engine
+    agrees bit-for-bit (the repo's portable-math rule): x is the
+    ``x_unit_us``-grain index of ``ts`` *re-based to the key's first
+    observation* (keeps products small and every x non-negative), y is
+    micro-unit ``floor(value * 1e6 + 0.5)``; the classic normal-equation
+    integers ``num = n*Sxy - Sx*Sy`` and ``den = n*Sxx - Sx^2`` (den >= 0
+    by Cauchy-Schwarz) then give ``slope = num/den`` truncated TOWARD
+    ZERO at micro precision — spelled ``sign(num) * (|num| div den)``
+    because Spark's ``div`` truncates while DuckDB's ``//`` floors, and
+    the two only agree on non-negative operands. The intercept (at the
+    key's first-observation epoch) reuses the already-agreed slope:
+    ``(Sy - slope*Sx) / n`` under the same sign-decomposed division.
+
+    Output: ``(key, n_points, x_span, slope_per_unit, intercept)`` —
+    slope/intercept as doubles recovered from the micro-unit integers
+    (identical bits in every engine: same integer, same division).
+    ``slope_per_unit`` is NULL when the key has a single distinct x
+    (den = 0 — no trend direction exists); rows with null ts/value are
+    excluded, keys with no valid rows disappear.
+
+    Scale shape: ONE key-partitioned hash aggregate with map-side
+    partial combine — five integer sums, O(1) state per key; no window,
+    no join, no second pass. Magnitude guard: products stay inside
+    BIGINT while ``n * span_units * |y|_micro^... n*Sxy`` is below 2^63
+    — with day grain and |value| <= 1e6 that holds to ~10^5 rows x 10^3
+    units per key; re-base/coarsen ``x_unit_us`` for wider spans.
+    """
+    if x_unit_us <= 0:
+        raise ValueError("x_unit_us must be a positive microsecond grain")
+    rows = df.select(
+        F.col(on).alias("__k"),
+        epoch_micros(ts_col).alias("__us"),
+        F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("__y"),
+    ).filter(F.col("__us").isNotNull() & F.col("__y").isNotNull())
+    # partition-only window min: same hash partitioning as the groupBy
+    # below, so Catalyst inserts ONE exchange for both stages
+    x = F.expr(f"(__us - min(__us) OVER (PARTITION BY __k)) div {int(x_unit_us)}")
+    pts = rows.select("__k", x.alias("__x"), "__y")
+    agg = pts.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.expr("__x * __y")).alias("sxy"),
+        F.sum(F.expr("__x * __x")).alias("sxx"),
+        F.max("__x").alias("span"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_u = F.when(den == 0, F.lit(None).cast("long")).otherwise(
+        F.when(num >= 0, F.expr(
+            "(n*sxy - sx*sy) div (n*sxx - sx*sx)"
+        )).otherwise(-F.expr("(sx*sy - n*sxy) div (n*sxx - sx*sx)"))
+    )
+    agg = agg.withColumn("__slope_u", slope_u)
+    inum = F.col("sy") - F.coalesce(F.col("__slope_u"), F.lit(0)) * F.col("sx")
+    icept_u = F.when(inum >= 0, F.expr("(sy - coalesce(__slope_u, 0) * sx) div n")).otherwise(
+        -F.expr("(coalesce(__slope_u, 0) * sx - sy) div n")
+    )
+    return agg.select(
+        F.col("__k").alias(on),
+        F.col("n").cast("long").alias("n_points"),
+        F.col("span").cast("long").alias("x_span"),
+        (F.col("__slope_u").cast("double") / 1000000.0).alias("slope_per_unit"),
+        (icept_u.cast("double") / 1000000.0).alias("intercept"),
+    )

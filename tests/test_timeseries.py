@@ -550,3 +550,117 @@ def test_overlap_join_preserves_duplicate_input_rows(spark):
     )
     out = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
     assert out.count() == 2  # one match per duplicate left row, no collapse
+
+
+# --- group_linear_trend ---
+
+from aces_spark.operators.timeseries import group_linear_trend
+
+
+def _ref_trend(rows, x_unit_us=86_400_000_000):
+    """Pure-python reference of the documented integer contract."""
+    import math
+    by_key: dict = {}
+    for k, us, v in rows:
+        if us is None or v is None:
+            continue
+        by_key.setdefault(k, []).append((us, math.floor(v * 1000000 + 0.5)))
+    out = {}
+    for k, pts in by_key.items():
+        m = min(us for us, _ in pts)
+        xy = [((us - m) // x_unit_us, y) for us, y in pts]
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+
+        def tz(a, b):  # truncate toward zero, positive b
+            return -((-a) // b) if a < 0 else a // b
+
+        slope_u = None if den == 0 else tz(num, den)
+        icept_u = tz(sy - (slope_u or 0) * sx, n)
+        out[k] = (
+            n,
+            max(x for x, _ in xy),
+            None if slope_u is None else slope_u / 1000000.0,
+            icept_u / 1000000.0,
+        )
+    return out
+
+
+def _us(day_offset_hours):
+    base = 1_700_000_000_000_000  # fixed modern epoch, μs
+    return base + int(day_offset_hours * 3_600_000_000)
+
+
+def _trend_df(spark, rows):
+    import datetime as dt
+
+    data = [
+        (k, None if us is None else dt.datetime.utcfromtimestamp(us / 1e6), v)
+        for k, us, v in rows
+    ]
+    return spark.createDataFrame(data, "k long, ts timestamp, value double")
+
+
+def _got(spark, rows, **kw):
+    df = _trend_df(spark, rows)
+    return {
+        r["k"]: (r["n_points"], r["x_span"], r["slope_per_unit"], r["intercept"])
+        for r in group_linear_trend(df, "k", **kw).collect()
+    }
+
+
+def test_trend_matches_integer_reference(spark):
+    rows = [
+        (1, _us(0), 1.0), (1, _us(24), 2.0), (1, _us(48), 3.25),
+        (2, _us(0), 10.0), (2, _us(24), 8.0), (2, _us(72), 4.5),  # downward
+        (3, _us(5), 7.5),                                          # single point
+        (4, _us(0), 1.0), (4, _us(1), 2.0),   # same day twice -> den 0
+        (5, None, 1.0), (5, _us(0), None), (5, _us(24), 6.0), (5, _us(48), 7.0),
+    ]
+    assert _got(spark, rows) == _ref_trend([r for r in rows])
+
+
+def test_trend_exact_line_recovers_slope_and_intercept(spark):
+    # y = 2 + 0.5 * day, exact in micro-units
+    rows = [(1, _us(24 * d), 2.0 + 0.5 * d) for d in range(6)]
+    got = _got(spark, rows)
+    n, span, slope, icept = got[1]
+    assert (n, span) == (6, 5)
+    assert slope == pytest.approx(0.5, abs=1e-6)
+    assert icept == pytest.approx(2.0, abs=1e-6)
+
+
+def test_trend_negative_slope_truncates_toward_zero(spark):
+    # num < 0 path: both engines must truncate toward zero, and the
+    # reference encodes exactly that
+    rows = [(1, _us(0), 3.0), (1, _us(24), 2.0), (1, _us(72), 0.1)]
+    got = _got(spark, rows)
+    assert got == _ref_trend(rows)
+    assert got[1][2] < 0
+
+
+def test_trend_hour_grain(spark):
+    rows = [(1, _us(0), 1.0), (1, _us(2), 5.0)]
+    got = _got(spark, rows, x_unit_us=3_600_000_000)
+    assert got == _ref_trend(rows, x_unit_us=3_600_000_000)
+    assert got[1][1] == 2  # span measured in hours now
+
+
+def test_trend_validates_grain(spark):
+    df = _trend_df(spark, [(1, _us(0), 1.0)])
+    with pytest.raises(ValueError):
+        group_linear_trend(df, "k", x_unit_us=0)
+
+
+def test_trend_single_exchange_plan(spark):
+    df = _trend_df(spark, [(1, _us(0), 1.0), (1, _us(24), 2.0)])
+    plan = (
+        group_linear_trend(df, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
