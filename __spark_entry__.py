@@ -1856,6 +1856,26 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_item_association(spark, sf_dir):
+    """Pairwise association rules (datapipe.analytics.association_rules)
+    over the same capped user->item relation as item_covisitation:
+    support / confidence / lift for every ordered co-engaged pair, all
+    three ratios round-half-up at basis points in PURE INTEGER
+    arithmetic ((2N+D) div 2D) so both engines emit bit-identical
+    doubles. Total key count attaches as a 1-row broadcast (heavy_keys
+    idiom) — no second input scan, no driver hop."""
+    from aces_spark.datapipe.analytics import association_rules
+    from aces_spark.functions.semistructured import extract_json_fields
+
+    ev = _read_events(spark, sf_dir)
+    items = extract_json_fields(ev, "props", "k BIGINT").select(
+        "user_id", F.col("k").alias("item")
+    ).filter(F.col("item").isNotNull())
+    return association_rules(
+        items, "user_id", "item", max_items_per_key=20, min_pairs=2
+    )
+
+
 def q_doc_entropy(spark, sf_dir):
     """Per-document character entropy (datapipe.text.char_entropy):
     the low-entropy / compression-ratio quality signal in exact integer
@@ -2141,6 +2161,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_items": q_ppr_items,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "value_trend": q_value_trend,
+    "item_association": q_item_association,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
@@ -2182,7 +2203,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
     "derived_and_or": q_derived_and_or,
-    "trigger_anchors": q_trigger_anchors,
     "text_quality": q_text_quality,
     "stratified_sample": q_stratified_sample,
     # --- tier 3: pinned core (flagship + 8 kernel queries) ---
@@ -2275,6 +2295,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
     "static_filter": q_static_filter,
+    # trigger_anchors joined when item_association debuted (C3 stays
+    # fresh through the pinned cohort_flagship, which exercises the
+    # same trigger-anchor path every round)
+    "trigger_anchors": q_trigger_anchors,
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4497,6 +4521,44 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # association rules over the same capped relation; support /
+    # confidence / lift are integer round-half-up at basis points:
+    # (2N + D) // (2D) on positive operands, identical to Spark's div
+    sql["item_association"] = """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM capped),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM capped GROUP BY item),
+p AS (
+  SELECT a.item AS antecedent, b.item AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item)
+SELECT p.antecedent, p.consequent, p.n_both,
+  ia.n_item AS n_antecedent, ic2.n_item AS n_consequent, tot.n_keys,
+  CAST((2 * p.n_both * 10000 + tot.n_keys) // (2 * tot.n_keys) AS DOUBLE)
+    / 10000.0 AS support,
+  CAST((2 * p.n_both * 10000 + ia.n_item) // (2 * ia.n_item) AS DOUBLE)
+    / 10000.0 AS confidence,
+  CAST((2 * p.n_both * tot.n_keys * 10000 + ia.n_item * ic2.n_item)
+       // (2 * ia.n_item * ic2.n_item) AS DOUBLE) / 10000.0 AS lift
+FROM p
+JOIN ic ia ON ia.item = p.antecedent
+JOIN ic ic2 ON ic2.item = p.consequent
+CROSS JOIN tot
+WHERE p.n_both >= 2
 """
 
     # character entropy: H = ln(n) - (1/n)·Σ c·ln(c); the c·ln(c) terms

@@ -383,6 +383,25 @@ def anomaly_zscore(
     )
 
 
+def _capped_key_items(
+    df: DataFrame, key_col: str, item_col: str, max_items_per_key: int
+) -> DataFrame:
+    """Distinct (key, item) pairs with each key's item set capped at its
+    ``max_items_per_key`` most-frequent items (count-desc / item-asc
+    deterministic rank) — the shared quadratic-blowup guard in front of
+    every per-key pair self-join (:func:`covisitation`,
+    :func:`association_rules`)."""
+    ki = df.groupBy(key_col, item_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__cnt").desc(), F.col(item_col).asc()
+    )
+    return (
+        ki.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_items_per_key)
+        .select(key_col, item_col)
+    )
+
+
 def covisitation(
     df: DataFrame,
     key_col: str = "user_id",
@@ -405,17 +424,7 @@ def covisitation(
     emit 10¹² pairs) into ≤ cap² bounded work, the standard production
     mitigation. The pair join is key-keyed (co-partitioned equi-join).
     """
-    ki = df.groupBy(key_col, item_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
-    w = Window.partitionBy(key_col).orderBy(
-        F.col("__cnt").desc(), F.col(item_col).asc()
-    )
-    capped = (
-        ki.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_items_per_key)
-        .select(key_col, item_col)
-    )
+    capped = _capped_key_items(df, key_col, item_col, max_items_per_key)
     a = capped.select(F.col(key_col), F.col(item_col).alias("item_a"))
     b = capped.select(F.col(key_col), F.col(item_col).alias("item_b"))
     pairs = (
@@ -425,3 +434,90 @@ def covisitation(
         .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     )
     return pairs.filter(F.col("n_keys") >= min_pairs)
+
+
+def association_rules(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "item",
+    max_items_per_key: int = 50,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Pairwise association rules over (key, item) interactions: for
+    every ORDERED item pair ``antecedent -> consequent`` co-engaged by
+    ``min_pairs``-plus keys, the market-basket metrics — support,
+    confidence, lift — computed exactly. The "users who touched A also
+    touched B" primitive (recommendation candidates, co-purchase
+    analysis, co-citation strength).
+
+    All three ratios are round-half-up at basis-point precision using
+    PURE INTEGER arithmetic — ``floor(N/D + 1/2) = (2N + D) div (2D)``
+    on positive integers — so every engine produces bit-identical
+    doubles (no float division anywhere before the final exact
+    ``bp / 10000`` conversion).
+
+    Output: ``(antecedent, consequent, n_both, n_antecedent,
+    n_consequent, n_keys, support, confidence, lift)``.
+
+    Scale shape: per-(key, item) dedup, then the per-key item set is
+    capped at ``max_items_per_key`` (count-desc / item-asc
+    deterministic) BEFORE the key-keyed pair self-join — same quadratic
+    guard as :func:`covisitation`; per-item key counts come from the
+    SAME capped relation (metrics stay mutually consistent), which is
+    lazily checkpointed once and feeds all three branches; the total
+    key count is a 1-row aggregate broadcast back (no second input
+    scan, no driver hop) — the :func:`heavy_keys` idiom.
+    """
+    capped = _capped_key_items(
+        df, key_col, item_col, max_items_per_key
+    ).localCheckpoint(eager=False)
+    item_counts = capped.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("__n_item")
+    )
+    total = capped.select(key_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n_keys")
+    )
+    a = capped.select(F.col(key_col), F.col(item_col).alias("antecedent"))
+    b = capped.select(F.col(key_col), F.col(item_col).alias("consequent"))
+    pairs = (
+        a.join(b, key_col)
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    out = (
+        pairs.join(
+            item_counts.select(
+                F.col(item_col).alias("antecedent"),
+                F.col("__n_item").alias("n_antecedent"),
+            ),
+            "antecedent",
+        )
+        .join(
+            item_counts.select(
+                F.col(item_col).alias("consequent"),
+                F.col("__n_item").alias("n_consequent"),
+            ),
+            "consequent",
+        )
+        .join(F.broadcast(total))
+    )
+    # round-half-up at basis points, all-integer: (2N + D) div (2D)
+    sup_bp = F.expr("(2 * n_both * 10000 + __n_keys) div (2 * __n_keys)")
+    conf_bp = F.expr("(2 * n_both * 10000 + n_antecedent) div (2 * n_antecedent)")
+    lift_bp = F.expr(
+        "(2 * n_both * __n_keys * 10000 + n_antecedent * n_consequent)"
+        " div (2 * n_antecedent * n_consequent)"
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        F.col("n_antecedent").cast("long").alias("n_antecedent"),
+        F.col("n_consequent").cast("long").alias("n_consequent"),
+        F.col("__n_keys").alias("n_keys"),
+        (sup_bp.cast("double") / 10000.0).alias("support"),
+        (conf_bp.cast("double") / 10000.0).alias("confidence"),
+        (lift_bp.cast("double") / 10000.0).alias("lift"),
+    )

@@ -219,3 +219,117 @@ def test_char_entropy_partition_invariant(spark):
     one = {tuple(r) for r in char_entropy(df.coalesce(1)).collect()}
     many = {tuple(r) for r in char_entropy(df.repartition(5)).collect()}
     assert one == many
+
+
+# --- association rules ---
+
+
+def _brute_rules(rows, cap=50, min_pairs=1):
+    """Pure-python reference of the documented integer contract."""
+    from collections import Counter
+
+    cnt = Counter(rows)  # (key, item) -> multiplicity
+    per_key: dict = {}
+    for (k, i), c in cnt.items():
+        per_key.setdefault(k, []).append((i, c))
+    capped = set()
+    for k, items in per_key.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for i, _ in items[:cap]:
+            capped.add((k, i))
+    n_keys = len({k for k, _ in capped})
+    n_item = Counter(i for _, i in capped)
+    both = Counter()
+    for k in {k for k, _ in capped}:
+        items = sorted(i for kk, i in capped if kk == k)
+        for a in items:
+            for b in items:
+                if a != b:
+                    both[(a, b)] += 1
+
+    def hup(n, d):  # round-half-up at basis points, integer-exact
+        return ((2 * n * 10000 + d) // (2 * d)) / 10000.0
+
+    out = {}
+    for (a, b), nb in both.items():
+        if nb < min_pairs:
+            continue
+        na, nc = n_item[a], n_item[b]
+        out[(a, b)] = (
+            nb, na, nc, n_keys,
+            hup(nb, n_keys), hup(nb, na), hup(nb * n_keys, na * nc),
+        )
+    return out
+
+
+def test_association_rules_match_brute_force(spark):
+    import random
+
+    from aces_spark.datapipe.analytics import association_rules
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randint(0, 9), f"i{rng.randint(0, 7)}") for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_both"], r["n_antecedent"], r["n_consequent"], r["n_keys"],
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in association_rules(df, "user_id", "item").collect()
+    }
+    assert got == _brute_rules(rows)
+
+
+def test_association_rules_cap_and_min_pairs(spark):
+    from aces_spark.datapipe.analytics import association_rules
+
+    # key 1 touches a,b,c; cap=2 keeps its two most frequent (a x2, b x1 —
+    # c loses the count-desc/item-asc tie-break against b)
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r["n_both"]
+        for r in association_rules(df, "user_id", "item", max_items_per_key=2).collect()
+    }
+    assert got == {k: v[0] for k, v in _brute_rules(rows, cap=2).items()}
+    assert ("a", "c") in got and got[("a", "c")] == 1  # key 3 only
+
+    # min_pairs prunes singles
+    got2 = {
+        (r["antecedent"], r["consequent"]): r["n_both"]
+        for r in association_rules(
+            df, "user_id", "item", max_items_per_key=2, min_pairs=2
+        ).collect()
+    }
+    assert got2 == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_association_rules_lift_direction_symmetric(spark):
+    from aces_spark.datapipe.analytics import association_rules
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x")]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "user_id", "item").collect()
+    }
+    # lift is symmetric; confidence is not
+    assert rules[("x", "y")]["lift"] == rules[("y", "x")]["lift"]
+    assert rules[("x", "y")]["confidence"] < rules[("y", "x")]["confidence"]
+
+
+def test_association_rules_plan_no_cartesian(spark):
+    from aces_spark.datapipe.analytics import association_rules
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "user_id long, item string")
+    plan = (
+        association_rules(df, "user_id", "item")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
