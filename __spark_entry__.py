@@ -1856,6 +1856,36 @@ def q_item_covisitation(spark, sf_dir):
     return covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
 
 
+def q_item_communities(spark, sf_dir):
+    """Community detection (operators.graph.label_propagation) over the
+    co-visitation item graph: synchronous LPA with smallest-label
+    tie-break — deterministic and exactly SQL-unrollable, unlike the
+    randomized textbook variant. Emits BOTH rounds' labels per node:
+    the dense co-engagement graph collapses to one community by round
+    2, so round 1's 8-way labeling is where the oracle has real
+    discriminating power (an argmax or message-pass bug shows there
+    first). The shared pair relation is lazily checkpointed — two
+    consumers, one computation (plan-hygiene rule)."""
+    from aces_spark.datapipe.analytics import covisitation
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import label_propagation
+
+    ev = _read_events(spark, sf_dir)
+    items = extract_json_fields(ev, "props", "k BIGINT").select(
+        "user_id", F.col("k").alias("item")
+    ).filter(F.col("item").isNotNull())
+    pairs = covisitation(
+        items, "user_id", "item", max_items_per_key=20, min_pairs=2
+    ).localCheckpoint(eager=False)
+    l1 = label_propagation(pairs, "item_a", "item_b", iterations=1).select(
+        "node", F.col("label").alias("label_r1")
+    )
+    l2 = label_propagation(pairs, "item_a", "item_b", iterations=2).select(
+        "node", F.col("label").alias("label_r2")
+    )
+    return l1.join(l2, "node")
+
+
 def q_item_association(spark, sf_dir):
     """Pairwise association rules (datapipe.analytics.association_rules)
     over the same capped user->item relation as item_covisitation:
@@ -2162,6 +2192,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "value_trend": q_value_trend,
     "item_association": q_item_association,
+    "item_communities": q_item_communities,
     "bloom_join_supplier": q_bloom_join_supplier,
     "incr_agg_merge": q_incr_agg_merge,
     "zorder_stats": q_zorder_stats,
@@ -2200,7 +2231,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # top-50 window this round; the 10 most-stable shapes (TPC-H mirrors +
     # single-pass text stats, all pytest-pinned) wait at positions 51-60
     # and lead tier 2 next round ---
-    "esgpt_predicates": q_esgpt_predicates,
     "predicate_value_range": q_predicate_value_range,
     "derived_and_or": q_derived_and_or,
     "text_quality": q_text_quality,
@@ -2297,8 +2327,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "static_filter": q_static_filter,
     # trigger_anchors joined when item_association debuted (C3 stays
     # fresh through the pinned cohort_flagship, which exercises the
-    # same trigger-anchor path every round)
+    # same trigger-anchor path every round); esgpt_predicates when
+    # item_communities did (S3/P6 pinned by the reference doctest
+    # golden frame in tests/test_esgpt.py)
     "trigger_anchors": q_trigger_anchors,
+    "esgpt_predicates": q_esgpt_predicates,
     "stratified_take": q_stratified_take,
     "corpus_clean": q_corpus_clean,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4522,6 +4555,52 @@ p AS (
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
 """
+
+    # LPA communities over the covisitation graph: 2 synchronous rounds
+    # unrolled; every node has >= 1 neighbor after the undirected union,
+    # so the per-round argmax (count desc, label asc) is total
+    _lpa_iter = """
+  SELECT node, label FROM (
+    SELECT m.node, m.label,
+      ROW_NUMBER() OVER (PARTITION BY m.node
+                         ORDER BY m.c DESC, m.label ASC) AS rk
+    FROM (
+      SELECT e.b AS node, l.label, COUNT(*) AS c
+      FROM e JOIN {prev} l ON l.node = e.a
+      GROUP BY e.b, l.label) m)
+  WHERE rk = 1"""
+    sql["item_communities"] = (
+        """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item),
+e0 AS (SELECT item_a AS a, item_b AS b FROM p WHERE n >= 2),
+e AS (SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)
+  WHERE a <> b),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+l1 AS ("""
+        + _lpa_iter.format(prev="l0")
+        + """),
+l2 AS ("""
+        + _lpa_iter.format(prev="l1")
+        + """)
+SELECT l1.node, l1.label AS label_r1, l2.label AS label_r2
+FROM l1 JOIN l2 ON l1.node = l2.node
+"""
+    )
 
     # association rules over the same capped relation; support /
     # confidence / lift are integer round-half-up at basis points:

@@ -24,6 +24,7 @@ from .operators.bloom import bloom_join
 from .operators.constraints import check_constraints, check_static_variables
 from .operators.graph import (
     k_core,
+    label_propagation,
     pagerank,
     pagerank_topk,
     personalized_pagerank,
@@ -80,6 +81,7 @@ __all__ = [
     "generate_plain_predicates_from_meds",
     "get_predicates_df",
     "k_core",
+    "label_propagation",
     "pagerank",
     "pagerank_topk",
     "personalized_pagerank",

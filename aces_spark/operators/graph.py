@@ -38,7 +38,7 @@ bounded hop — same pattern as the IVF probe-cell list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -356,3 +356,67 @@ def personalized_pagerank(
             .alias("rank_u"),
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection: every node
+    starts labeled with its own id; each iteration it adopts the most
+    frequent label among its neighbors (ties broken by SMALLEST label —
+    fully deterministic, unlike the randomized textbook variant, so the
+    result is reproducible across runs, engines, and cluster sizes and
+    exactly unrollable in SQL). Edges are undirected (both directions
+    unioned, self-loops dropped); isolated iterations keep a node's
+    label when it has no neighbors (cannot happen after the union but
+    guards malformed input).
+
+    Output: ``(node, label)`` — nodes sharing a label after
+    ``iterations`` rounds form the community.
+
+    Scale shape: per iteration ONE src-keyed join (labels onto edges) +
+    ONE (node, label) count aggregate + ONE per-node argmax window —
+    all hash-partitioned by node, Pregel-lite like :func:`pagerank`;
+    the labels relation is lazily checkpointed per round (lineage
+    truncation, same policy as every iterative operator here).
+    Synchronous + deterministic ties means fixed ``iterations`` give a
+    well-defined result — this is the bounded-round contract the oracle
+    can mirror (LPA's true fixpoint can oscillate; bounded rounds are
+    the production form).
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation: iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        msgs = e.join(labels, e["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        best = (
+            msgs.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(best.withColumnRenamed("label", "__new"), "node", "left")
+            .join(labels.withColumnRenamed("label", "__old"), "node", "left")
+            .select("node", F.coalesce("__new", "__old").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

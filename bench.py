@@ -77,6 +77,18 @@ def main() -> int:
     for name, fn in getattr(entry_mod, "bench_extras", dict)().items():
         to_bench[f"bench_only:{name}"] = fn
     for name, fn in to_bench.items():
+        # drop the previous query's leftover storage blocks (lazy
+        # localCheckpoints from the iterative operators live in the
+        # block manager until the async cleaner gets to them; by the
+        # ~110th query the accumulated blocks caused eviction thrash —
+        # one 3 s query read 52 s in-suite but 2.7 s isolated). Queries
+        # are independent, so unpersisting everything between them is
+        # safe and runs OUTSIDE the timed region.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
         if n_done % gc_every == 0:
             try:
                 spark.sparkContext._jvm.System.gc()

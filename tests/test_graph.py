@@ -311,3 +311,83 @@ def test_ppr_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- label propagation ---
+
+from aces_spark.operators.graph import label_propagation
+
+
+def _ref_lpa(edge_list, iterations=2):
+    """Pure-python synchronous LPA with (count desc, label asc) ties."""
+    from collections import Counter
+
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n, nbrs in adj.items():
+            c = Counter(lab[m] for m in nbrs)
+            best = sorted(c.items(), key=lambda t: (-t[1], t[0]))[0][0]
+            new[n] = best
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    es = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(60)]
+    df = spark.createDataFrame(es, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _ref_lpa(es, iterations=iters)
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    # two K4s joined by one bridge edge: after 3 rounds each clique
+    # carries its own minimum label
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    es = k4a + k4b + [(3, 10)]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(es, "src long, dst long"), iterations=3
+        ).collect()
+    }
+    assert got == _ref_lpa(es, iterations=3)
+    labs_a = {got[n] for n in range(4)}
+    labs_b = {got[n] for n in range(10, 14)}
+    assert labs_a == {0} and labs_b == {10}
+
+
+def test_lpa_validates_and_drops_self_loops(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(df, iterations=0)
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=2).collect()
+    }
+    assert got == _ref_lpa([(1, 1), (1, 2)], iterations=2)
+
+
+def test_lpa_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = (
+        label_propagation(df, iterations=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
