@@ -48,6 +48,8 @@ __all__ = [
     "time_rollup",
     "rolling_stats",
     "rolling_stats_time",
+    "group_linear_trend",
+    "time_weighted_avg",
 ]
 
 _BUCKET_US = {
@@ -699,4 +701,72 @@ def group_linear_trend(
         F.col("span").cast("long").alias("x_span"),
         (F.col("__slope_u").cast("double") / 1000000.0).alias("slope_per_unit"),
         (icept_u.cast("double") / 1000000.0).alias("intercept"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average under LOCF semantics (TimescaleDB's
+    ``time_weight('locf')`` / kdb ``wavg`` over durations): each
+    observation holds until the next one, so the average is
+    ``sum(v_i * dt_i) / span`` over ``[t_first, t_last]`` — the correct
+    mean for irregularly sampled gauges, where the row-mean over-weights
+    bursts of dense sampling.
+
+    Integer-exact (engine-portable): values in micro-units
+    (``floor(v*1e6 + 0.5)``), hold durations in whole SECONDS
+    (truncating integer division of the μs gap — same truncation in
+    every engine, documented second-grain integration), one BIGINT sum
+    per key, final ``sum div span`` on non-negative span. Magnitude
+    envelope: ``|v|_micro x span_seconds`` per key must stay below 2^63
+    (~9.2e18 — e.g. |v| <= 10^6 held over ~300 years); re-base or
+    pre-aggregate wider keys. A single-observation key (span 0) returns
+    its own value, matching the reference semantics.
+
+    Output: ``(key, n_points, span_secs, twa)``.
+
+    Scale shape: ONE key exchange shared by the lead() window and the
+    final aggregate; O(1) window state (lead 1) and O(1) aggregate
+    state per key. Null ts/value rows are excluded before pairing so
+    LOCF holds across them rather than poisoning a duration.
+    """
+    rows = df.select(
+        F.col(on).alias("__k"),
+        epoch_micros(ts_col).alias("__us"),
+        F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("__y"),
+        F.col(order_col).alias("__o"),
+    ).filter(F.col("__us").isNotNull() & F.col("__y").isNotNull())
+    w = Window.partitionBy("__k").orderBy(F.col("__us").asc(), F.col("__o").asc())
+    paired = rows.select(
+        "__k",
+        "__y",
+        ((F.coalesce(F.lead("__us").over(w), F.col("__us")) - F.col("__us")))
+        .alias("__dt_us"),
+    ).withColumn("__dt_s", F.expr("__dt_us div 1000000"))
+    agg = paired.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.expr("__y * __dt_s")).alias("__wsum"),
+        F.sum("__dt_s").alias("span_secs"),
+    )
+    # span 0 (single observation, or all gaps under a second): fall back
+    # to the key's FIRST value by (ts, order) — recompute deterministically
+    firsts = rows.withColumn(
+        "__rk", F.row_number().over(w)
+    ).filter(F.col("__rk") == 1).select("__k", F.col("__y").alias("__first_y"))
+    out = agg.join(firsts, "__k")
+    twa_u = F.when(
+        F.col("span_secs") > 0, F.expr("__wsum div span_secs")
+    ).otherwise(F.col("__first_y"))
+    return out.select(
+        F.col("__k").alias(on),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("span_secs").cast("long").alias("span_secs"),
+        (twa_u.cast("double") / 1000000.0).alias("twa"),
     )
