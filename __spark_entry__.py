@@ -2129,16 +2129,21 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 
 def q_bpe_merges(spark, sf_dir):
-    """BPE tokenizer induction (datapipe.bpe.bpe_train): 8 merge rules
+    """BPE tokenizer induction (datapipe.bpe.bpe_train): 3 merge rules
     learned from documents — iterative by nature (each merge reshapes the
-    pair statistics), so there is NO single-query SQL mirror; the driver
-    records a rows-only check and correctness is pinned by the
-    pure-Python-reference differential in tests/test_bpe.py. The corpus
-    is read once; iterations run on the cached Zipf-small vocab table."""
+    pair statistics), oracled by unrolling the 3 fixed iterations as CTE
+    rounds (the pagerank/LPA technique): each round is a pair-count
+    aggregate + (count desc, left, right) argmax + a greedy left-to-right
+    merge rewrite via replace() over a {sym}{sym} wrapped-symbol string
+    (wrap markers make cross-symbol-boundary matches impossible; replace's
+    non-overlapping left-to-right scan IS the greedy fold). Also pinned by
+    the pure-Python-reference differential in tests/test_bpe.py. The
+    corpus is read once; iterations run on the cached Zipf-small vocab
+    table."""
     from aces_spark.datapipe.bpe import bpe_train
 
     docs = _read_table(spark, sf_dir, "documents").select("text")
-    merges = bpe_train(docs, n_merges=8)
+    merges = bpe_train(docs, n_merges=3)
     lefts = [m[0] for m in merges]
     rights = [m[1] for m in merges]
     counts = [int(m[2]) for m in merges]
@@ -4952,9 +4957,7 @@ ORDER BY rank_u DESC, node ASC LIMIT 20
 
     # BPE first-iteration pair counts: word-frequency table (one corpus
     # pass), symbols = characters + '</w>', adjacent pairs weighted by
-    # word count, merge-selection order. bpe_merges itself (the
-    # iterative loop) has NO SQL mirror by design — rows-only + the
-    # python-reference differential in tests/test_bpe.py.
+    # word count, merge-selection order.
     sql["bpe_pair_counts"] = f"""
 WITH words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
@@ -4973,6 +4976,52 @@ agg AS (
 SELECT "left", "right", pair_count
 FROM agg ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20
 """
+
+    # bpe_merges: the 3 fixed bpe_train iterations UNROLLED as CTE rounds
+    # (the pagerank/LPA technique). Vocab state is a wrapped-symbol string
+    # '{c}{h}{...}{</w>}' per word; each round = adjacent-pair aggregate
+    # over regexp-extracted symbols + (count desc, left, right) argmax +
+    # replace('{l}{r}' -> '{lr}'). The wrap markers ({ } never appear in
+    # the [a-z0-9]+ / '</w>' symbol alphabet) make cross-boundary matches
+    # impossible, and replace()'s single-pass non-overlapping left-to-
+    # right scan is exactly bpe's greedy merge fold — validated
+    # bit-identical vs bpe_train at sf0.001 and sf0.01.
+    _bpe_parts = [
+        f"""WITH v0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         regexp_replace(word, '(.)', '{{\\1}}', 'g') || '{{</w>}}' AS s
+  FROM (SELECT UNNEST({_DOC_TOKENS_SQL}) AS word
+        FROM documents WHERE length({_DOC_NORM_SQL}) > 0)
+  GROUP BY word)"""
+    ]
+    for _i in range(1, 4):
+        _bpe_parts.append(
+            f"""pc{_i} AS (
+  SELECT p[1] AS lft, p[2] AS rgt, CAST(SUM(n) AS BIGINT) AS c
+  FROM (
+    SELECT n, UNNEST(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p
+    FROM (SELECT n, regexp_extract_all(s, '[^{{}}]+') AS syms FROM v{_i-1})
+    WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+m{_i} AS (SELECT lft, rgt, c FROM pc{_i} WHERE c >= 2
+         ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+v{_i} AS (
+  SELECT n, replace(s,
+    '{{' || (SELECT lft FROM m{_i}) || '}}{{' || (SELECT rgt FROM m{_i}) || '}}',
+    '{{' || (SELECT lft FROM m{_i}) || (SELECT rgt FROM m{_i}) || '}}') AS s
+  FROM v{_i-1})"""
+        )
+    _bpe_unions = "\nUNION ALL ".join(
+        f'SELECT {_i - 1} AS rank, lft AS "left", rgt AS "right", c AS pair_count'
+        f" FROM m{_i}"
+        for _i in range(1, 4)
+    )
+    sql["bpe_merges"] = (
+        ",\n".join(_bpe_parts)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
+FROM ({_bpe_unions}) ORDER BY rank"""
+    )
 
     # mergeable HLL register table: same hash/register/rank derivation
     # as hll_distinct, present registers only

@@ -25,11 +25,9 @@ PINNED = {
 }
 
 # Queries whose semantics are not SQL-expressible get a rows-only check by
-# design; every other query must carry a DuckDB oracle. bpe_merges is
-# iterative (each merge reshapes the pair statistics) — its correctness
-# is pinned by the pure-Python-reference differential in tests/test_bpe.py
-# and the oracled bpe_pair_counts covers the per-iteration aggregate.
-ROWS_ONLY_ALLOWED = {"multimodal_features", "multimodal_frame_plan", "bpe_merges"}
+# design; every other query must carry a DuckDB oracle. (bpe_merges left
+# this set in r6: its 3 fixed iterations are unrolled as CTE rounds.)
+ROWS_ONLY_ALLOWED = {"multimodal_features", "multimodal_frame_plan"}
 
 
 def test_every_oracle_key_has_a_query():
