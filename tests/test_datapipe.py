@@ -725,28 +725,115 @@ def test_outlier_filter_trims_band(spark):
     assert all(b["lo_bound"] <= v <= b["hi_bound"] for v in vals)
 
 
-def test_multimodal_resize(spark):
-    from aces_spark.datapipe.multimodal import resize_images
+def _checker_ppm(w: int, h: int) -> bytes:
+    """Deterministic little test image: R ramps with x, G with y, B checker."""
+    import numpy as np
 
+    from aces_spark.datapipe.multimodal import encode_rgb
+
+    x = np.arange(w)[np.newaxis, :]
+    y = np.arange(h)[:, np.newaxis]
+    img = np.stack(
+        [
+            np.broadcast_to((x * 255) // max(w - 1, 1), (h, w)),
+            np.broadcast_to((y * 255) // max(h - 1, 1), (h, w)),
+            ((x + y) % 2) * 255,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_rgb(img)
+
+
+def test_ppm_codec_roundtrip_and_grammar():
+    import numpy as np
+    import pytest
+
+    from aces_spark.datapipe.multimodal import (
+        DecodeNotAvailable,
+        decode_rgb,
+        encode_rgb,
+    )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_rgb(encode_rgb(img)), img)
+    # full Netpbm header grammar: comments + arbitrary whitespace
+    raster = img.tobytes()
+    fancy = b"P6 # comment\n# another\n 3\t2 # dims\n255\n" + raster
+    assert np.array_equal(decode_rgb(fancy), img)
+    # unsupported codec vs corrupt raster are DIFFERENT errors
+    with pytest.raises(DecodeNotAvailable):
+        decode_rgb(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_rgb(b"P6\n3 2\n255\n" + raster[:-1])
+    with pytest.raises(DecodeNotAvailable):
+        decode_rgb(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_bilinear_resize_pixel_exact():
+    """Known 4x4 -> 2x2 case: with half-pixel centers at exactly 2x
+    downscale, every output pixel is the round-half-up mean of its 2x2
+    source block."""
+    import numpy as np
+
+    from aces_spark.datapipe.multimodal import bilinear_resize
+
+    gray = np.array(
+        [[0, 10, 20, 30], [40, 50, 60, 70], [80, 90, 100, 110], [120, 130, 140, 255]],
+        dtype=np.uint8,
+    )
+    img = np.stack([gray, gray, gray], axis=2)
+    out = bilinear_resize(img, 2, 2)
+    expect = np.array([[25, 45], [105, 151]], dtype=np.uint8)  # (100+110+140+255)/4 = 151.25 -> 151
+    assert np.array_equal(out[:, :, 0], expect)
+    assert np.array_equal(out[:, :, 1], expect) and np.array_equal(out[:, :, 2], expect)
+    # upscale identity: 1x1 -> NxN is constant
+    one = np.full((1, 1, 3), 7, dtype=np.uint8)
+    assert (bilinear_resize(one, 5, 3) == 7).all()
+
+
+def test_multimodal_resize(spark):
+    import numpy as np
+
+    from aces_spark.datapipe.multimodal import bilinear_resize, decode_rgb, resize_images
+
+    ppm = _checker_ppm(8, 6)
     media = spark.createDataFrame(
         [
-            (1, bytearray(b"imagebytes-one"), "image", (640, 480, None, "png")),
-            (2, bytearray(b"imagebytes-two"), "image", (100, 100, None, "jpg")),
+            (1, bytearray(ppm), "image", (8, 6, None, "ppm")),
+            (2, bytearray(b"\xff\xd8\xff\xe0-not-a-ppm"), "image", (100, 100, None, "jpg")),
             (3, None, "image", (None, None, None, None)),
         ],
         "media_id long, payload binary, media_type string, "
         "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
     )
-    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
-    assert out[1]["width"] == 224 and out[1]["height"] == 224
-    assert out[1]["n_bytes_out"] > 0 and out[1]["resized"] is not None
+    out = {r["media_id"]: r for r in resize_images(media, 4, 3).collect()}
+    assert out[1]["width"] == 4 and out[1]["height"] == 3
+    # pixel-exact: the distributed path == the local numpy path
+    local = bilinear_resize(decode_rgb(ppm), 4, 3)
+    assert np.array_equal(decode_rgb(bytes(out[1]["resized"])), local)
+    # undecodable codec -> null output, never a stage failure
+    assert out[2]["resized"] is None and out[2]["n_bytes_out"] == 0
     assert out[3]["resized"] is None and out[3]["n_bytes_out"] == 0
-    # deterministic: same payload -> same resized bytes across runs
-    again = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
-    assert bytes(out[1]["resized"]) == bytes(again[1]["resized"])
     # narrow plan: mapInPandas stage, no shuffle
     plan = resize_images(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_features_real_image_path(spark):
+    from aces_spark.datapipe.multimodal import extract_features
+
+    ppm = _checker_ppm(4, 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), "image"), (2, bytearray(b"plain text"), "text")],
+        "media_id long, payload binary, media_type string",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    # decodable image: real statistics (w, h, meanR, meanG, meanB, ...)
+    f = feats[1]["feature"]
+    assert len(f) == 8 and f[0] == 4.0 and f[1] == 4.0
+    assert 0.0 <= f[2] <= 255.0 and f[7] >= f[6]  # means in range, max >= min luma
+    # non-decodable: byte-profile fallback, same arity
+    assert len(feats[2]["feature"]) == 8
 
 
 def test_lsh_cosine_topk_recall_and_shape(spark):
