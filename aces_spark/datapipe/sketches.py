@@ -120,9 +120,15 @@ def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_present"),
         # 2^(CAP - rank) as a long: pow() of an integer exponent <= 40 is
         # IEEE-exact, and shiftleft() only takes a literal shift amount
-        F.sum(
-            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
-            .cast("long")
+        # coalesce: SUM over zero register rows is NULL, which would
+        # poison the estimate on an empty/all-null input — the correct
+        # empty-sketch answer is 0 present sum (=> linear counting => 0.0)
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+                .cast("long")
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("__s_present"),
@@ -183,9 +189,15 @@ def hll_merge(*register_tables: DataFrame, p: int = 9) -> DataFrame:
     regs = merged.groupBy("register").agg(F.max("max_rank").alias("__m"))
     agg = regs.agg(
         F.count(F.lit(1)).cast("long").alias("n_present"),
-        F.sum(
-            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
-            .cast("long")
+        # coalesce: SUM over zero register rows is NULL, which would
+        # poison the estimate on an empty/all-null input — the correct
+        # empty-sketch answer is 0 present sum (=> linear counting => 0.0)
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+                .cast("long")
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("__s_present"),
@@ -227,7 +239,15 @@ def cms_registers(
     if depth < 1 or width < 2:
         raise ValueError("cms_registers: need depth >= 1 and width >= 2")
     d = df.filter(F.col(col).isNotNull())
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # round-half-up, not cast('long'): a truncating cast maps weight 0.9
+    # to 0, silently breaking the no-undercount guarantee for fractional
+    # weight columns; sketch counts are integral, so snap per row (pre-
+    # scale to micro-units yourself if sub-integral precision matters)
+    w = (
+        F.floor(F.col(weight_col).cast("double") + F.lit(0.5)).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("sketch_row")
     seeded = F.concat(
         F.col("sketch_row").cast("string"), F.lit(":"), F.col(col).cast("string")
@@ -410,9 +430,15 @@ def hll_distinct_by(
     )
     agg = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_present"),
-        F.sum(
-            F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
-            .cast("long")
+        # coalesce: SUM over zero register rows is NULL, which would
+        # poison the estimate on an empty/all-null input — the correct
+        # empty-sketch answer is 0 present sum (=> linear counting => 0.0)
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(_RANK_CAP) - F.col("__m")).cast("double"))
+                .cast("long")
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("__s_present"),

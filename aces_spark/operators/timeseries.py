@@ -761,9 +761,13 @@ def time_weighted_avg(
         "__rk", F.row_number().over(w)
     ).filter(F.col("__rk") == 1).select("__k", F.col("__y").alias("__first_y"))
     out = agg.join(firsts, "__k")
-    twa_u = F.when(
-        F.col("span_secs") > 0, F.expr("__wsum div span_secs")
-    ).otherwise(F.col("__first_y"))
+    # sign-decompose the integer division (like group_linear_trend):
+    # Spark's `div` truncates toward zero while flooring engines round
+    # toward -inf, so a negative __wsum would diverge by 1 micro-unit
+    ratio_u = F.when(
+        F.col("__wsum") >= 0, F.expr("__wsum div span_secs")
+    ).otherwise(-F.expr("(-__wsum) div span_secs"))
+    twa_u = F.when(F.col("span_secs") > 0, ratio_u).otherwise(F.col("__first_y"))
     return out.select(
         F.col("__k").alias(on),
         F.col("n_points").cast("long").alias("n_points"),

@@ -23,6 +23,48 @@ from ..functions.timecol import as_timestamp
 from ..types import PRED_CNT_TYPE
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any scheme the session can reach — existence
+    checks and renames must go through Hadoop's FS, not os.path, so the
+    maintained-table helpers below work on HDFS/S3A exactly as on file:."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _table_exists(spark, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _promote(spark, tmp_path: str, dst_path: str) -> None:
+    """Swap a fully-written ``tmp_path`` table into ``dst_path``: delete
+    dst, rename tmp → dst. Each step is a single FS metadata operation; a
+    crash between them leaves the COMPLETE new table at tmp with dst
+    absent, which :func:`_recover_promotion` finishes on the next batch.
+    (Rename also makes the swap one write instead of the write-then-
+    rewrite double-copy.)"""
+    fs, dst = _hadoop_fs(spark, dst_path)
+    _, tmp = _hadoop_fs(spark, tmp_path)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"promotion rename {tmp_path} -> {dst_path} failed")
+
+
+def _recover_promotion(spark, dst_path: str) -> None:
+    """If a previous :func:`_promote` died between delete and rename, the
+    finished table sits at ``dst__next`` while dst is gone — complete the
+    rename before reading, so at-least-once replay merges against the
+    newest complete state instead of nothing."""
+    tmp_path = dst_path.rstrip("/") + "__next"
+    fs, dst = _hadoop_fs(spark, dst_path)
+    _, tmp = _hadoop_fs(spark, tmp_path)
+    if not fs.exists(dst) and fs.exists(tmp):
+        if not fs.rename(tmp, dst):
+            raise IOError(f"recovery rename {tmp_path} -> {dst_path} failed")
+
+
 def evaluate_predicates_stream(
     events: DataFrame,
     predicates: dict,
@@ -316,9 +358,15 @@ def apply_cdc_stream(
 ):
     """Continuously apply a CDC change stream to an SCD2 history table:
     each micro-batch runs :func:`datapipe.cdc.scd2_merge` against the
-    CURRENT on-disk history and atomically swaps the result in
-    (write-new + overwrite — the lakehouse MERGE loop, expressed with
-    the engine's own join-free merge instead of a table-format API).
+    CURRENT on-disk history and swaps the result in via write-tmp +
+    delete + rename (the lakehouse MERGE loop, expressed with the
+    engine's own join-free merge instead of a table-format API). Each
+    swap step is one FS metadata op; the only crash window leaves the
+    complete new table at ``__next`` with the destination absent, and
+    the next batch (or any caller running the same recovery) finishes
+    the rename before reading — no state is ever half-deleted. An
+    absent history bootstraps from the first batch (every change is an
+    insert against an empty history).
 
     ``foreachBatch`` is the right primitive here: the merge needs the
     whole existing history as a batch side, which no stateful streaming
@@ -343,7 +391,23 @@ def apply_cdc_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        history = spark.read.parquet(history_path)
+        _recover_promotion(spark, history_path)
+        if _table_exists(spark, history_path):
+            history = spark.read.parquet(history_path)
+        else:
+            # first batch: empty history shaped from the batch itself
+            # (payload = batch columns minus the CDC bookkeeping ones)
+            payload = [
+                c
+                for c in batch_df.columns
+                if c not in (key_col, effective_col) and c != change_order
+            ]
+            history = batch_df.select(
+                key_col,
+                *payload,
+                F.col(effective_col).alias("valid_from"),
+                F.col(effective_col).alias("valid_to"),
+            ).limit(0)
         merged = scd2_merge(
             history,
             batch_df,
@@ -351,11 +415,11 @@ def apply_cdc_stream(
             effective_col=effective_col,
             change_order=change_order,
         )
-        # materialize BEFORE overwriting the input path (the merge reads
-        # the same files the write would truncate), then swap
+        # materialize to __next BEFORE touching the input path (the merge
+        # reads the same files the swap will delete), then promote
         tmp = f"{history_path.rstrip('/')}__next"
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(history_path)
+        _promote(spark, tmp, history_path)
 
     writer = changes_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -400,14 +464,19 @@ def maintain_stats_stream(
         if not batch_df.take(1):
             return
         part = partial_stats(batch_df, keys, value_col)
-        try:
+        _recover_promotion(spark, state_path)
+        # gate the fallback on EXISTENCE, not on "the read threw": a
+        # transient IO error or corrupt state treated as "first batch"
+        # would silently replace all accumulated state with one batch's
+        # partials — those must fail the batch loudly instead
+        if _table_exists(spark, state_path):
             state = spark.read.parquet(state_path)
             merged = merge_partials([state, part])
-        except Exception:
+        else:
             merged = part  # first batch: no state yet
         tmp = f"{state_path.rstrip('/')}__next"
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        _promote(spark, tmp, state_path)
 
     writer = values_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -193,3 +193,28 @@ def test_hll_by_key_validates(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError):
         hll_distinct_by(df, "k", "v", p=3)
+
+
+def test_cms_fractional_weights_round_half_up(spark):
+    """A truncating cast would map 0.9 -> 0 (silent undercount); weights
+    snap per-row with round-half-up instead."""
+    df = spark.createDataFrame(
+        [("a", 0.9), ("a", 1.4), ("b", 2.5)], "k string, w double"
+    )
+    regs = cms_registers(df, "k", weight_col="w")
+    est = {r["k"]: r["est_count"] for r in cms_lookup(regs, df, "k").collect()}
+    assert est == {"a": 2, "b": 3}  # 1 + 1, and 2.5 -> 3
+
+
+def test_hll_empty_and_all_null_inputs_estimate_zero(spark):
+    from aces_spark.datapipe.sketches import hll_distinct, hll_merge, hll_registers
+
+    empty = spark.createDataFrame([], "k string")
+    row = hll_distinct(empty, "k").collect()[0]
+    assert row["estimate"] == 0.0 and row["n_empty_registers"] == row["m"]
+
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    assert hll_distinct(nulls, "k").collect()[0]["estimate"] == 0.0
+
+    regs = hll_registers(empty, "k", p=9)
+    assert hll_merge(regs, p=9).collect()[0]["estimate"] == 0.0

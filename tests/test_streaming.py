@@ -347,3 +347,82 @@ def test_maintain_stats_stream_equals_batch_aggregate(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_apply_cdc_stream_bootstraps_absent_history(spark, tmp_path):
+    """First batch against a non-existent history path must create it
+    (every change is an insert), not crash on the read."""
+    import datetime as _dt
+
+    from aces_spark.streaming.pipeline import apply_cdc_stream
+
+    def ts(s):
+        return _dt.datetime.fromisoformat(s)
+
+    chg_schema = "id long, name string, effective_from timestamp"
+    chg_dir = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(1, "a", ts("2024-01-01")), (1, "a2", ts("2024-02-01")), (2, "b", ts("2024-01-15"))],
+        chg_schema,
+    ).write.parquet(chg_dir)
+
+    hist_path = str(tmp_path / "history")  # never written
+    stream = spark.readStream.schema(chg_schema).parquet(chg_dir)
+    q = apply_cdc_stream(
+        stream, hist_path, "id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["name"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(hist_path).collect()
+    )
+    assert got == [
+        (1, "a", ts("2024-01-01"), ts("2024-02-01")),
+        (1, "a2", ts("2024-02-01"), None),
+        (2, "b", ts("2024-01-15"), None),
+    ]
+
+
+def test_promotion_recovery_after_partial_swap(spark, tmp_path):
+    """Crash window simulation: destination deleted, complete new table
+    left at __next — recovery completes the rename; and a CORRUPT state
+    read fails loudly instead of silently restarting from one batch."""
+    import shutil
+
+    import pytest
+
+    from aces_spark.streaming.pipeline import (
+        _recover_promotion,
+        _table_exists,
+        maintain_stats_stream,
+    )
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([("a", 1)], "k string, n long").write.parquet(state + "__next")
+    assert not _table_exists(spark, state)
+    _recover_promotion(spark, state)
+    assert _table_exists(spark, state)
+    assert not _table_exists(spark, state + "__next")
+    assert spark.read.parquet(state).collect()[0]["k"] == "a"
+
+    # corrupt (non-parquet) state: batch must raise, not treat as first batch
+    bad_state = tmp_path / "bad_state"
+    bad_state.mkdir()
+    (bad_state / "part-00000.parquet").write_bytes(b"this is not parquet")
+    src_dir = str(tmp_path / "vals")
+    spark.createDataFrame([("a", 1.0)], "k string, v double").write.parquet(src_dir)
+    stream = spark.readStream.schema("k string, v double").parquet(src_dir)
+    q = maintain_stats_stream(
+        stream, str(bad_state), ["k"], "v",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    # the corrupt state dir was NOT replaced by the batch's partials
+    names = [p.name for p in bad_state.iterdir()]
+    assert "part-00000.parquet" in names
+    shutil.rmtree(str(bad_state), ignore_errors=True)
