@@ -1745,6 +1745,19 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Per-user LOCF time-weighted average (operators/timeseries
+    .time_weighted_avg — TimescaleDB's time_weight('locf')): each value
+    holds until the next observation, avg = sum(v·dt)/span. Integer-
+    exact micro-unit values, whole-second durations, sign-decomposed
+    final division — ONE key exchange shared by the lead() window and
+    the aggregate."""
+    from aces_spark.operators.timeseries import time_weighted_avg
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    return time_weighted_avg(ev, "user_id")
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM quality scoring (datapipe.lm): train add-one-smoothed
     bigram counts on the even-doc_id half of documents, score the odd
@@ -2196,6 +2209,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_items": q_ppr_items,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "value_trend": q_value_trend,
+    "time_weighted_avg": q_time_weighted_avg,
     "item_association": q_item_association,
     "item_communities": q_item_communities,
     "bloom_join_supplier": q_bloom_join_supplier,
@@ -4483,6 +4497,33 @@ SELECT user_id, n AS n_points, CAST(span AS BIGINT) AS x_span,
             ELSE -((COALESCE(slope_u, 0)*sx - sy) // n) END AS DOUBLE)
     / 1000000.0 AS intercept
 FROM s
+"""
+
+    # time-weighted average: same micro-unit / whole-second / sign-
+    # decomposed integer recipe as value_trend; last point holds for 0s,
+    # span-0 keys fall back to their first value by (ts, event_id)
+    sql["time_weighted_avg"] = """
+WITH rows_ AS (
+  SELECT user_id AS k, epoch_us(ts) AS us,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y,
+         event_id AS o
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+paired AS (
+  SELECT k, y,
+    (COALESCE(lead(us) OVER w, us) - us) // 1000000 AS dt_s,
+    row_number() OVER w AS rk
+  FROM rows_ WINDOW w AS (PARTITION BY k ORDER BY us ASC, o ASC)),
+agg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+         SUM(y * dt_s) AS wsum, CAST(SUM(dt_s) AS BIGINT) AS span_secs
+  FROM paired GROUP BY k),
+firsts AS (SELECT k, y AS first_y FROM paired WHERE rk = 1)
+SELECT a.k AS user_id, a.n_points, a.span_secs,
+  CAST(CASE WHEN a.span_secs > 0 THEN
+         CASE WHEN a.wsum >= 0 THEN a.wsum // a.span_secs
+              ELSE -((-a.wsum) // a.span_secs) END
+       ELSE f.first_y END AS DOUBLE) / 1000000.0 AS twa
+FROM agg a JOIN firsts f ON a.k = f.k
 """
 
     # per-user z-scores: DECIMAL(18,6) moments (the square stays inside

@@ -664,3 +664,72 @@ def test_trend_single_exchange_plan(spark):
     )
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# --- time_weighted_avg ---
+
+from aces_spark.operators.timeseries import time_weighted_avg
+
+
+def test_twa_locf_hand_computed(spark):
+    """LOCF integration: each value holds until the next observation;
+    twa = sum(v_i * dt_i) / span over [t_first, t_last]."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    rows = [
+        # key 1: v=2 holds 10s, v=4 holds 30s -> (20 + 120) / 40 = 3.5
+        (1, at(0), 2.0, 1),
+        (1, at(10), 4.0, 2),
+        (1, at(40), 9.0, 3),  # last point: zero duration
+        # key 2: single observation -> its own value, span 0
+        (2, at(5), 42.5, 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double, event_id long")
+    got = {r["k"]: r for r in time_weighted_avg(df, "k").collect()}
+    assert got[1]["twa"] == 3.5 and got[1]["span_secs"] == 40 and got[1]["n_points"] == 3
+    assert got[2]["twa"] == 42.5 and got[2]["span_secs"] == 0 and got[2]["n_points"] == 1
+
+
+def test_twa_negative_sum_sign_decomposed(spark):
+    """Negative weighted sum not divisible by span: Spark's truncating
+    div must be sign-decomposed so a flooring oracle engine agrees.
+    wsum = -1*5 + 0.3*2 = -4.4 over span 7 -> micro-units
+    -4400000 div 7 = -628571 (toward zero), twa = -0.628571."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [(1, at(0), -1.0, 1), (1, at(5), 0.3, 2), (1, at(7), 9.0, 3)],
+        "k long, ts timestamp, value double, event_id long",
+    )
+    got = time_weighted_avg(df, "k").collect()[0]
+    assert got["twa"] == -0.628571
+
+
+def test_twa_null_rows_excluded_and_single_exchange(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1.0, 1),
+            (1, None, 100.0, 2),  # null ts: excluded, must not poison a duration
+            (1, t0 + _dt.timedelta(seconds=10), None, 3),  # null value: excluded
+            (1, t0 + _dt.timedelta(seconds=20), 3.0, 4),
+        ],
+        "k long, ts timestamp, value double, event_id long",
+    )
+    got = time_weighted_avg(df, "k").collect()[0]
+    # v=1 holds the whole 20s span -> twa 1.0
+    assert got["twa"] == 1.0 and got["n_points"] == 2
+    plan = time_weighted_avg(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # key window + key agg reuse
