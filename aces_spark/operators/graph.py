@@ -29,11 +29,19 @@ Scale shape (100 TB): each iteration is one hash join of the rank table
 (|V| rows) against the edge list keyed by ``src``, then one hash
 aggregate keyed by ``dst`` — the standard Pregel message-pass as two
 exchanges over the edge list. Pre-partitioning the edges by ``src``
-(bucketed sink) makes the join side co-located so only the message
-aggregate shuffles. Lineage is truncated with ``localCheckpoint`` each
-iteration so plan depth stays O(1) regardless of iteration count. The
-only driver-side value is the node count (one scalar, the sanctioned
-bounded hop — same pattern as the IVF probe-cell list).
+(bucketed sink, ``repartition(n, src)`` before ``bucketBy`` so each
+bucket is ONE file) eliminates the whole edge-side build shuffle —
+``tools/graph_probe.py`` measures 27 → 7 Exchanges in the 3-iteration
+lineage at 5M edges. That is a network-volume win, priced accordingly:
+on single-node local[32], where an exchange is a memory copy, the
+bucketed variant's frozen 32-task layout forfeits AQE runtime
+re-planning and runs ~2x slower in wall time (min-of-3 interleaved:
+6.6 s plain vs 13-16 s bucketed) — bucket the edge sink on clusters
+where shuffle bytes cross a network, not on one box. Lineage is
+truncated with ``localCheckpoint`` each iteration so plan depth stays
+O(1) regardless of iteration count. The only driver-side value is the
+node count (one scalar, the sanctioned bounded hop — same pattern as
+the IVF probe-cell list).
 """
 
 from __future__ import annotations

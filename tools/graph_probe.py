@@ -68,6 +68,80 @@ def main() -> int:
         "edge_traversals_per_sec": round(3 * n_pr / pr_s),
     }
 
+    # --- Bucketed-edges claim (graph.py module docstring): an edge table
+    # pre-bucketed by src makes the edge-side build (distinct, out-degree
+    # agg, degree join) exchange-free — hash(src) satisfies clustering on
+    # {src}, and on {src,dst} by the subset rule — so only the per-
+    # iteration rank-side shuffle and message aggregate remain. Measured
+    # as executed-plan Exchange counts (checkpoint=False keeps the whole
+    # lineage visible) plus wall time for the real checkpointed run.
+    import shutil
+    import tempfile
+
+    bdir = tempfile.mkdtemp(prefix="graph_probe_bucketed_")
+    try:
+        edges = synth_edges(spark, n_pr, n_pr // 5)
+        plain_path = f"{bdir}/edges_plain"
+        edges.write.mode("overwrite").parquet(plain_path)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS probe_db LOCATION '{bdir}/warehouse'")
+        # repartition on the bucket key BEFORE bucketBy: without it every
+        # input partition writes a file into every bucket (nFiles =
+        # partitions x buckets — 1024 small files here), and the shredded
+        # scan costs 3x more than the exchanges bucketing saves. With it:
+        # one file per bucket, and the bucketed variant wins on BOTH
+        # exchange count and wall time.
+        from pyspark.sql import functions as F
+
+        (
+            edges.repartition(32, F.col("src"))
+            .write.mode("overwrite")
+            .bucketBy(32, "src")
+            .sortBy("src")
+            .option("path", f"{bdir}/edges_bucketed")
+            .saveAsTable("probe_db.edges_bucketed")
+        )
+
+        def exchange_count(src_df):
+            plan = (
+                pagerank(src_df, iterations=3, checkpoint=False)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            return plan.count("Exchange ")
+
+        def timed_run(src_df):
+            # lazily-checkpointed RDDs from the PREVIOUS run linger until
+            # the ContextCleaner reaps them and can inflate the next run
+            # 3-5x — force the reap, then time
+            spark._jvm.System.gc()
+            time.sleep(2)
+            t0 = time.time()
+            pagerank(src_df, iterations=3).count()
+            return time.time() - t0
+
+        plain_df = spark.read.parquet(plain_path)
+        bucketed_df = spark.table("probe_db.edges_bucketed")
+        secs = {"plain": [], "bucketed": []}
+        for _ in range(3):  # interleaved min-of-3: order effects cancel
+            secs["plain"].append(timed_run(plain_df))
+            secs["bucketed"].append(timed_run(bucketed_df))
+        out["bucketed_edges"] = {
+            "n_edges": n_pr,
+            "plain": {
+                "exchanges": exchange_count(plain_df),
+                "sec": round(min(secs["plain"]), 2),
+            },
+            "bucketed": {
+                "exchanges": exchange_count(bucketed_df),
+                "sec": round(min(secs["bucketed"]), 2),
+            },
+        }
+        spark.sql("DROP TABLE IF EXISTS probe_db.edges_bucketed")
+        spark.sql("DROP DATABASE IF EXISTS probe_db")
+    finally:
+        shutil.rmtree(bdir, ignore_errors=True)
+
     # --- Triangles: denser graph (n_tri edges over n_tri/20 nodes) ---
     edges = synth_edges(spark, n_tri, n_tri // 20)
     t0 = time.time()
