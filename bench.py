@@ -20,6 +20,36 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def peak_rss_mib() -> dict:
+    """Peak resident memory of this Python process and its driver-JVM
+    child (VmHWM, the kernel's high-water mark) — the reference's
+    headline table is time+memory, so the bench records both."""
+    import resource
+
+    out = {"python": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)}
+    jvm = 0
+    me = str(os.getpid())
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    parts = fh.read().split()
+                if len(parts) > 3 and parts[3] == me and "java" in parts[1]:
+                    with open(f"/proc/{p}/status") as fh:
+                        for line in fh:
+                            if line.startswith("VmHWM:"):
+                                jvm = max(jvm, int(line.split()[1]) // 1024)
+                                break
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        pass
+    out["driver_jvm"] = jvm
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -95,23 +125,39 @@ def main() -> int:
             except Exception:
                 pass
         n_done += 1
-        best = None
+        samples: list[float] = []
+        failed = False
         for _ in range(runs):
             spark.catalog.clearCache()
             start = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - start
-                best = elapsed if best is None else min(best, elapsed)
+                samples.append(time.perf_counter() - start)
             except Exception as e:  # keep benching even if one query regresses
-                best = -1.0
+                failed = True
                 print(
                     f"# bench error in {name}: {type(e).__name__}: {str(e)[:200]}",
                     file=sys.stderr,
                 )
                 break
-        timings[name] = round(best, 3)
+        # heavy-tail stabilization: a best-of-2 above 2 s can still be a
+        # one-off position blip (in-suite numbers move ±3x with suite
+        # position); take a third sample and report the MEDIAN so a
+        # round-over-round delta on the tail means the code changed
+        if not failed and samples and min(samples) > 2.0:
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+                samples.sort()
+                timings[name] = round(samples[len(samples) // 2], 3)
+            except Exception:
+                timings[name] = round(min(samples), 3)
+        else:
+            timings[name] = -1.0 if failed else round(min(samples), 3)
 
     # headline total covers the correctness-gated suite only, so it stays
     # comparable round-over-round; bench_only extras are reported per-query
@@ -126,6 +172,7 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "n_queries": sum(1 for k in timings if not k.startswith("bench_only:")),
+        "peak_rss_mib": peak_rss_mib(),
     }
     # The driver records only the LAST ~2000 characters of stdout, so the
     # final printed line must be a COMPLETE JSON object inside that window.

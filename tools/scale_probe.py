@@ -143,6 +143,9 @@ def main() -> int:
                 "event_bound_mrows_range": [mrows(e1_hi), mrows(e1_lo)],
                 "full_query_mrows_range": [mrows(full_hi), mrows(full_lo)],
                 "baseline_mrows_per_sec": "0.22-0.44 (reference, 36 cores, BASELINE.md)",
+                # BASELINE.md rows carry MiB; record ours too (python
+                # ru_maxrss + driver-JVM VmHWM high-water mark)
+                "peak_rss_mib": __import__("bench").peak_rss_mib(),
             }
         )
     )
