@@ -1745,6 +1745,63 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_coverage_select(spark, sf_dir):
+    """Greedy max-coverage document selection (datapipe.selection
+    .greedy_coverage_select): the 3 documents that together cover the
+    most distinct vocabulary — the submodular facility-location greedy
+    for diverse-subset curation. Iterative by nature (each pick reshapes
+    every remaining gain); oracled by unrolling the 3 fixed rounds as
+    CTE anti-join + argmax rounds (the bpe_merges technique). The corpus
+    tokenizes once into a cached (doc_id, word) relation; each round is
+    one broadcast anti-join + count aggregate + 1-row argmax."""
+    from aces_spark.datapipe.selection import greedy_coverage_select
+
+    # the synthetic corpus has ~31 vocabulary words, so the first pick
+    # covers everything and rounds 2-3 go vacuous (the r1 dedup lesson);
+    # two deterministic doc_id-derived pseudo-word families give the
+    # greedy real marginal structure to chew on at every round
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" uniq"),
+            (F.col("doc_id") % 101).cast("string"),
+            F.lit(" uniq"),
+            (F.col("doc_id") % 103).cast("string"),
+        ).alias("text"),
+    )
+    picks = greedy_coverage_select(docs, k=3)
+    ids = [int(p[0]) for p in picks]
+    gains = [int(p[1]) for p in picks]
+    # literal explode (see q_bpe_merges): the result is driver-known
+    return (
+        spark.range(1)
+        .select(
+            F.posexplode(
+                F.arrays_zip(F.lit(ids).alias("doc_id"), F.lit(gains).alias("gain"))
+            ).alias("rank", "m")
+        )
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("m.doc_id").cast("long").alias("doc_id"),
+            F.col("m.gain").cast("long").alias("gain"),
+        )
+    )
+
+
+def q_domain_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing weights (datapipe.selection
+    .temperature_mix_weights, α=0.5): per-source sampling shares
+    ∝ sqrt(n_docs) — the mT5/XLM-R small-domain rebalance. IEEE sqrt is
+    correctly rounded in every engine, micro-unit floor + integer
+    basis-point rounding make the output hash-exact; one domain
+    aggregate + an empty-frame window over |domains| rows."""
+    from aces_spark.datapipe.selection import temperature_mix_weights
+
+    docs = _read_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "source", alpha_pct=50)
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Per-user LOCF time-weighted average (operators/timeseries
     .time_weighted_avg — TimescaleDB's time_weight('locf')): each value
@@ -2210,6 +2267,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "value_trend": q_value_trend,
     "time_weighted_avg": q_time_weighted_avg,
+    "coverage_select": q_coverage_select,
+    "domain_temperature_mix": q_domain_temperature_mix,
     "item_association": q_item_association,
     "item_communities": q_item_communities,
     "bloom_join_supplier": q_bloom_join_supplier,
@@ -5063,6 +5122,61 @@ v{_i} AS (
 SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
 FROM ({_bpe_unions}) ORDER BY rank"""
     )
+
+    # coverage_select: the 3 fixed greedy max-coverage rounds UNROLLED
+    # (the bpe_merges technique): each round = anti-join of the distinct
+    # (doc_id, word) relation against covered words + count aggregate +
+    # (gain desc, doc_id asc) argmax. A doc with zero remaining words
+    # vanishes from the aggregate in both engines, so min_gain=1 needs no
+    # explicit clause.
+    _cov_round = """
+d{i} AS (SELECT * FROM dw WHERE word NOT IN (SELECT word FROM c{p})),
+g{i} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         FROM d{i} GROUP BY doc_id),
+m{i} AS (SELECT doc_id, gain FROM g{i}
+         ORDER BY gain DESC, doc_id ASC LIMIT 1),
+c{i} AS (SELECT word FROM c{p} UNION
+         SELECT DISTINCT word FROM dw
+         WHERE doc_id IN (SELECT doc_id FROM m{i}))"""
+    sql["coverage_select"] = (
+        f"""WITH docs2 AS (
+  SELECT doc_id,
+         text || ' uniq' || CAST(doc_id % 101 AS VARCHAR)
+              || ' uniq' || CAST(doc_id % 103 AS VARCHAR) AS text
+  FROM documents),
+dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS word
+    FROM docs2 WHERE length({_DOC_NORM_SQL}) > 0)),
+g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM dw GROUP BY doc_id),
+m1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+c1 AS (SELECT DISTINCT word FROM dw WHERE doc_id IN (SELECT doc_id FROM m1)),"""
+        + _cov_round.format(i=2, p=1)
+        + ","
+        + _cov_round.format(i=3, p=2)
+        + """
+SELECT CAST(rank AS INT) AS rank, doc_id, gain FROM (
+  SELECT 0 AS rank, doc_id, gain FROM m1
+  UNION ALL SELECT 1, doc_id, gain FROM m2
+  UNION ALL SELECT 2, doc_id, gain FROM m3) ORDER BY rank
+"""
+    )
+
+    # temperature mix: sqrt is IEEE-correctly-rounded in both engines;
+    # micro-unit floor + the integer (2N+D) div 2D basis-point recipe
+    sql["domain_temperature_mix"] = """
+WITH counts AS (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+w AS (SELECT domain, n_docs,
+  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+    AS weight_u
+  FROM counts)
+SELECT domain, n_docs, weight_u,
+  CAST((2 * weight_u * 10000 + SUM(weight_u) OVER ())
+       // (2 * SUM(weight_u) OVER ()) AS BIGINT) AS share_bp
+FROM w
+"""
 
     # mergeable HLL register table: same hash/register/rank derivation
     # as hll_distinct, present registers only

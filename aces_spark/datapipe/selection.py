@@ -1,0 +1,148 @@
+"""Training-data selection operators: greedy coverage-maximizing subset
+selection and temperature-scaled domain mixing.
+
+Two standard curation moves when composing an LLM training mix:
+
+* **Greedy max-coverage selection** — pick the ``k`` documents that
+  together cover the most distinct vocabulary (the classic submodular
+  facility-location/max-coverage greedy, 1-1/e optimal): the
+  diverse-subset selector for dedup-adjacent curation and eval-set
+  construction.
+* **Temperature-scaled mixing weights** — per-domain sampling weights
+  ``w_d ∝ n_d^α`` (α = 1 proportional, α = 0 uniform, in between the
+  multilingual/multi-domain "temperature" rebalance of mT5/XLM-R): the
+  document-count rebalance that upweights small domains without
+  swamping large ones.
+
+Both follow the repo's engine-portable integer disciplines so DuckDB
+oracles hash-match: micro-unit floors, basis-point rounding via the
+``(2N+D) div 2D`` integer recipe, (value desc, id asc) tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_tokens
+
+__all__ = ["greedy_coverage_select", "temperature_mix_weights"]
+
+
+def doc_word_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The ONE corpus pass for coverage selection: distinct
+    ``(doc_id, word)`` membership over normalized tokens."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("word"))
+        .distinct()
+    )
+
+
+def greedy_coverage_select(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_gain: int = 1,
+) -> list[tuple[int, int]]:
+    """Greedily select up to ``k`` documents maximizing marginal distinct-
+    word coverage. Returns ``[(doc_id, gain), ...]`` in selection order,
+    where ``gain`` is the number of NEW words that document contributed.
+
+    The greedy algorithm is inherently iterative (each pick reshapes every
+    remaining document's marginal gain), so this is a DRIVER LOOP — but
+    over the right relation: the corpus is tokenized ONCE into the cached
+    distinct ``(doc_id, word)`` membership table; each round is one
+    anti-join against the covered-word set (Zipf-small — broadcast),
+    one count aggregate, and a 1-row argmax collect (the sanctioned
+    bounded driver hop). Ties break (gain desc, doc_id asc) so selection
+    is fully deterministic and SQL-unrollable for fixed ``k``.
+
+    Stops early when the best remaining gain falls below ``min_gain``
+    (picking zero-gain documents is noise, not coverage).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dw = doc_word_table(docs, text_col, id_col).persist()
+    dw.count()  # materialize before the loop
+    covered = None  # DataFrame("word"), None = nothing covered yet
+    picks: list[tuple[int, int]] = []
+    try:
+        for _ in range(k):
+            remaining = dw if covered is None else dw.join(
+                F.broadcast(covered), "word", "left_anti"
+            )
+            top = (
+                remaining.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["gain"] < min_gain:
+                break
+            doc, gain = top[0]["doc_id"], int(top[0]["gain"])
+            picks.append((doc, gain))
+            new_words = dw.filter(F.col("doc_id") == doc).select("word")
+            covered = new_words if covered is None else covered.union(new_words).distinct()
+    finally:
+        dw.unpersist()
+    return picks
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    alpha_pct: int = 50,
+) -> DataFrame:
+    """Per-domain temperature-scaled sampling weights:
+    ``w_d ∝ n_d^(alpha_pct/100)``, output
+    ``(domain, n_docs, weight_u, share_bp)`` where ``weight_u`` is the
+    unnormalized weight in integer micro-units and ``share_bp`` the
+    normalized share in basis points.
+
+    Engine-portable determinism: ``n^0.5`` is ``sqrt`` — IEEE requires
+    sqrt to be CORRECTLY rounded, so every engine produces the identical
+    double; the micro-unit floor then snaps it integral, and the share
+    is pure integer arithmetic (round-half-up ``(2N+D) div 2D``, the
+    association_rules recipe). For ``alpha_pct`` other than 0/50/100 the
+    ``pow`` is snapped the same way but correct rounding of ``pow`` is
+    not IEEE-mandated — the floor snap makes a cross-engine mismatch
+    vanishingly unlikely, not impossible.
+
+    Scale shape: one domain-keyed aggregate (map-side partials absorb
+    any domain skew) over |domains| rows, then the total as an empty-
+    frame window over that |domains|-row relation — a single-partition
+    hop over a handful of rows, so the corpus is scanned ONCE and never
+    joined or reshuffled (a broadcast-total join would plan the count
+    subtree twice).
+    """
+    if not 0 <= alpha_pct <= 100:
+        raise ValueError("alpha_pct must be in [0, 100]")
+    counts = (
+        docs.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    if alpha_pct == 50:
+        scaled = F.sqrt(F.col("n_docs").cast("double"))
+    elif alpha_pct == 100:
+        scaled = F.col("n_docs").cast("double")
+    elif alpha_pct == 0:
+        scaled = F.lit(1.0)
+    else:
+        scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha_pct / 100.0))
+    w = counts.withColumn(
+        "weight_u", F.floor(scaled * 1000000 + F.lit(0.5)).cast("long")
+    )
+    return w.select(
+        "domain",
+        "n_docs",
+        "weight_u",
+        F.expr(
+            "(2 * weight_u * 10000 + sum(weight_u) OVER ()) "
+            "div (2 * sum(weight_u) OVER ())"
+        )
+        .cast("long")
+        .alias("share_bp"),
+    )
