@@ -2260,70 +2260,12 @@ def q_hll_registers(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (r5 new): first-ever oracle rows. 5 formerly pytest-only
-    # operators + 6 operators added this round ---
-    "pagerank_items": q_pagerank_items,
-    "ppr_items": q_ppr_items,
-    "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
-    "value_trend": q_value_trend,
+    # --- tier 1 (r6 new/first-hash): 3 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
-    "item_association": q_item_association,
-    "item_communities": q_item_communities,
-    "bloom_join_supplier": q_bloom_join_supplier,
-    "incr_agg_merge": q_incr_agg_merge,
-    "zorder_stats": q_zorder_stats,
-    "cms_user_counts": q_cms_user_counts,
-    "hist_quantiles": q_hist_quantiles,
-    "triangle_count": q_triangle_count,
-    "hll_by_type": q_hll_by_type,
-    "kcore_items": q_kcore_items,
-    "doc_entropy": q_doc_entropy,
-    "interval_overlap_join": q_interval_overlap,
-    "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
-    "lsh_cosine_topk": q_lsh_cosine_topk,
-    "snapshot_diff": q_snapshot_diff,
-    "check_rules": q_check_rules,
-    "bm25_search": q_bm25_search,
-    "kmv_distinct": q_kmv_distinct,
-    "hll_distinct": q_hll_distinct,
-    "event_transitions": q_event_transitions,
-    "lang_drift": q_lang_drift,
-    "rolling_stats": q_rolling_stats,
-    "lm_score": q_lm_score,
-    "scd2_merge": q_scd2_merge,
-    "weighted_sample": q_weighted_sample,
-    "rolling_time": q_rolling_time,
-    "value_anomalies": q_value_anomalies,
-    "collocations": q_collocations,
-    "item_covisitation": q_item_covisitation,
-    "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
-    "hll_registers": q_hll_registers,
-    # label_centroids' only row was the r4 harness `err` (unhashable
-    # array cell) — reshaped to scalar long format this round, it re-debuts
-    # in tier 1 until a green row lands
-    "label_centroids": q_label_centroids,
-    # --- tier 2: stalest green (last green r03) — 29 of the 40 fit the
-    # top-50 window this round; the 10 most-stable shapes (TPC-H mirrors +
-    # single-pass text stats, all pytest-pinned) wait at positions 51-60
-    # and lead tier 2 next round ---
-    "predicate_value_range": q_predicate_value_range,
-    "derived_and_or": q_derived_and_or,
-    "text_quality": q_text_quality,
-    "stratified_sample": q_stratified_sample,
-    # --- tier 3: pinned core (flagship + 8 kernel queries) ---
-    "cohort_flagship": q_cohort_flagship,
-    "temporal_window_fwd": q_temporal_window_fwd,
-    "temporal_window_chunked": q_temporal_window_chunked,
-    "temporal_window_bwd": q_temporal_window_bwd,
-    "temporal_window_offset": q_temporal_window_offset,
-    "event_bound_fwd": q_event_bound_fwd,
-    "event_bound_chunked": q_event_bound_chunked,
-    "event_bound_bwd": q_event_bound_bwd,
-    "event_bound_record_end": q_event_bound_record_end,
-    # --- tier 2 overflow (last green r03; re-verify first in r6) ---
+    # --- tier 2 (stalest: last green r3, 3 rounds old — the overflow block the r5 ledger promised would lead here) ---
     "tfidf_features": q_tfidf_features,
     "sessionization": q_sessionization,
     "decontamination": q_decontamination,
@@ -2346,12 +2288,33 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "html_extract": q_html_extract,
     "doc_length_quantiles": q_doc_length_quantiles,
-    # --- tier 4: green r04 (freshest) — past position 50 by design ---
+    "predicate_regex_anyof": q_predicate_regex_anyof,
+    "special_predicates": q_special_predicates,
+    "static_filter": q_static_filter,
+    "trigger_anchors": q_trigger_anchors,
+    "esgpt_predicates": q_esgpt_predicates,
+    "stratified_take": q_stratified_take,
+    "corpus_clean": q_corpus_clean,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_clusters": q_dedup_clusters,
+    "pii_scrub": q_pii_scrub,
+    # --- tier 2b (next-stalest: r4-green, head of that cohort) ---
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
+    # --- tier 3 (pinned core: flagship + 8 kernels, always in the top 50) ---
+    "cohort_flagship": q_cohort_flagship,
+    "temporal_window_fwd": q_temporal_window_fwd,
+    "temporal_window_chunked": q_temporal_window_chunked,
+    "temporal_window_bwd": q_temporal_window_bwd,
+    "temporal_window_offset": q_temporal_window_offset,
+    "event_bound_fwd": q_event_bound_fwd,
+    "event_bound_chunked": q_event_bound_chunked,
+    "event_bound_bwd": q_event_bound_bwd,
+    "event_bound_record_end": q_event_bound_record_end,
+    # --- tier 4a (r4-green remainder — rotate up in r7) ---
     "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
@@ -2386,39 +2349,52 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
-    # moved to the freshest-green tail in r5 to keep the pinned core
-    # inside the driver's top-50 when pagerank_items and
-    # bloom_join_supplier debuted in tier 1 (multimodal_features is the
-    # rows-only entry — weakest displaced signal; pinned by pytest)
     "multimodal_features": q_multimodal_features,
-    # stratified_take and corpus_clean age one extra round (siblings
-    # stratified_sample / text_quality stay in the head, so both families
-    # still get fresh rows); they lead tier 2 in r6. predicate_regex_anyof
-    # joined them when ppr_items debuted in tier 1 (siblings
-    # predicate_value_range / derived_and_or keep the predicate family
-    # fresh; both are also pytest-pinned via test_meds.py).
-    # special_predicates joined when fuzzy_vocab_pairs debuted,
-    # static_filter when value_trend did (both pinned by the reference
-    # doctest goldens in tests/test_e2e.py; they lead tier 2 in r6).
-    "predicate_regex_anyof": q_predicate_regex_anyof,
-    "special_predicates": q_special_predicates,
-    "static_filter": q_static_filter,
-    # trigger_anchors joined when item_association debuted (C3 stays
-    # fresh through the pinned cohort_flagship, which exercises the
-    # same trigger-anchor path every round); esgpt_predicates when
-    # item_communities did (S3/P6 pinned by the reference doctest
-    # golden frame in tests/test_esgpt.py)
-    "trigger_anchors": q_trigger_anchors,
-    "esgpt_predicates": q_esgpt_predicates,
-    "stratified_take": q_stratified_take,
-    "corpus_clean": q_corpus_clean,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_clusters": q_dedup_clusters,
-    "pii_scrub": q_pii_scrub,
     "cohort_feature_vectors": q_cohort_feature_vectors,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
+    # --- tier 4b (freshest: r5-green, their recent rows vouch while they wait) ---
+    "pagerank_items": q_pagerank_items,
+    "ppr_items": q_ppr_items,
+    "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
+    "value_trend": q_value_trend,
+    "item_association": q_item_association,
+    "item_communities": q_item_communities,
+    "bloom_join_supplier": q_bloom_join_supplier,
+    "incr_agg_merge": q_incr_agg_merge,
+    "zorder_stats": q_zorder_stats,
+    "cms_user_counts": q_cms_user_counts,
+    "hist_quantiles": q_hist_quantiles,
+    "triangle_count": q_triangle_count,
+    "hll_by_type": q_hll_by_type,
+    "kcore_items": q_kcore_items,
+    "doc_entropy": q_doc_entropy,
+    "interval_overlap_join": q_interval_overlap,
+    "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "snapshot_diff": q_snapshot_diff,
+    "check_rules": q_check_rules,
+    "bm25_search": q_bm25_search,
+    "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
+    "event_transitions": q_event_transitions,
+    "lang_drift": q_lang_drift,
+    "rolling_stats": q_rolling_stats,
+    "lm_score": q_lm_score,
+    "scd2_merge": q_scd2_merge,
+    "weighted_sample": q_weighted_sample,
+    "rolling_time": q_rolling_time,
+    "value_anomalies": q_value_anomalies,
+    "collocations": q_collocations,
+    "item_covisitation": q_item_covisitation,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "hll_registers": q_hll_registers,
+    "label_centroids": q_label_centroids,
+    "predicate_value_range": q_predicate_value_range,
+    "derived_and_or": q_derived_and_or,
+    "text_quality": q_text_quality,
+    "stratified_sample": q_stratified_sample,
 }
 
 
