@@ -1802,6 +1802,37 @@ def q_domain_temperature_mix(spark, sf_dir):
     return temperature_mix_weights(docs, "source", alpha_pct=50)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directed one-sided shingle containment |A∩B|/|A| ≥ 0.8 (datapipe
+    .dedup.containment_pairs) over the near-dup-augmented corpus — the
+    subset-duplicate detector Jaccard misses (a 90%-prefix copy has
+    containment ≈ 1 while its jaccard is diluted by the parent). Same
+    capped inverted-index join as ngram_jaccard_pairs; the unordered
+    pair counts once, then fans to both directions."""
+    from aces_spark.datapipe.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.8, max_doc_freq=1000
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (datapipe.similarity
+    .hard_negatives): for queries vec_id < 5, the 5 most cosine-similar
+    vectors with a DIFFERENT label — the negatives-selection step for
+    contrastive / embedding-model training pairs. Broadcast queries;
+    the label-mismatch filter prunes before the rank window."""
+    from aces_spark.datapipe.similarity import hard_negatives
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hard_negatives(emb, queries, k=5)
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Per-user LOCF time-weighted average (operators/timeseries
     .time_weighted_avg — TimescaleDB's time_weight('locf')): each value
@@ -2260,10 +2291,12 @@ def q_hll_registers(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (r6 new/first-hash): 3 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
+    # --- tier 1 (r6 new/first-hash): 5 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
+    "containment_pairs": q_containment_pairs,
+    "hard_negatives": q_hard_negatives,
     "bpe_merges": q_bpe_merges,
     # --- tier 2 (stalest: last green r3, 3 rounds old — the overflow block the r5 ledger promised would lead here) ---
     "tfidf_features": q_tfidf_features,
@@ -2302,8 +2335,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
-    "corpus_mix_sample": q_corpus_mix_sample,
-    "key_skew_report": q_key_skew_report,
     # --- tier 3 (pinned core: flagship + 8 kernels, always in the top 50) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2314,7 +2345,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_chunked": q_event_bound_chunked,
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
-    # --- tier 4a (r4-green remainder — rotate up in r7) ---
+    # --- tier 4a (r4-green remainder — rotate up in r7; the top two were
+    # displaced from tier 2b by the late containment/hard-negative debuts) ---
+    "corpus_mix_sample": q_corpus_mix_sample,
+    "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
@@ -5152,6 +5186,51 @@ SELECT domain, n_docs, weight_u,
   CAST((2 * weight_u * 10000 + SUM(weight_u) OVER ())
        // (2 * SUM(weight_u) OVER ()) AS BIGINT) AS share_bp
 FROM w
+"""
+
+    # directed shingle containment: same shingle/cap front half as
+    # ngram_jaccard_pairs, divisor = the CONTAINED doc's size only
+    sql["containment_pairs"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh_all)
+  WHERE df <= 1000),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+directed AS (
+  SELECT lo AS doc_a, hi AS doc_b, n_common FROM common
+  UNION ALL
+  SELECT hi AS doc_a, lo AS doc_b, n_common FROM common)
+SELECT doc_a, doc_b,
+  floor(n_common / sa.n_shingles * 10000 + 0.5) / 10000.0 AS containment
+FROM directed JOIN sizes sa ON sa.doc_id = doc_a
+WHERE floor(n_common / sa.n_shingles * 10000 + 0.5) / 10000.0 >= 0.8
+"""
+
+    # hard negatives: the ann_cosine_topk mirror + label-mismatch filter
+    # (IS DISTINCT FROM = Spark's ~eqNullSafe) before the rank window
+    sql["hard_negatives"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+s AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+    ROUND(list_dot_product(qv, e.v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q, e WHERE query_id <> e.vec_id AND ql IS DISTINCT FROM e.label),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, neg_label, cosine_sim FROM r WHERE rk <= 5
 """
 
     # mergeable HLL register table: same hash/register/rank derivation

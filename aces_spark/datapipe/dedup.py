@@ -66,6 +66,50 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _capped_hashed_shingles(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    max_doc_freq: int | None,
+    cache_registry: list | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the shingle-overlap operators
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): the hashed,
+    boilerplate-capped, persisted ``(doc_id, shingle)`` relation and the
+    per-doc shingle sizes.
+
+    The shingle string never reaches any output — only pair counts do —
+    so it collapses to a 64-bit hash immediately: ~5× less shuffle volume
+    through the cap aggregate and the self-join, with collision odds
+    ~|shingles|²/2⁶⁴ (immaterial to an overlap estimate at any corpus
+    size). The DuckDB oracles keep string shingles; results agree because
+    the key is internal. The boilerplate cap is a broadcast ANTI-join:
+    the over-cap shingle list is tiny by definition (each member appears
+    in >max_doc_freq docs, so there can be at most
+    |corpus·shingles|/max_doc_freq of them), and the partial-aggregated
+    groupBy + broadcast anti-join avoids the full sort-shuffle a
+    count-over-shingle window pays (measured 2.5× faster at sf0.1). The
+    relation feeds three consumers (both join sides + the size agg), so
+    it is persisted; the CALLER owns the lifecycle (``cache_registry``).
+    """
+    sh = word_shingles(df, n, text_col).select(
+        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
+    )
+    if max_doc_freq is not None:
+        heavy = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
+    sh = sh.persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sh, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -90,40 +134,7 @@ def ngram_jaccard_pairs(
     which does exactly that. Without either, Spark's LRU
     (MEMORY_AND_DISK) or ``spark.catalog.clearCache()`` reclaims it.
     """
-    # the shingle string never reaches the output — only pair counts do —
-    # so collapse it to a 64-bit hash immediately: ~5× less shuffle volume
-    # through the cap aggregate and the self-join, with collision odds
-    # ~|shingles|²/2⁶⁴ (immaterial to a jaccard estimate at any corpus
-    # size). The DuckDB oracle keeps string shingles; results agree
-    # because the key is internal.
-    sh = word_shingles(df, n, text_col).select(
-        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
-    )
-
-    if max_doc_freq is not None:
-        # boilerplate cap as a broadcast ANTI-join: the over-cap shingle
-        # list is tiny by definition (each member appears in >max_doc_freq
-        # docs, so there can be at most |corpus·shingles|/max_doc_freq of
-        # them), and the partial-aggregated groupBy + broadcast anti-join
-        # avoids the full sort-shuffle a count-over-shingle window pays
-        # (measured 2.5× faster on the sf0.1 bench corpus)
-        heavy = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
-
-    # the (capped) shingle relation feeds three consumers (both join sides
-    # + the per-doc size agg) — persist it so the explode/cap run once;
-    # Spark's LRU evicts it under memory pressure (MEMORY_AND_DISK
-    # default) and callers own the lifecycle (see docstring)
-    sh = sh.persist()
-    if cache_registry is not None:
-        cache_registry.append(sh)
-
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh, sizes = _capped_hashed_shingles(df, n, text_col, max_doc_freq, cache_registry)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -148,6 +159,55 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac_bp.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_doc_freq: int | None = 1000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """DIRECTED near-duplicate pairs by one-sided shingle containment
+    ``|A ∩ B| / |A|`` — the subset-duplicate detector Jaccard misses: a
+    short document quoted whole inside a long one has tiny Jaccard (the
+    union is dominated by the long doc) but containment ≈ 1. This is the
+    asymmetric half of the classic resemblance/containment pair
+    (Broder's syntactic-similarity formulation). Returns
+    ``(doc_a, doc_b, containment)`` where ``doc_a`` is the CONTAINED
+    document, both directions are evaluated, and
+    ``containment ≥ threshold`` (basis-point floor rounding).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one hashed,
+    boilerplate-capped inverted-index self-join (never a cartesian), the
+    unordered pair counted ONCE and fanned to its two directions before
+    the size join. Same ``cache_registry`` lifecycle contract.
+    """
+    sh, sizes = _capped_hashed_shingles(df, n, text_col, max_doc_freq, cache_registry)
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("__lo"), F.col("b.doc_id").alias("__hi"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = common.select(
+        F.col("__lo").alias("doc_a"), F.col("__hi").alias("doc_b"), "n_common"
+    ).union(
+        common.select(
+            F.col("__hi").alias("doc_a"), F.col("__lo").alias("doc_b"), "n_common"
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cont_bp = F.floor(F.col("n_common") / F.col("n_a") * 10000 + 0.5) / 10000
+    return (
+        directed.join(sa, "doc_a")
+        .select("doc_a", "doc_b", cont_bp.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -590,6 +590,56 @@ def cosine_dup_pairs(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the ``k``
+    most cosine-similar corpus vectors carrying a DIFFERENT label — the
+    standard negatives-selection step when building contrastive /
+    embedding-model training pairs (the "hard" negatives that sit close
+    in embedding space but must be pushed apart). Returns
+    ``(query_id, neighbor_id, neg_label, cosine_sim)`` with the shared
+    deterministic ranking (:func:`rank_topk`: rounded score desc, id asc).
+
+    Scale shape: same broadcast-queries pattern as
+    :func:`brute_force_topk` — the corpus is never reshuffled, and the
+    label-mismatch filter prunes the candidate stream BEFORE the rank
+    window, so the per-query state is k rows. For corpora too large to
+    scan per query batch, run the same filter over :func:`ivf_topk`
+    candidates instead (mine hard negatives within probed cells).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlab"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("__qlab").eqNullSafe(F.col("neg_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    return rank_topk(sims, k, "cosine_sim")
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

@@ -859,3 +859,47 @@ def test_lsh_cosine_topk_recall_and_shape(spark):
     # candidate stage is an equi-join, never a cartesian product
     plan = lsh_cosine_topk(emb, qs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_directed(spark):
+    from aces_spark.datapipe.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # 4 shingles
+            (2, "a b c d"),      # 2 shingles, both inside doc 1
+            (3, "x y z w"),      # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    # short doc wholly contained: containment(2 -> 1) = 2/2 = 1.0 even
+    # though jaccard(1,2) = 2/4 = 0.5 would miss at a high threshold
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert got == {(2, 1): 1.0}
+    # lower threshold surfaces the reverse direction too
+    both = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.4).collect()}
+    assert both == {(2, 1): 1.0, (1, 2): 0.5}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from aces_spark.datapipe.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # identical vector but same label: excluded
+        (3, [0.8, 0.6], 1),   # cos = 0.8
+        (4, [0.0, 1.0], 1),   # cos = 0.0
+        (5, [0.6, 0.8], 2),   # cos = 0.6
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") == 1)
+    got = [
+        (r["neighbor_id"], r["neg_label"], r["cosine_sim"])
+        for r in hard_negatives(emb, q, k=2).orderBy(F.col("cosine_sim").desc()).collect()
+    ]
+    assert got == [(3, 1, 0.8), (5, 2, 0.6)]
+    # k beyond available negatives: returns what exists
+    all3 = hard_negatives(emb, q, k=10).count()
+    assert all3 == 3  # vecs 3, 4, 5 — never vec 2
