@@ -1833,6 +1833,32 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, queries, k=5)
 
 
+def q_winsorized_values(spark, sf_dir):
+    """Per-user winsorized mean (datapipe.analytics.winsorized_stats,
+    p1/p99): integer-exact interpolated percentile bounds in micro-unit
+    ten-thousandths arithmetic, values clamped, sign-decomposed mean —
+    the outlier-robust aggregate; ONE key exchange shared by rank
+    window, bound windows, and the final aggregate."""
+    from aces_spark.datapipe.analytics import winsorized_stats
+
+    ev = _read_events(spark, sf_dir).select("user_id", "value")
+    return winsorized_stats(ev, "user_id", lo_bp=100, hi_bp=9900)
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection (datapipe.similarity
+    .random_projection): 64-dim embeddings → 4 components via a
+    deterministic md5-derived ±1 matrix baked into the plan as a literal
+    (the PQ-codebook pattern) — map-only, zero shuffle; long-format
+    scalar output so the harness canonicalizes rows."""
+    from aces_spark.datapipe.similarity import random_projection
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return random_projection(emb, out_dim=4, in_dim=64)
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Per-user LOCF time-weighted average (operators/timeseries
     .time_weighted_avg — TimescaleDB's time_weight('locf')): each value
@@ -2297,6 +2323,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_temperature_mix": q_domain_temperature_mix,
     "containment_pairs": q_containment_pairs,
     "hard_negatives": q_hard_negatives,
+    "winsorized_values": q_winsorized_values,
+    "random_projection": q_random_projection,
     "bpe_merges": q_bpe_merges,
     # --- tier 2 (stalest: last green r3, 3 rounds old — the overflow block the r5 ledger promised would lead here) ---
     "tfidf_features": q_tfidf_features,
@@ -2333,8 +2361,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     # --- tier 2b (next-stalest: r4-green, head of that cohort) ---
     "props_field_stats": q_props_field_stats,
-    "event_type_pivot": q_event_type_pivot,
-    "doc_outlier_filter": q_doc_outlier_filter,
     # --- tier 3 (pinned core: flagship + 8 kernels, always in the top 50) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2347,6 +2373,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (r4-green remainder — rotate up in r7; the top two were
     # displaced from tier 2b by the late containment/hard-negative debuts) ---
+    "event_type_pivot": q_event_type_pivot,
+    "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
@@ -5231,6 +5259,69 @@ r AS (
                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
   FROM s)
 SELECT query_id, neighbor_id, neg_label, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # winsorized mean: integer-exact percentile interpolation — position
+    # in ten-thousandths, (next-lower) non-negative so // == Spark div;
+    # only the final mean is sign-decomposed
+    sql["winsorized_values"] = """
+WITH rows_ AS (
+  SELECT user_id AS k,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+rk AS (
+  SELECT k, y,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY y) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM rows_),
+b AS (
+  SELECT k, y, n,
+    MAX(CASE WHEN rk = ((n-1)*100) // 10000 THEN y END)
+      OVER (PARTITION BY k) AS lo_lower,
+    MAX(CASE WHEN rk = LEAST(((n-1)*100) // 10000 + 1, n-1) THEN y END)
+      OVER (PARTITION BY k) AS lo_upper,
+    ((n-1)*100) % 10000 AS lo_frac,
+    MAX(CASE WHEN rk = ((n-1)*9900) // 10000 THEN y END)
+      OVER (PARTITION BY k) AS hi_lower,
+    MAX(CASE WHEN rk = LEAST(((n-1)*9900) // 10000 + 1, n-1) THEN y END)
+      OVER (PARTITION BY k) AS hi_upper,
+    ((n-1)*9900) % 10000 AS hi_frac
+  FROM rk),
+c AS (
+  SELECT k, y,
+    lo_lower + ((lo_upper - lo_lower) * lo_frac) // 10000 AS lo_u,
+    hi_lower + ((hi_upper - hi_lower) * hi_frac) // 10000 AS hi_u
+  FROM b),
+agg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+         MAX(lo_u) AS lo, MAX(hi_u) AS hi,
+         SUM(LEAST(GREATEST(y, lo_u), hi_u)) AS s
+  FROM c GROUP BY k)
+SELECT k AS user_id, n_points,
+  CAST(lo AS DOUBLE) / 1000000.0 AS lo_bound,
+  CAST(hi AS DOUBLE) / 1000000.0 AS hi_bound,
+  CAST(CASE WHEN s >= 0 THEN s // n_points
+            ELSE -((-s) // n_points) END AS DOUBLE) / 1000000.0 AS win_mean
+FROM agg
+"""
+
+    # JL Rademacher projection: the SAME deterministic ±1 matrix the
+    # Spark plan bakes in as a literal, emitted here as a VALUES list
+    # (the shared-constant pattern of the PQ codebook / IVF centroids);
+    # list_dot_product mirrors the JVM left-fold at 6 dp
+    from aces_spark.datapipe.similarity import _rademacher_matrix
+
+    _rp_rows = ",\n  ".join(
+        f"({j}, {row!r})".replace("'", "")
+        for j, row in enumerate(_rademacher_matrix(64, 4))
+    )
+    sql["random_projection"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s(dim_idx, signs) AS (VALUES
+  {_rp_rows})
+SELECT vec_id, CAST(dim_idx AS INT) AS dim_idx,
+       ROUND(list_dot_product(v, signs), 6) AS proj
+FROM e, s
 """
 
     # mergeable HLL register table: same hash/register/rank derivation

@@ -521,3 +521,85 @@ def association_rules(
         (conf_bp.cast("double") / 10000.0).alias("confidence"),
         (lift_bp.cast("double") / 10000.0).alias("lift"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    keys,
+    value_col: str = "value",
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+) -> DataFrame:
+    """Per-key winsorized mean: exact interpolated percentile bounds at
+    ``lo_bp``/``hi_bp`` basis points, values clamped into them, then the
+    mean of the clamped values — the outlier-robust statistic that keeps
+    every observation (unlike trimming) while bounding the influence of
+    the tails. Output ``(keys…, n_points, lo_bound, hi_bound, win_mean)``.
+
+    INTEGER-exact percentile interpolation (engine-portable, unlike a
+    float ``percentile_cont`` on irrational positions): values in
+    micro-units, the target position on the sorted key in TEN-THOUSANDTHS
+    ``pos_tt = (n-1)·bp``, so ``idx = pos_tt div 1e4``, ``frac = pos_tt
+    mod 1e4``, and the interpolation ``lower + (next-lower)·frac div 1e4``
+    involve only BIGINTs — the neighbor difference is non-negative by
+    sort order, so truncating and flooring div agree; only the final
+    clamped-sum / n mean needs the sign-decomposed div.
+
+    Scale shape: ONE key exchange shared by the rank window, the
+    full-frame bound windows, and the final aggregate (same partition
+    keys throughout — Spark reuses the exchange); O(1) aggregate state
+    per key, no joins, no second scan.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if not 0 <= lo_bp <= hi_bp <= 10000:
+        raise ValueError("need 0 <= lo_bp <= hi_bp <= 10000")
+    y = F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    rows = df.select(*keys, y.alias("__y")).filter(F.col("__y").isNotNull())
+    w_rank = Window.partitionBy(*keys).orderBy("__y")
+    w_full = Window.partitionBy(*keys)
+    rows = rows.select(
+        *keys,
+        "__y",
+        (F.row_number().over(w_rank) - 1).alias("__rk"),  # 0-based sort rank
+        F.count(F.lit(1)).over(w_full).alias("__n"),
+    )
+
+    def exact_div(num, den: int):
+        # truncating integer division for NON-NEGATIVE operands as pure
+        # Column arithmetic: subtract the mod, then the division is exact
+        return ((num - num % den) / den).cast("long")
+
+    def bound(bp: int):
+        pos_tt = (F.col("__n") - 1) * bp
+        idx = exact_div(pos_tt, 10000)
+        frac = pos_tt % 10000
+        nxt = F.least(idx + 1, F.col("__n") - 1)
+        lower = F.max(F.when(F.col("__rk") == idx, F.col("__y"))).over(w_full)
+        upper = F.max(F.when(F.col("__rk") == nxt, F.col("__y"))).over(w_full)
+        return lower + exact_div((upper - lower) * frac, 10000)
+
+    rows = rows.select(
+        *keys, "__y", bound(lo_bp).alias("__lo_u"), bound(hi_bp).alias("__hi_u")
+    )
+    clamped = F.least(F.greatest(F.col("__y"), F.col("__lo_u")), F.col("__hi_u"))
+    agg = (
+        rows.select(*keys, "__lo_u", "__hi_u", clamped.alias("__c"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.max("__lo_u").alias("__lo"),
+            F.max("__hi_u").alias("__hi"),
+            F.sum("__c").alias("__sum"),
+        )
+    )
+    mean_u = F.when(
+        F.col("__sum") >= 0, F.expr("__sum div n_points")
+    ).otherwise(-F.expr("(-__sum) div n_points"))
+    return agg.select(
+        *keys,
+        "n_points",
+        (F.col("__lo").cast("double") / 1000000.0).alias("lo_bound"),
+        (F.col("__hi").cast("double") / 1000000.0).alias("hi_bound"),
+        (mean_u.cast("double") / 1000000.0).alias("win_mean"),
+    )

@@ -590,6 +590,64 @@ def cosine_dup_pairs(
     )
 
 
+def _rademacher_matrix(dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) projection rows derived from md5 of
+    (seed, out_row, in_dim) — the same portable-hash recipe as
+    :func:`_hyperplanes`. Driver-side cost is ``out_dim × dim`` floats."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"rp|{seed}|{j}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a deterministic
+    Rademacher (±1) matrix: reduce each embedding to ``out_dim``
+    components — the cheap dimensionality cut before LSH/IVF indexing at
+    corpus scale (pairwise distances are preserved within 1±ε for
+    ``out_dim = O(log n / ε²)``, and a ±1 matrix needs no float
+    multiplies, only adds/subtracts). Output LONG format
+    ``(id, dim_idx, proj)`` with ``proj`` rounded to 6 dp — scalar rows,
+    the shape the harness can canonicalize (the label_centroids lesson).
+
+    Scale shape: map-only — the matrix is an inline literal (a few KB,
+    baked into the plan like the PQ codebook), each row's projection is
+    ``out_dim`` JVM fold expressions, no shuffle at all; the posexplode
+    multiplies rows by ``out_dim``, not bytes by ``dim``. ``in_dim`` is
+    read from one sample row when not given (a bounded driver hop).
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if in_dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("random_projection: empty input and no in_dim given")
+        in_dim = int(first["d"])
+    mat = _rademacher_matrix(in_dim, out_dim, seed)
+    projs = F.array(
+        *[
+            F.round(_dot(F.col(vec_col), F.lit(row).cast("array<double>")), 6)
+            for row in mat
+        ]
+    )
+    return vectors.select(
+        F.col(id_col), F.posexplode(projs).alias("dim_idx", "proj")
+    ).select(F.col(id_col), F.col("dim_idx").cast("int").alias("dim_idx"), "proj")
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,
