@@ -24,10 +24,12 @@ PINNED = {
     "event_bound_record_end",
 }
 
-# Queries whose semantics are not SQL-expressible get a rows-only check by
-# design; every other query must carry a DuckDB oracle. (bpe_merges left
-# this set in r6: its 3 fixed iterations are unrolled as CTE rounds.)
-ROWS_ONLY_ALLOWED = {"multimodal_features", "multimodal_frame_plan"}
+# Queries whose semantics are not SQL-expressible may get a rows-only
+# check by design; as of r6 the set is EMPTY — every registered query
+# carries a DuckDB oracle (bpe_merges was the last holdout; its 3 fixed
+# iterations unrolled as CTE rounds, and the multimodal queries project
+# the SQL-expressible columns of their mapInPandas outputs).
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_every_oracle_key_has_a_query():
