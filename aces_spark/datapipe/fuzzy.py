@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: hard cap on value length for the delete-variant stage — depth-2
+#: variants grow like len²/2, so a 10 kB value would explode to ~50M rows
+MAX_FUZZY_LEN = 512
+
 
 def _del1_sql(x: str) -> str:
     """SQL for the set of strings obtained by deleting exactly one
@@ -72,6 +76,12 @@ def fuzzy_join(
     not the number of rows. Null values are dropped; empty strings
     participate (the empty string is within distance 1 of every
     single-character string, via the shared ``""`` variant).
+
+    Values longer than ``MAX_FUZZY_LEN`` (512) raise: depth-2 variants
+    grow like ``len²/2``, so one pathological 10 kB "string" would
+    explode to ~50M variant rows — edit-distance matching on strings
+    that long is a different problem (use the shingle operators);
+    failing loudly beats silently materializing the blowup.
     """
     if max_dist not in (1, 2):
         raise ValueError("fuzzy_join: max_dist must be 1 or 2")
@@ -86,6 +96,16 @@ def fuzzy_join(
         .filter(F.col("right_str").isNotNull())
         .distinct()
     )
+    # explicit length contract (see docstring): raise distributed-side on
+    # the first over-long value rather than exploding len²/2 variants
+    guard = (
+        "CASE WHEN length({c}) > {n} THEN "
+        "raise_error(concat('fuzzy_join: value longer than {n} chars "
+        "(len=', length({c}), ') — use shingle-based matching for long "
+        "text')) ELSE {c} END"
+    )
+    l = l.select(F.expr(guard.format(c="left_str", n=MAX_FUZZY_LEN)).alias("left_str"))
+    r = r.select(F.expr(guard.format(c="right_str", n=MAX_FUZZY_LEN)).alias("right_str"))
     lv = l.select(
         "left_str", F.explode(delete_variants("left_str", max_dist)).alias("__v")
     )

@@ -100,3 +100,20 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_rejects_pathological_lengths(spark):
+    """A 10 kB 'string' would explode to ~50M depth-2 delete variants —
+    the length contract fails loudly instead (use shingles for long text)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from aces_spark.datapipe.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame([("ok",), ("x" * 600,)], "name string")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        fuzzy_self_pairs(df, "name").collect()
+    # under the cap: still works
+    ok = spark.createDataFrame([("ok",), ("oak",)], "name string")
+    assert fuzzy_self_pairs(ok, "name").count() == 1
