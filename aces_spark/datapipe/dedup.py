@@ -194,6 +194,10 @@ def containment_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("__lo"), F.col("b.doc_id").alias("__hi"))
         .agg(F.count(F.lit(1)).alias("n_common"))
+        # both union branches read this relation — without lineage
+        # truncation Catalyst replays the whole inverted-index join per
+        # branch (measured 6.8 s vs 3.7 s for the jaccard sibling)
+        .localCheckpoint(eager=False)
     )
     directed = common.select(
         F.col("__lo").alias("doc_a"), F.col("__hi").alias("doc_b"), "n_common"
