@@ -31,10 +31,14 @@ __all__ = ["greedy_coverage_select", "temperature_mix_weights"]
 
 def doc_word_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The ONE corpus pass for coverage selection: distinct
-    ``(doc_id, word)`` membership over normalized tokens."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("word"))
-        .distinct()
+    ``(doc_id, word)`` membership over normalized tokens. Distinctness
+    is PER DOCUMENT, so it is ``array_distinct`` on the token array
+    before the explode — a row-local operation, zero shuffle (a naive
+    ``.distinct()`` after the explode shuffles the whole exploded
+    relation: measured 100 s vs ~8 s for the build at 41M rows)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(norm_tokens(text_col))).alias("word"),
     )
 
 
@@ -63,7 +67,15 @@ def greedy_coverage_select(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    dw = doc_word_table(docs, text_col, id_col).persist()
+    # the word string never reaches the output — only counts do — so
+    # collapse it to a 64-bit hash (the ngram_jaccard lesson: smaller
+    # cached relation, cheaper anti-join probes; collision odds
+    # ~|vocab|²/2⁶⁴, immaterial to a coverage argmax)
+    dw = (
+        doc_word_table(docs, text_col, id_col)
+        .select("doc_id", F.xxhash64("word").alias("word"))
+        .persist()
+    )
     dw.count()  # materialize before the loop
     covered = None  # DataFrame("word"), None = nothing covered yet
     picks: list[tuple[int, int]] = []
