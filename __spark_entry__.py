@@ -2296,6 +2296,26 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_bpe_encode_tokens(spark, sf_dir):
+    """BPE tokenizer INFERENCE (datapipe.bpe.bpe_encode): train 3 merges
+    on the full corpus, encode docs with doc_id < 20 — tokens as a
+    space-joined scalar string (order-preserving reassembly by word
+    position) plus the count. Oracled with the same wrapped-symbol
+    replace() technique as bpe_merges: the 3 unrolled training rounds
+    feed 3 nested replaces per word (rule order = fold chain order)."""
+    from aces_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    docs_all = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs_all.select("text"), n_merges=3)
+    sub = docs_all.filter(F.col("doc_id") < 20)
+    enc = bpe_encode(sub, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        F.col("n_tokens"),
+    )
+
+
 def q_hll_registers(spark, sf_dir):
     """Mergeable HLL register table (datapipe.sketches.hll_registers,
     p=9) over events.user_id — the incremental-pipeline form: keep the
@@ -2326,6 +2346,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_values": q_winsorized_values,
     "random_projection": q_random_projection,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
     # --- tier 2 (stalest: last green r3, 3 rounds old — the overflow block the r5 ledger promised would lead here) ---
     "tfidf_features": q_tfidf_features,
     "sessionization": q_sessionization,
@@ -2359,8 +2380,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
-    # --- tier 2b (next-stalest: r4-green, head of that cohort) ---
-    "props_field_stats": q_props_field_stats,
+    # --- tier 2b emptied: the r6 debut batch grew to 9, so the last
+    # r4-green slot-holder rotates to the tail head with its cohort ---
     # --- tier 3 (pinned core: flagship + 8 kernels, always in the top 50) ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2373,6 +2394,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (r4-green remainder — rotate up in r7; the top two were
     # displaced from tier 2b by the late containment/hard-negative debuts) ---
+    "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
@@ -5159,6 +5181,53 @@ v{_i} AS (
         + f"""
 SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
 FROM ({_bpe_unions}) ORDER BY rank"""
+    )
+
+    # bpe_encode_tokens: the same 3 unrolled training rounds feed 3
+    # NESTED replaces per word (rule order = the fold chain order);
+    # per-doc reassembly is ordered string_agg by word position.
+    # COALESCE('{}') turns a missing merge (early stop) into a no-op
+    # pattern — '{}' cannot occur, every brace pair has content.
+    def _bpe_pat(i: int) -> str:
+        return (
+            f"COALESCE('{{{{' || (SELECT lft FROM m{i}) || '}}}}{{{{' || "
+            f"(SELECT rgt FROM m{i}) || '}}}}', '{{{{}}}}')"
+        ).replace("{{", "{").replace("}}", "}")
+
+    def _bpe_rep(i: int) -> str:
+        return (
+            f"COALESCE('{{{{' || (SELECT lft FROM m{i}) || "
+            f"(SELECT rgt FROM m{i}) || '}}}}', '{{{{}}}}')"
+        ).replace("{{", "{").replace("}}", "}")
+
+    sql["bpe_encode_tokens"] = (
+        ",\n".join(_bpe_parts)
+        + f""",
+docs20 AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS toks
+  FROM documents WHERE doc_id < 20 AND length({_DOC_NORM_SQL}) > 0),
+wt AS (
+  SELECT doc_id, toks[i] AS word, i AS pos
+  FROM docs20, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+enc AS (
+  SELECT doc_id, pos,
+    replace(replace(replace(
+      regexp_replace(word, '(.)', '{{\\1}}', 'g') || '{{</w>}}',
+      {_bpe_pat(1)}, {_bpe_rep(1)}),
+      {_bpe_pat(2)}, {_bpe_rep(2)}),
+      {_bpe_pat(3)}, {_bpe_rep(3)}) AS s
+  FROM wt),
+per_doc AS (
+  SELECT doc_id,
+    string_agg(array_to_string(regexp_extract_all(s, '[^{{}}]+'), ' '),
+               ' ' ORDER BY pos) AS tokens_str,
+    SUM(len(regexp_extract_all(s, '[^{{}}]+'))) AS n_tokens
+  FROM enc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.tokens_str, '') AS tokens_str,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 20) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
     )
 
     # coverage_select: the 3 fixed greedy max-coverage rounds UNROLLED
