@@ -96,7 +96,14 @@ def greedy_coverage_select(
             doc, gain = top[0]["doc_id"], int(top[0]["gain"])
             picks.append((doc, gain))
             new_words = dw.filter(F.col("doc_id") == doc).select("word")
-            covered = new_words if covered is None else covered.union(new_words).distinct()
+            covered = (
+                new_words
+                if covered is None
+                else covered.union(new_words).distinct()
+            )
+            # truncate the union chain: without this the k-th round's
+            # broadcast replays k-1 unions (lineage depth grows with k)
+            covered = covered.localCheckpoint(eager=False)
     finally:
         dw.unpersist()
     return picks
