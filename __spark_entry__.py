@@ -1745,6 +1745,43 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means over the embeddings table
+    (datapipe.kmeans.kmeans_clusters): k=4 seeds picked by portable hash
+    order, 2 fixed Lloyd rounds in integer micro-unit coordinates, final
+    assignment with exact bigint squared distances. The oracle unrolls
+    both rounds as CTEs in long (vec, dim) format — a deliberately
+    DIFFERENT formulation (positional join vs zip_with arrays) computing
+    the same integer math, so agreement is strong evidence."""
+    from aces_spark.datapipe.kmeans import kmeans_clusters
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_clusters(emb, k=4, n_iters=2)
+
+
+def q_dsir_selection(spark, sf_dir):
+    """DSIR importance-resampling selection (datapipe.selection.dsir_score,
+    Xie et al. 2023): rank non-English documents by the log importance
+    ratio of their hashed-unigram distribution under an English-target vs
+    raw-pool bag model (add-1 smoothing, 64 md5 buckets). All four log
+    terms snap to integer micro-nats per bucket, so scores are pure
+    integer sums. The shared 31-word synthetic vocabulary would make the
+    two distributions near-identical (the r1 vacuous-oracle lesson), so
+    every doc gains a deterministic doc_id-derived marker token — the
+    marker distribution then genuinely differs between the en and non-en
+    pools and the weights have real structure."""
+    from aces_spark.datapipe.selection import dsir_score
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"), F.lit(" mk"), ((F.col("doc_id") * 7) % 17).cast("string")
+        ).alias("text"),
+    )
+    return dsir_score(docs, F.col("lang") == "en", n_buckets=64, alpha=1, k=40)
+
+
 def q_coverage_select(spark, sf_dir):
     """Greedy max-coverage document selection (datapipe.selection
     .greedy_coverage_select): the 3 documents that together cover the
@@ -2338,6 +2375,8 @@ def q_hll_registers(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r6 new/first-hash): 5 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
+    "dsir_selection": q_dsir_selection,
+    "kmeans_clusters": q_kmeans_clusters,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2359,8 +2398,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
-    "lineitem_pricing_summary": q_lineitem_pricing_summary,
-    "revenue_join": q_revenue_join,
+    # (lineitem_pricing_summary + revenue_join rotated to the tier-4a
+    # head: one r3-stale slot per r6 debut has to yield, and the TPC-H
+    # classics are the safest to wait a round — unchanged since r1,
+    # guarded by pytest goldens, trivially SQL-shaped)
     "region_rollup": q_region_rollup,
     "local_supplier_volume": q_local_supplier_volume,
     "brand_revenue": q_brand_revenue,
@@ -2394,6 +2435,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (r4-green remainder — rotate up in r7; the top two were
     # displaced from tier 2b by the late containment/hard-negative debuts) ---
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "revenue_join": q_revenue_join,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -5284,6 +5327,93 @@ SELECT domain, n_docs, weight_u,
        // (2 * SUM(weight_u) OVER ()) AS BIGINT) AS share_bp
 FROM w
 """
+
+    # DSIR: every ln argument is an integer and each log term snaps to
+    # micro-nats independently (floor(ln(n)*1e6+0.5)) before any addition,
+    # so per-bucket weights and per-doc scores are pure integer arithmetic
+    # in both engines; 60-bit md5 bucket hash is the shared portable recipe
+    sql["dsir_selection"] = f"""
+WITH docs2 AS (
+  SELECT doc_id, lang,
+         text || ' mk' || CAST((doc_id * 7) % 17 AS VARCHAR) AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t, UNNEST({_DOC_TOKENS_SQL}) AS word
+  FROM docs2 WHERE length({_DOC_NORM_SQL}) > 0),
+dc AS (
+  SELECT doc_id, is_t,
+    CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) % 64 AS b,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3),
+bw AS (
+  SELECT b,
+    SUM(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+    SUM(c) AS cr
+  FROM dc GROUP BY b),
+w AS (
+  SELECT b,
+      CAST(floor(ln(ct + 1) * 1000000 + 0.5) AS BIGINT)
+    - CAST(floor(ln((SUM(ct) OVER ()) + 64) * 1000000 + 0.5) AS BIGINT)
+    - CAST(floor(ln(cr + 1) * 1000000 + 0.5) AS BIGINT)
+    + CAST(floor(ln((SUM(cr) OVER ()) + 64) * 1000000 + 0.5) AS BIGINT)
+      AS w_u
+  FROM bw)
+SELECT dc.doc_id,
+  CAST(SUM(dc.c) AS BIGINT) AS n_feat_tokens,
+  CAST(SUM(dc.c * w.w_u) AS BIGINT) AS dsir_score_u
+FROM dc JOIN w ON dc.b = w.b
+WHERE NOT dc.is_t
+GROUP BY dc.doc_id
+ORDER BY dsir_score_u DESC, doc_id ASC LIMIT 40
+"""
+
+    # k-means: both Lloyd rounds unrolled as CTEs in long (vec, dim)
+    # format — positional-join formulation vs the engine's zip_with
+    # arrays, identical integer math (micro-unit coords, exact bigint
+    # distances, floor(sum/n + 0.5) centroid update, (dist, cid) ties)
+    _km_round = """
+dist{i} AS (
+  SELECT qd.vec_id, c.cid, SUM((qd.x - c.c) * (qd.x - c.c)) AS dist
+  FROM qd JOIN c{p} c USING (d) GROUP BY qd.vec_id, c.cid),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dist{i}) WHERE rn = 1),
+c{i} AS (
+  SELECT a.cid, qd.d,
+         CAST(floor(CAST(SUM(qd.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
+  FROM qd JOIN a{i} a USING (vec_id) GROUP BY a.cid, qd.d)"""
+    sql["kmeans_clusters"] = (
+        """WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+qd AS (
+  SELECT vec_id, unnest(qv) AS x,
+         unnest(generate_series(1, len(qv))) AS d
+  FROM q),
+seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    vec_id) AS cid,
+         vec_id
+  FROM q QUALIFY cid <= 4),
+c0 AS (SELECT s.cid, qd.d, qd.x AS c FROM seeds s JOIN qd USING (vec_id)),"""
+        + _km_round.format(i=1, p=0)
+        + ","
+        + _km_round.format(i=2, p=1)
+        + """,
+dist3 AS (
+  SELECT qd.vec_id, c.cid, SUM((qd.x - c.c) * (qd.x - c.c)) AS dist
+  FROM qd JOIN c2 c USING (d) GROUP BY qd.vec_id, c.cid)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(dist AS BIGINT) AS dist_q FROM (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dist3) WHERE rn = 1
+"""
+    )
 
     # directed shingle containment: same shingle/cap front half as
     # ngram_jaccard_pairs, divisor = the CONTAINED doc's size only

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["greedy_coverage_select", "temperature_mix_weights"]
+__all__ = ["greedy_coverage_select", "temperature_mix_weights", "dsir_score"]
 
 
 def doc_word_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -165,3 +165,87 @@ def temperature_mix_weights(
         .cast("long")
         .alias("share_bp"),
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    rank the raw pool by how much its hashed-unigram distribution looks
+    like the ``target`` domain. Per-bucket importance weight
+    ``w[b] = ln p_target(b) - ln p_raw(b)`` under add-``alpha`` smoothed
+    bag models over ``n_buckets`` md5 hash buckets; a document's score is
+    the count-weighted sum of its buckets' weights (its log importance
+    ratio). Returns the top ``k`` NON-target documents —
+    ``(doc_id, n_feat_tokens, dsir_score_u)`` with the score in integer
+    micro-nats, ordered (score desc, doc_id asc).
+
+    Engine-exact: every ``ln`` argument is an integer count, and each of
+    the four log terms is snapped to micro-nats independently
+    (``floor(ln(n)·1e6 + 0.5)``) before any addition, so per-bucket
+    weights and per-doc sums are pure integer arithmetic — the same
+    contract as ``text.char_entropy``. Documents with zero normalized
+    tokens emit no row.
+
+    Scale shape: the corpus is tokenized and exploded ONCE, collapsed
+    immediately to the per-doc bucket-count relation (bounded by
+    |docs|·n_buckets, in practice ~tokens/doc distinct buckets per doc);
+    the bucket-weight model is a second aggregate over THAT relation —
+    never a second corpus scan — and is at most ``n_buckets`` rows, so
+    it broadcast-joins back. ``localCheckpoint(eager=False)`` truncates
+    the doc-count lineage so Catalyst does not replicate the corpus scan
+    into both the model branch and the scoring branch.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from ..functions.hashing import md5_long60
+    from .text import norm_tokens
+
+    is_t = target if not isinstance(target, str) else F.expr(target)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_t.alias("__is_t"),
+        F.explode(norm_tokens(text_col)).alias("__w"),
+    )
+    doc_counts = (
+        toks.groupBy(
+            "doc_id", "__is_t", (md5_long60(F.col("__w")) % n_buckets).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _lnu(c):
+        return F.floor(F.log(c.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    model = doc_counts.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__ct"),
+        F.sum("__c").cast("long").alias("__cr"),
+    )
+    weights = model.select(
+        "__b",
+        (
+            _lnu(F.col("__ct") + alpha)
+            - _lnu(F.expr("sum(__ct) OVER ()") + alpha * n_buckets)
+            - _lnu(F.col("__cr") + alpha)
+            + _lnu(F.expr("sum(__cr) OVER ()") + alpha * n_buckets)
+        ).alias("__w_u"),
+    )
+    scored = (
+        doc_counts.filter(~F.col("__is_t"))
+        .join(F.broadcast(weights), "__b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_feat_tokens"),
+            F.sum(F.col("__c") * F.col("__w_u")).cast("long").alias("dsir_score_u"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_score_u"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,86 @@
+"""kmeans_clusters (datapipe/kmeans.py) — pure-Python differential over
+randomized vectors plus determinism/edge checks."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+
+from aces_spark.datapipe.kmeans import kmeans_clusters
+
+
+def _h60(s) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _quant(v):
+    return [math.floor(x * 1_000_000 + 0.5) for x in v]
+
+
+def _py_kmeans(rows, k, n_iters):
+    quant = {vid: _quant(v) for vid, v in rows}
+    seeds = sorted(quant, key=lambda i: (_h60(i), i))[:k]
+    cent = {c + 1: quant[vid] for c, vid in enumerate(seeds)}
+
+    def assign(cent):
+        out = {}
+        for vid, qv in quant.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in cent.items()
+            )
+            out[vid] = best  # (dist, cid)
+        return out
+
+    for _ in range(n_iters):
+        a = assign(cent)
+        groups = {}
+        for vid, (_, cid) in a.items():
+            groups.setdefault(cid, []).append(quant[vid])
+        cent = {
+            cid: [
+                math.floor(sum(col) / len(vs) + 0.5)
+                for col in zip(*vs)
+            ]
+            for cid, vs in groups.items()
+        }
+    a = assign(cent)
+    return sorted((vid, cid, dist) for vid, (dist, cid) in a.items())
+
+
+def test_kmeans_differential(spark):
+    rng = random.Random(7)
+    # three planted blobs + noise, float32-ish rounding applied upstream
+    rows = []
+    for i in range(90):
+        center = [(-0.4, 0.4), (0.3, -0.2), (0.0, 0.1)][i % 3]
+        rows.append(
+            (
+                i,
+                [
+                    round(center[j % 2] + rng.uniform(-0.05, 0.05), 6)
+                    for j in range(8)
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_q"])
+        for r in kmeans_clusters(df, k=3, n_iters=2, vec_col="embedding").collect()
+    )
+    assert got == _py_kmeans(rows, 3, 2)
+
+
+def test_kmeans_single_cluster_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_clusters(df, k=1, n_iters=1).collect()
+    assert sorted(r["cluster_id"] for r in out) == [1, 1]
+    with pytest.raises(ValueError):
+        kmeans_clusters(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_clusters(df, k=2, n_iters=0)

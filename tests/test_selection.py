@@ -81,3 +81,93 @@ def test_temperature_mix_plan_scans_corpus_once(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("Scan ExistingRDD") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dsir_score: pure-Python differential over a randomized corpus
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from aces_spark.datapipe.selection import dsir_score
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _lnu(n: int) -> int:
+    return math.floor(math.log(n) * 1_000_000 + 0.5)
+
+
+def _py_dsir(rows, target_langs, n_buckets, alpha, k):
+    doc_counts = {}  # (doc_id, bucket) -> count ; plus is_t per doc
+    is_t = {}
+    for doc_id, text, lang in rows:
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+        is_t[doc_id] = lang in target_langs
+        for w in toks:
+            b = _h60(w) % n_buckets
+            doc_counts[(doc_id, b)] = doc_counts.get((doc_id, b), 0) + 1
+    ct, cr = {}, {}
+    for (d, b), c in doc_counts.items():
+        cr[b] = cr.get(b, 0) + c
+        if is_t[d]:
+            ct[b] = ct.get(b, 0) + c
+    tt, tr = sum(ct.values()), sum(cr.values())
+    w_u = {
+        b: _lnu(ct.get(b, 0) + alpha)
+        - _lnu(tt + alpha * n_buckets)
+        - _lnu(cr[b] + alpha)
+        + _lnu(tr + alpha * n_buckets)
+        for b in cr
+    }
+    scores = {}
+    for (d, b), c in doc_counts.items():
+        if is_t[d]:
+            continue
+        n, s = scores.get(d, (0, 0))
+        scores[d] = (n + c, s + c * w_u[b])
+    out = [(d, n, s) for d, (n, s) in scores.items()]
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_dsir_score_differential(spark):
+    rng = random.Random(42)
+    en_vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast"]
+    de_vocab = ["der", "hund", "lief", "schnell", "katze", "auf", "matte"]
+    mixed = en_vocab + de_vocab
+    rows = []
+    for i in range(60):
+        lang = rng.choice(["en", "de", "xx"])
+        vocab = {"en": en_vocab, "de": de_vocab, "xx": mixed}[lang]
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        rows.append((i, text, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = [
+        (r["doc_id"], r["n_feat_tokens"], r["dsir_score_u"])
+        for r in dsir_score(
+            docs, F.col("lang") == "en", n_buckets=32, alpha=1, k=20
+        ).collect()
+    ]
+    assert got == _py_dsir(rows, {"en"}, 32, 1, 20)
+    # "xx" docs mix English vocab, so at least one should outrank pure-German
+    # docs under an English target — sanity that the signal points right
+    langs = {r[0]: rows[r[0]][2] for r in got}
+    top5 = [langs[d] for d, _, _ in got[:5]]
+    assert "xx" in top5
+
+
+def test_dsir_score_empty_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "de")], "doc_id long, text string, lang string"
+    )
+    assert dsir_score(docs, F.col("lang") == "en").count() == 0
+    with pytest.raises(ValueError):
+        dsir_score(docs, F.col("lang") == "en", n_buckets=1)
