@@ -1745,6 +1745,27 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Record linkage end-to-end (datapipe.fuzzy.resolve_entities):
+    distance-1 links over the top-300 vocab plus injected typos (the
+    fuzzy_vocab_pairs perturbation — the raw corpus has no natural
+    distance-1 pairs), transitive closure via large-star/small-star
+    connected components, min-string canonical entity ids. The oracle
+    mirrors the SEMANTICS: a direct levenshtein join over the tiny pool
+    plus a recursive-CTE closure — the blocked join + log-round
+    clustering is the part that scales."""
+    from aces_spark.datapipe.fuzzy import resolve_entities
+    from aces_spark.datapipe.text import vocab_top_k
+
+    vocab = vocab_top_k(
+        _read_table(spark, sf_dir, "documents"), k=300
+    ).select("word")
+    typos = vocab.filter(F.length("word") >= 5).select(
+        F.concat(F.substring("word", 1, 1), F.expr("substring(word, 3)")).alias("word")
+    )
+    return resolve_entities(vocab.union(typos), "word", max_dist=1)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic k-means over the embeddings table
     (datapipe.kmeans.kmeans_clusters): k=4 seeds picked by portable hash
@@ -2377,6 +2398,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r6 new/first-hash): 5 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
     "dsir_selection": q_dsir_selection,
     "kmeans_clusters": q_kmeans_clusters,
+    "entity_resolution": q_entity_resolution,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2398,11 +2420,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
-    # (lineitem_pricing_summary + revenue_join rotated to the tier-4a
-    # head: one r3-stale slot per r6 debut has to yield, and the TPC-H
-    # classics are the safest to wait a round — unchanged since r1,
-    # guarded by pytest goldens, trivially SQL-shaped)
-    "region_rollup": q_region_rollup,
+    # (lineitem_pricing_summary + revenue_join + region_rollup rotated to
+    # the tier-4a head: one r3-stale slot per r6 debut has to yield, and
+    # the TPC-H classics are the safest to wait a round — unchanged since
+    # r1, guarded by pytest goldens, trivially SQL-shaped)
     "local_supplier_volume": q_local_supplier_volume,
     "brand_revenue": q_brand_revenue,
     "text_char_stats": q_text_char_stats,
@@ -2437,6 +2458,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from tier 2b by the late containment/hard-negative debuts) ---
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
+    "region_rollup": q_region_rollup,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3348,6 +3370,42 @@ SELECT a.word AS word_a, b.word AS word_b,
        CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
 FROM pool a JOIN pool b ON a.word < b.word
 WHERE levenshtein(a.word, b.word) <= 1
+"""
+
+    # entity resolution = the fuzzy pool + a recursive-CTE transitive
+    # closure (the dedup_clusters technique) + min-string canonicals;
+    # values without a near-match are singleton entities of themselves
+    sql["entity_resolution"] = f"""
+WITH RECURSIVE
+words AS (
+  SELECT unnest({_DOC_TOKENS_SQL}) AS word FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM words GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 300)),
+pool AS (
+  SELECT DISTINCT word FROM (
+    SELECT word FROM vocab
+    UNION ALL
+    SELECT substring(word, 1, 1) || substring(word, 3) AS word
+    FROM vocab WHERE length(word) >= 5)),
+p AS (
+  SELECT a.word AS u, b.word AS v
+  FROM pool a JOIN pool b ON a.word < b.word
+  WHERE levenshtein(a.word, b.word) <= 1),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS word, MIN(root) AS entity_id FROM reach GROUP BY node),
+allv AS (
+  SELECT p.word AS value, coalesce(l.entity_id, p.word) AS entity_id
+  FROM pool p LEFT JOIN lab l ON l.word = p.word)
+SELECT value, entity_id,
+  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+FROM allv
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

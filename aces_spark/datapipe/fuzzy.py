@@ -129,3 +129,41 @@ def fuzzy_self_pairs(
     return fuzzy_join(df, df, col, col, max_dist=max_dist).filter(
         F.col("left_str") < F.col("right_str")
     )
+
+
+def resolve_entities(
+    df: DataFrame, col: str, *, max_dist: int = 1, max_iter: int = 50
+) -> DataFrame:
+    """Entity resolution over one string column: link every pair of
+    distinct values within edit distance ``max_dist`` (the symmetric-
+    delete blocked join above — never a cartesian), take the TRANSITIVE
+    closure, and label each value with its entity. Returns
+    ``(value, entity_id, entity_size)`` — ``entity_id`` the
+    lexicographically smallest member (the canonical surface form under
+    a min-rule), values with no near-match forming singleton entities.
+
+    The classic record-linkage composition: blocking → pairwise match →
+    clustering → canonicalization, each stage the repo's scale-safe
+    primitive (delete-variant equi-join; large-star/small-star
+    ``connected_components``, O(log² n) rounds with lineage truncation).
+    A min-string canonical is deliberately deterministic; smarter
+    canonicals (most frequent variant) are a ``keep_best``-style join
+    away and left to callers.
+    """
+    from .clusters import dedup_clusters
+
+    vals = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    pairs = fuzzy_self_pairs(vals, "value", max_dist=max_dist)
+    out = dedup_clusters(
+        vals, pairs, id_col="value", src="left_str", dst="right_str",
+        max_iter=max_iter,
+    )
+    return out.select(
+        F.col("doc_id").alias("value"),
+        F.col("cluster_id").alias("entity_id"),
+        F.col("cluster_size").cast("long").alias("entity_size"),
+    )

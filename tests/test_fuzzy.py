@@ -117,3 +117,79 @@ def test_fuzzy_join_rejects_pathological_lengths(spark):
     # under the cap: still works
     ok = spark.createDataFrame([("ok",), ("oak",)], "name string")
     assert fuzzy_self_pairs(ok, "name").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# resolve_entities: blocking -> match -> transitive closure -> canonical
+# ---------------------------------------------------------------------------
+
+from aces_spark.datapipe.fuzzy import resolve_entities
+
+
+def test_resolve_entities_transitive_chain(spark):
+    # cat~bat~bet chain must merge into ONE entity even though
+    # levenshtein(cat, bet) = 2 > max_dist
+    df = spark.createDataFrame(
+        [("cat",), ("bat",), ("bet",), ("zebra",), ("dog",), ("dog",)],
+        "value string",
+    )
+    got = {
+        r["value"]: (r["entity_id"], r["entity_size"])
+        for r in resolve_entities(df, "value").collect()
+    }
+    assert got == {
+        "cat": ("bat", 3),
+        "bat": ("bat", 3),
+        "bet": ("bat", 3),
+        "zebra": ("zebra", 1),
+        "dog": ("dog", 1),
+    }
+
+
+def test_resolve_entities_python_differential(spark):
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    base = ["alpha", "beta", "gamma", "delta", "omega"]
+    vals = set(base)
+    for w in base:  # deterministic 1-char perturbations
+        for i in range(1, len(w)):
+            if rng.random() < 0.5:
+                vals.add(w[:i] + w[i + 1:])
+    vals = sorted(vals)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    parent = {v: v for v in vals}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(vals, 2):
+        if lev(a, b) <= 1:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for v in vals:
+        groups.setdefault(find(v), []).append(v)
+    expect = {
+        v: (min(g), len(g)) for root, g in groups.items() for v in g
+    }
+
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    got = {
+        r["value"]: (r["entity_id"], r["entity_size"])
+        for r in resolve_entities(df, "value").collect()
+    }
+    assert got == expect
