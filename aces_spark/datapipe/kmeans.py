@@ -22,29 +22,107 @@ Determinism contract:
   identical in every engine, and the half-up floor snaps it integral.
 * Ties in assignment break on ``(distance, centroid_id)``.
 
-Scale shape: the assignment step is |vectors| × k rows of array math
-against a BROADCAST k-row centroid relation (zip_with/aggregate stay in
-whole-stage codegen); the update step is a (cluster, dim)-keyed aggregate
-with map-side partials. Each round's centroid relation is
-``localCheckpoint(eager=False)``-truncated so round r+1's plan does not
-replay round r's cross join. A cluster that loses every member simply
-disappears (standard empty-cluster dropout; reseeding strategies are
-non-deterministic and out of contract).
+Scale shape (the MLlib pattern, not a join): each round collects the
+k×dim centroid table to the driver (the sanctioned bounded hop — same
+policy as the PQ codebook and IVF centroid loads) and inlines it as
+PLAN LITERALS, so ASSIGNMENT IS MAP-ONLY — zero shuffle, zero row
+amplification. Two designs were measured and rejected first: a
+broadcast-centroid crossJoin + re-group shuffles the corpus
+k-fold-amplified (pathological at 2M×32), and an ``array_min`` over
+``transform``/``zip_with`` lambdas runs INTERPRETED with two array
+allocations per (row, centroid) — 2k vectors/s at 2M×32×16. The
+shipped form unrolls ``||v−c||² = ||v||² − 2·v·c + ||c||²`` into static
+whole-stage-codegen arithmetic over ``element_at`` terms (``||v||²``
+computed once per row, one literal dot product per centroid, ``||c||²``
+folded to a constant) with an ``F.least`` struct argmin — same exact
+bigint math, no allocations. The update step is one narrow
+``(cluster, dim)``-keyed aggregate with map-side partials; per round
+the corpus is scanned once and only k×dim partial rows move. A cluster
+that loses every member simply disappears (standard empty-cluster
+dropout; reseeding strategies are non-deterministic and out of
+contract).
+
+``k × dim`` is capped at 65,536 literal slots — beyond that the inline
+literals bloat codegen; a corpus needing more cells wants the IVF
+trainer (``similarity.py``), whose cell count scales with the data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long60
 
 __all__ = ["kmeans_clusters"]
 
+#: inline-literal budget: k*dim beyond this bloats the generated code
+MAX_LITERAL_SLOTS = 65_536
 
-def _sq_dist(a, b):
-    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
+    """Map-only assignment against inlined centroids, unrolled and
+    FACTORED for whole-stage codegen: ``dist_c = ||v||² − 2·(v·c) +
+    ||c||²`` with centroid coordinates as bigint literals and ``||c||²``
+    constant-folded driver-side. The three stages live in SEPARATE
+    projections (scalar coordinate columns → ``__vv`` + one dot column
+    per centroid → ``F.least`` struct argmin): CollapseProject declines
+    to inline a non-trivial alias referenced more than once, so ``__vv``
+    and each coordinate are evaluated exactly once per row (one fused
+    projection re-evaluated them k× — measured 2× slower, and the
+    lambda-based ``zip_with``/``aggregate`` form ran INTERPRETED with two
+    array allocations per (row, centroid): 150× slower at 2M×32×16).
+    ``F.least`` over ascending-cid ``(dist, cid)`` structs is the
+    lexicographic argmin with ties on the lowest centroid id. All terms
+    are exact bigint arithmetic on the micro-unit coordinates —
+    identical to the naive Σ(x−c)² expansion. Returns
+    ``(vec_id, __qv, __cid, __dist)``."""
+    cents = sorted(cent_rows)
+    dim = len(cents[0][1])
+    x = quant.select(
+        "vec_id",
+        "__qv",
+        *[F.element_at("__qv", d + 1).alias(f"__x{d}") for d in range(dim)],
+    )
+    vv = None
+    for d in range(dim):
+        e = F.col(f"__x{d}")
+        vv = e * e if vv is None else vv + e * e
+    dots = []
+    for cid, cv in cents:
+        dot = None
+        for d, c in enumerate(cv):
+            term = F.col(f"__x{d}") * F.lit(int(c)).cast("long")
+            dot = term if dot is None else dot + term
+        dots.append(dot.alias(f"__dot{cid}"))
+    x2 = x.select(
+        "vec_id",
+        "__qv",
+        vv.alias("__vv"),
+        *dots,
+        *[F.col(f"__x{d}") for d in range(dim)],
+    )
+    structs = []
+    for cid, cv in cents:
+        cc = sum(int(c) * int(c) for c in cv)
+        dist = (
+            F.col("__vv")
+            - F.lit(2).cast("long") * F.col(f"__dot{cid}")
+            + F.lit(cc).cast("long")
+        )
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(cid).cast("long").alias("cid"))
+        )
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    return x2.select(
+        "vec_id",
+        "__qv",
+        best["cid"].alias("__cid"),
+        best["dist"].alias("__dist"),
+        *[F.col(f"__x{d}") for d in range(dim)],
+    )
 
 
 def kmeans_clusters(
@@ -71,56 +149,54 @@ def kmeans_clusters(
         ).alias("__qv"),
     )
     # distributed top-k seed pick (TakeOrderedAndProject, never a global
-    # single-partition window over the corpus), then rank the k survivors
-    seeds = (
+    # single-partition window over the corpus); k rows land on the driver
+    seed_rows = (
         quant.select(md5_long60(F.col("vec_id")).alias("__h"), "vec_id", "__qv")
         .orderBy("__h", "vec_id")
         .limit(k)
+        .collect()
     )
-    # the row_number window runs over the k-row seed frame only — cheap
-    cent = seeds.select(
-        F.row_number()
-        .over(Window.orderBy("__h", "vec_id"))
-        .cast("long")
-        .alias("__cid"),
-        F.col("__qv").alias("__cv"),
-    )
-
-    def _assign(c):
-        scored = quant.crossJoin(F.broadcast(c)).select(
-            "vec_id",
-            "__qv",
-            "__cid",
-            _sq_dist(F.col("__qv"), F.col("__cv")).alias("__dist"),
+    if not seed_rows:
+        raise ValueError("kmeans_clusters: input has no vectors")
+    dim = len(seed_rows[0]["__qv"])
+    if k * dim > MAX_LITERAL_SLOTS:
+        raise ValueError(
+            f"kmeans_clusters: k*dim = {k * dim} exceeds the inline-literal "
+            f"budget ({MAX_LITERAL_SLOTS}); use the IVF trainer for large "
+            "cell counts"
         )
-        return (
-            # first(__qv) is safe: __qv is functionally dependent on vec_id
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("__dist", "__cid")).alias("__best"), F.first("__qv").alias("__qv"))
-            .select("vec_id", "__qv", F.col("__best.__cid").alias("__cid"), F.col("__best.__dist").alias("__dist"))
-        )
+    cent = [(i + 1, list(r["__qv"])) for i, r in enumerate(seed_rows)]
 
     for _ in range(n_iters):
-        assigned = _assign(cent)
-        per_dim = assigned.select(
-            "__cid", F.posexplode("__qv").alias("__d", "__x")
-        ).groupBy("__cid", "__d").agg(
-            F.floor(F.sum("__x").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
-            .cast("long")
-            .alias("__c")
-        )
-        cent = (
-            per_dim.groupBy("__cid")
+        # wide-aggregate update: dim sums + a count per cluster in ONE
+        # narrow k-group aggregate over the already-projected scalar
+        # coordinate columns (a posexplode-to-long-format update pushed
+        # n·dim generated rows through the shuffle — measured 2× slower
+        # at 2M×32); k rows land on the driver (the bounded hop)
+        dim = len(cent[0][1])
+        rows = (
+            _assigned(quant, cent)
+            .groupBy("__cid")
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__d", "__c"))),
-                    lambda s: s["__c"],
-                ).alias("__cv")
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(f"__x{d}").alias(f"__s{d}") for d in range(dim)],
             )
-            .localCheckpoint(eager=False)
+            .collect()
         )
-    final = _assign(cent)
-    return final.select(
+        cent = [
+            (
+                r["__cid"],
+                # float(sum) FIRST (the CAST-to-double in the SQL mirror),
+                # then IEEE division — int/int true division would round
+                # the exact quotient instead and can differ past 2^53
+                [
+                    int(math.floor(float(r[f"__s{d}"]) / r["__n"] + 0.5))
+                    for d in range(dim)
+                ],
+            )
+            for r in rows
+        ]
+    return _assigned(quant, cent).select(
         "vec_id",
         F.col("__cid").alias("cluster_id"),
         F.col("__dist").alias("dist_q"),
