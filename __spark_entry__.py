@@ -1745,6 +1745,18 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (datapipe.kmeans.semantic_dedup, Abbas et al. 2023):
+    k-means clusters linearize the quadratic cosine dedup, then the
+    keep-lowest-id rule prunes within-cluster near-duplicates at 0.4 on
+    the original double vectors. Oracle = the unrolled k-means CTEs plus
+    one pair-pruning CTE."""
+    from aces_spark.datapipe.kmeans import semantic_dedup
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, k=4, n_iters=2, threshold=0.4)
+
+
 def q_entity_resolution(spark, sf_dir):
     """Record linkage end-to-end (datapipe.fuzzy.resolve_entities):
     distance-1 links over the top-300 vocab plus injected typos (the
@@ -2399,6 +2411,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_selection": q_dsir_selection,
     "kmeans_clusters": q_kmeans_clusters,
     "entity_resolution": q_entity_resolution,
+    "semantic_dedup": q_semantic_dedup,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2420,12 +2433,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
-    # (lineitem_pricing_summary + revenue_join + region_rollup rotated to
-    # the tier-4a head: one r3-stale slot per r6 debut has to yield, and
-    # the TPC-H classics are the safest to wait a round — unchanged since
-    # r1, guarded by pytest goldens, trivially SQL-shaped)
+    # (lineitem_pricing_summary + revenue_join + region_rollup +
+    # brand_revenue rotated to the tier-4a head: one r3-stale slot per r6
+    # debut has to yield, and the TPC-H classics are the safest to wait a
+    # round — unchanged since r1, guarded by pytest goldens, trivially
+    # SQL-shaped)
     "local_supplier_volume": q_local_supplier_volume,
-    "brand_revenue": q_brand_revenue,
     "text_char_stats": q_text_char_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2459,6 +2472,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
+    "brand_revenue": q_brand_revenue,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -5442,7 +5456,7 @@ c{i} AS (
   SELECT a.cid, qd.d,
          CAST(floor(CAST(SUM(qd.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c
   FROM qd JOIN a{i} a USING (vec_id) GROUP BY a.cid, qd.d)"""
-    sql["kmeans_clusters"] = (
+    _km_prefix = (
         """WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -5465,11 +5479,38 @@ c0 AS (SELECT s.cid, qd.d, qd.x AS c FROM seeds s JOIN qd USING (vec_id)),"""
         + """,
 dist3 AS (
   SELECT qd.vec_id, c.cid, SUM((qd.x - c.c) * (qd.x - c.c)) AS dist
-  FROM qd JOIN c2 c USING (d) GROUP BY qd.vec_id, c.cid)
-SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(dist AS BIGINT) AS dist_q FROM (
-  SELECT vec_id, cid, dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM dist3) WHERE rn = 1
+  FROM qd JOIN c2 c USING (d) GROUP BY qd.vec_id, c.cid),
+a3 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dist3) WHERE rn = 1)"""
+    )
+    sql["kmeans_clusters"] = (
+        _km_prefix
+        + """
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(dist AS BIGINT) AS dist_q
+FROM a3
+"""
+    )
+
+    # SemDeDup = the k-means trajectory above + one within-cluster
+    # cosine-pruning CTE on the ORIGINAL double vectors (6-dp round, the
+    # cosine_dup_pairs contract); keep-lowest-id rule
+    sql["semantic_dedup"] = (
+        _km_prefix
+        + """,
+ev AS (
+  SELECT a3.vec_id, a3.cid, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM a3 JOIN embeddings e USING (vec_id)),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= 0.4)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+FROM ev WHERE vec_id NOT IN (SELECT vec_id FROM dom)
 """
     )
 

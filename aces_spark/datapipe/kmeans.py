@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long60
 
-__all__ = ["kmeans_clusters"]
+__all__ = ["kmeans_clusters", "semantic_dedup"]
 
 #: inline-literal budget: k*dim beyond this bloats the generated code
 MAX_LITERAL_SLOTS = 65_536
@@ -201,3 +201,68 @@ def kmeans_clusters(
         F.col("__cid").alias("cluster_id"),
         F.col("__dist").alias("dist_q"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then drop near-duplicates WITHIN each cluster — the
+    cluster stage turns the quadratic all-pairs cosine into per-cluster
+    work, the same linearization IVF gives ``cosine_dup_pairs`` but with
+    the deterministic first-class trainer above. Keeps vector ``v``
+    unless some ``u < v`` in the same cluster has
+    ``cosine(u, v) >= threshold`` (the keep-lowest-id rule — exactly
+    the repo's exact-dedup convention; the paper's keep-farthest-from-
+    centroid variant is a one-column change). Returns the KEPT set
+    ``(vec_id, cluster_id)``.
+
+    Cosine is computed on the ORIGINAL float vectors (cast to double,
+    sequential IEEE fold, 6-dp round — the ``cosine_dup_pairs``
+    contract); clustering uses the integer micro-unit coordinates, so
+    both stages are engine-exact and the whole pipeline unrolls into
+    the k-means oracle plus one pair-pruning CTE. Norms are computed
+    once per vector before the pair join (inside it they would be
+    recomputed |pairs| times).
+    """
+    from .similarity import _dot, _norm
+
+    assign = kmeans_clusters(vectors, k, n_iters, id_col, vec_col).select(
+        "vec_id", "cluster_id"
+    )
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+        )
+        .withColumn("__norm", _norm(F.col("__vec")))
+        .join(assign, "vec_id")
+    )
+    a = v.select(
+        "cluster_id",
+        F.col("vec_id").alias("__ida"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = v.select(
+        "cluster_id",
+        F.col("vec_id").alias("__idb"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    dominated = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(sim >= threshold)
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dominated, "vec_id", "left_anti")

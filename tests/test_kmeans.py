@@ -84,3 +84,55 @@ def test_kmeans_single_cluster_and_validation(spark):
         kmeans_clusters(df, k=0)
     with pytest.raises(ValueError):
         kmeans_clusters(df, k=2, n_iters=0)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup: cluster-then-prune (SemDeDup), python differential
+# ---------------------------------------------------------------------------
+
+from aces_spark.datapipe.kmeans import semantic_dedup
+
+
+def _py_semantic_dedup(rows, k, n_iters, threshold):
+    assigns = _py_kmeans(rows, k, n_iters)  # [(vid, cid, dist)]
+    cid_of = {vid: cid for vid, cid, _ in assigns}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    ids = sorted(vecs)
+    dominated = set()
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            if cid_of[u] == cid_of[v] and cos(vecs[u], vecs[v]) >= threshold:
+                dominated.add(v)
+    return sorted((vid, cid_of[vid]) for vid in ids if vid not in dominated)
+
+
+def test_semantic_dedup_differential(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        center = [(-0.4, 0.4), (0.3, -0.2), (0.0, 0.1)][i % 3]
+        rows.append(
+            (i, [round(center[j % 2] + rng.uniform(-0.08, 0.08), 6) for j in range(6)])
+        )
+    # planted exact near-dups: every 7th vector reappears barely perturbed
+    for i in range(0, 60, 7):
+        rows.append((1000 + i, [round(x + 1e-4, 6) for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in semantic_dedup(df, k=3, n_iters=2, threshold=0.999).collect()
+    )
+    expect = _py_semantic_dedup(rows, 3, 2, 0.999)
+    assert got == expect
+    # the planted copies share a cluster with their original and cosine
+    # ~1.0, so each pair must have lost exactly its higher id
+    kept = {v for v, _ in got}
+    for i in range(0, 60, 7):
+        assert i in kept and (1000 + i) not in kept
