@@ -1745,6 +1745,17 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval (datapipe.retrieval.phrase_match, Lucene
+    PhraseQuery semantics): positional postings pruned to the phrase's
+    terms, one (doc, pos+offset) equi-join per adjacency, occurrence
+    counts per document. Oracle: the same positional join over a
+    parallel-unnest token/position relation."""
+    from aces_spark.datapipe.retrieval import phrase_match
+
+    return phrase_match(_read_table(spark, sf_dir, "documents"), "table hash")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (datapipe.kmeans.semantic_dedup, Abbas et al. 2023):
     k-means clusters linearize the quadratic cosine dedup, then the
@@ -2412,6 +2423,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "entity_resolution": q_entity_resolution,
     "semantic_dedup": q_semantic_dedup,
+    "phrase_search": q_phrase_search,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2437,8 +2449,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # brand_revenue rotated to the tier-4a head: one r3-stale slot per r6
     # debut has to yield, and the TPC-H classics are the safest to wait a
     # round — unchanged since r1, guarded by pytest goldens, trivially
-    # SQL-shaped)
-    "local_supplier_volume": q_local_supplier_volume,
+    # SQL-shaped; local_supplier_volume joined them for the phrase_search
+    # debut)
     "text_char_stats": q_text_char_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2473,6 +2485,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
     "brand_revenue": q_brand_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3420,6 +3433,22 @@ allv AS (
 SELECT value, entity_id,
   CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
 FROM allv
+"""
+
+    # phrase search: positional postings (parallel unnest zips token and
+    # position), one (doc, pos+offset) equi-join per adjacency
+    sql["phrase_search"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({_DOC_TOKENS_SQL}) AS term,
+         unnest(generate_series(1, len({_DOC_TOKENS_SQL}))) AS pos
+  FROM documents
+  WHERE length({_DOC_NORM_SQL}) > 0),
+p0 AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'hash')
+SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos
+GROUP BY p0.doc_id
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

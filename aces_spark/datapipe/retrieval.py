@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "phrase_match"]
 
 
 def bm25_scores(
@@ -114,3 +114,47 @@ def bm25_scores(
             F.col("__score_u").desc(), F.col(id_col).asc()
         ).limit(top_k)
     return out.drop("__score_u")
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval over the positional index: documents where
+    the normalized token sequence contains the query tokens CONSECUTIVELY,
+    with the occurrence count. Output ``(doc_id, n_occurrences)`` — the
+    positional-postings query BM25's bag-of-words scoring cannot express
+    (Lucene's PhraseQuery).
+
+    Scale shape: the corpus explodes to positional postings ONCE, the
+    term filter keeps only the phrase's terms (at 100 TB the per-term
+    postings relation is |matching postings|, not |all postings| — the
+    bm25_scores pruning rule), and each adjacency is ONE equi-join on
+    ``(doc, position + offset)``: an m-token phrase is m−1 hash joins on
+    progressively smaller relations (each join can only shrink the
+    candidate set). Anchoring on the rarest term first is an index-time
+    statistics optimization left to callers; join order here is left to
+    Catalyst/AQE. No windows, no UDFs, no cartesians.
+    """
+    terms = (
+        [t for t in (w.strip().lower() for w in phrase.split()) if t]
+        if isinstance(phrase, str)
+        else [str(t).lower() for t in phrase]
+    )
+    if not terms:
+        raise ValueError("phrase_match: phrase must contain at least one token")
+    post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(norm_tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    cur = post.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -903,3 +903,43 @@ def test_hard_negatives_excludes_same_label(spark):
     # k beyond available negatives: returns what exists
     all3 = hard_negatives(emb, q, k=10).count()
     assert all3 == 3  # vecs 3, 4, 5 — never vec 2
+
+
+# ---------------------------------------------------------------------------
+# phrase_match: positional-index exact-phrase retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_match_counts_and_overlaps(spark):
+    from aces_spark.datapipe.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox; the quick dog"),
+            (2, "quick the fox"),
+            (3, "THE   Quick!"),
+            (4, "a a a a"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(docs, "the quick").collect()
+    }
+    assert got == {1: 2, 3: 1}
+    # overlapping occurrences each count (sliding positional windows)
+    got2 = {
+        r["doc_id"]: r["n_occurrences"] for r in phrase_match(docs, "a a").collect()
+    }
+    assert got2 == {4: 3}
+    # 3-token phrase and single-token degenerate case
+    assert phrase_match(docs, "the quick fox").count() == 1
+    assert {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(docs, ["quick"]).collect()
+    } == {1: 2, 2: 1, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_match(docs, "   ")
