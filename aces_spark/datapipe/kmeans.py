@@ -81,47 +81,45 @@ def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
     ``(vec_id, __qv, __cid, __dist)``."""
     cents = sorted(cent_rows)
     dim = len(cents[0][1])
-    x = quant.select(
+    # expressions are built as SQL STRINGS and shipped through ONE
+    # selectExpr per stage: composing them as Column objects costs one
+    # py4j round-trip per node (~700 for k=4, dim=64 — measured 3.6 s of
+    # pure DataFrame CONSTRUCTION per iteration before anything ran)
+    x = quant.selectExpr(
         "vec_id",
         "__qv",
-        *[F.element_at("__qv", d + 1).alias(f"__x{d}") for d in range(dim)],
+        *[f"element_at(__qv, {d + 1}) AS __x{d}" for d in range(dim)],
     )
-    vv = None
-    for d in range(dim):
-        e = F.col(f"__x{d}")
-        vv = e * e if vv is None else vv + e * e
-    dots = []
-    for cid, cv in cents:
-        dot = None
-        for d, c in enumerate(cv):
-            term = F.col(f"__x{d}") * F.lit(int(c)).cast("long")
-            dot = term if dot is None else dot + term
-        dots.append(dot.alias(f"__dot{cid}"))
-    x2 = x.select(
+    vv_sql = " + ".join(f"__x{d} * __x{d}" for d in range(dim))
+    dot_sqls = [
+        " + ".join(f"__x{d} * {int(c)}L" for d, c in enumerate(cv))
+        + f" AS __dot{cid}"
+        for cid, cv in cents
+    ]
+    x2 = x.selectExpr(
         "vec_id",
         "__qv",
-        vv.alias("__vv"),
-        *dots,
-        *[F.col(f"__x{d}") for d in range(dim)],
+        f"{vv_sql} AS __vv",
+        *dot_sqls,
+        *[f"__x{d}" for d in range(dim)],
     )
-    structs = []
-    for cid, cv in cents:
-        cc = sum(int(c) * int(c) for c in cv)
-        dist = (
-            F.col("__vv")
-            - F.lit(2).cast("long") * F.col(f"__dot{cid}")
-            + F.lit(cc).cast("long")
+    struct_sqls = [
+        "named_struct('dist', __vv - 2L * __dot{cid} + {cc}L, 'cid', {cid}L)".format(
+            cid=cid, cc=sum(int(c) * int(c) for c in cv)
         )
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(cid).cast("long").alias("cid"))
-        )
-    best = structs[0] if len(structs) == 1 else F.least(*structs)
-    return x2.select(
+        for cid, cv in cents
+    ]
+    best = (
+        struct_sqls[0]
+        if len(struct_sqls) == 1
+        else "least(" + ", ".join(struct_sqls) + ")"
+    )
+    return x2.selectExpr(
         "vec_id",
         "__qv",
-        best["cid"].alias("__cid"),
-        best["dist"].alias("__dist"),
-        *[F.col(f"__x{d}") for d in range(dim)],
+        f"({best}).cid AS __cid",
+        f"({best}).dist AS __dist",
+        *[f"__x{d}" for d in range(dim)],
     )
 
 
@@ -223,17 +221,27 @@ def semantic_dedup(
     ``(vec_id, cluster_id)``.
 
     Cosine is computed on the ORIGINAL float vectors (cast to double,
-    sequential IEEE fold, 6-dp round — the ``cosine_dup_pairs``
-    contract); clustering uses the integer micro-unit coordinates, so
-    both stages are engine-exact and the whole pipeline unrolls into
-    the k-means oracle plus one pair-pruning CTE. Norms are computed
-    once per vector before the pair join (inside it they would be
-    recomputed |pairs| times).
+    sequential left-to-right IEEE sum, 6-dp round — the
+    ``cosine_dup_pairs`` contract, here UNROLLED into static codegen
+    arithmetic because the lambda fold runs interpreted and the pair
+    join is the hot path); clustering uses the integer micro-unit
+    coordinates, so both stages are engine-exact and the whole pipeline
+    unrolls into the k-means oracle plus one pair-pruning CTE. Norms
+    are computed once per vector before the pair join (inside it they
+    would be recomputed |pairs| times), and the assignment relation is
+    lineage-truncated before the self-join — without it Catalyst plans
+    the entire k-means trajectory into BOTH join branches (measured 20 s
+    → ~2 s at sf0.1).
     """
-    from .similarity import _dot, _norm
+    from .similarity import _norm
 
-    assign = kmeans_clusters(vectors, k, n_iters, id_col, vec_col).select(
-        "vec_id", "cluster_id"
+    # truncate ONCE here: assign feeds both the pair join (via v) and the
+    # final anti-join — un-checkpointed, the whole k-means assignment
+    # evaluates twice
+    assign = (
+        kmeans_clusters(vectors, k, n_iters, id_col, vec_col)
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=False)
     )
     v = (
         vectors.select(
@@ -242,26 +250,37 @@ def semantic_dedup(
         )
         .withColumn("__norm", _norm(F.col("__vec")))
         .join(assign, "vec_id")
+        .localCheckpoint(eager=False)
     )
-    a = v.select(
-        "cluster_id",
-        F.col("vec_id").alias("__ida"),
-        F.col("__vec").alias("__va"),
-        F.col("__norm").alias("__na"),
+    head = vectors.select(vec_col).first()
+    if head is None:
+        return assign  # empty corpus: nothing to prune
+    dim = len(head[0])
+    # coordinates flatten to scalar columns BEFORE the pair join (once
+    # per vector, not per pair): element_at inside the post-join
+    # projection ran 5× slower than this shape at 1M pairs — per-pair
+    # array access does not codegen into tight arithmetic the way plain
+    # scalar columns do (the kmeans factoring lesson, applied to a
+    # self-join). The dot is then one left-to-right scalar sum —
+    # identical addition order to the _dot lambda fold and DuckDB's
+    # list_dot_product. Expression strings, not Column composition
+    # (py4j round-trip per node).
+    a_cols = [f"element_at(__vec, {d + 1}) AS __a{d}" for d in range(dim)]
+    b_cols = [f"element_at(__vec, {d + 1}) AS __b{d}" for d in range(dim)]
+    va = v.selectExpr(
+        "cluster_id", "vec_id AS __ida", "__norm AS __na", *a_cols
     )
-    b = v.select(
-        "cluster_id",
-        F.col("vec_id").alias("__idb"),
-        F.col("__vec").alias("__vb"),
-        F.col("__norm").alias("__nb"),
+    vb = v.selectExpr(
+        "cluster_id", "vec_id AS __idb", "__norm AS __nb", *b_cols
     )
-    sim = F.round(
-        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
-    )
+    dot_sql = " + ".join(f"__a{d} * __b{d}" for d in range(dim))
     dominated = (
-        a.join(b, "cluster_id")
+        va.join(vb, "cluster_id")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(sim >= threshold)
+        .selectExpr(
+            "__idb", f"round(({dot_sql}) / (__na * __nb), 6) AS __sim"
+        )
+        .filter(F.col("__sim") >= threshold)
         .select(F.col("__idb").alias("vec_id"))
         .distinct()
     )
