@@ -556,36 +556,57 @@ def cosine_dup_pairs(
     variant. Recall is tuned with ``n_cells`` (fewer cells = higher
     recall, bigger buckets).
     """
+    head = vectors.select(vec_col).first()
+    if head is None:
+        spark = vectors.sparkSession
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine_sim double"
+        )
+    dim = len(head[0])
     cents = _resolve_centroids(
         vectors, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
     cells = assign_cells(vectors, cents, id_col, vec_col)
     # precompute each vector's norm ONCE — inside the pair join it would be
-    # recomputed |pairs| times (3× the arithmetic for 64-dim vectors)
+    # recomputed |pairs| times (3× the arithmetic for 64-dim vectors) —
+    # and flatten coordinates to DOUBLE scalar columns BEFORE the pair
+    # join: per-pair element_at does not codegen into tight arithmetic
+    # (measured 5× slower at 1M pairs — the semantic_dedup lesson), and
+    # float32 inputs widened to double make every product EXACT, matching
+    # the all-double oracle arithmetic bit for bit. Expression strings,
+    # not Column composition (py4j round-trip per node).
     v = (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
         .withColumn("__norm", _norm(F.col("__vec")))
         .join(cells, "vec_id")
     )
-    a = v.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("__vec").alias("__va"),
-        F.col("__norm").alias("__na"),
+    a = v.selectExpr(
+        "cell_id",
+        "vec_id AS vec_a",
+        "__norm AS __na",
+        *[
+            f"CAST(element_at(__vec, {d + 1}) AS DOUBLE) AS __a{d}"
+            for d in range(dim)
+        ],
     )
-    b = v.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("__vec").alias("__vb"),
-        F.col("__norm").alias("__nb"),
+    b = v.selectExpr(
+        "cell_id",
+        "vec_id AS vec_b",
+        "__norm AS __nb",
+        *[
+            f"CAST(element_at(__vec, {d + 1}) AS DOUBLE) AS __b{d}"
+            for d in range(dim)
+        ],
     )
-    sim = F.round(
-        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
-    )
+    dot_sql = " + ".join(f"__a{d} * __b{d}" for d in range(dim))
     return (
         a.join(b, on="cell_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            f"round(({dot_sql}) / (__na * __nb), 6) AS cosine_sim",
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
