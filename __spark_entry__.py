@@ -1745,6 +1745,20 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Per-language distinctive vocabulary (datapipe.text
+    .distinctive_terms, Monroe et al. "fightin' words" simplified):
+    add-1-smoothed log-odds of each word in a language vs the rest of
+    the corpus, integer micro-nats, top-5 per language. One corpus
+    tokenize, then pure window functions over the (domain, word) count
+    relation — no joins."""
+    from aces_spark.datapipe.text import distinctive_terms
+
+    return distinctive_terms(
+        _read_table(spark, sf_dir, "documents"), "lang", "text", k=5
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval (datapipe.retrieval.phrase_match, Lucene
     PhraseQuery semantics): positional postings pruned to the phrase's
@@ -2424,6 +2438,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution": q_entity_resolution,
     "semantic_dedup": q_semantic_dedup,
     "phrase_search": q_phrase_search,
+    "distinctive_terms": q_distinctive_terms,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2456,7 +2471,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_counts": q_token_counts,
     "html_extract": q_html_extract,
-    "doc_length_quantiles": q_doc_length_quantiles,
+    # (doc_length_quantiles yielded its slot to the distinctive_terms
+    # debut — same one-slot-per-debut rule as the TPC-H classics above)
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
     "static_filter": q_static_filter,
@@ -2486,6 +2502,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_rollup": q_region_rollup,
     "brand_revenue": q_brand_revenue,
     "local_supplier_volume": q_local_supplier_volume,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3449,6 +3466,31 @@ p1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'hash')
 SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos
 GROUP BY p0.doc_id
+"""
+
+    # distinctive terms: one (domain, word) count aggregate, then pure
+    # window functions; every ln argument is an integer and each term
+    # snaps to micro-nats independently (the char_entropy contract)
+    sql["distinctive_terms"] = f"""
+WITH toks AS (
+  SELECT lang AS domain, unnest({_DOC_TOKENS_SQL}) AS word
+  FROM documents
+  WHERE lang IS NOT NULL AND length({_DOC_NORM_SQL}) > 0),
+c AS (
+  SELECT domain, word, CAST(COUNT(*) AS BIGINT) AS n_domain
+  FROM toks GROUP BY domain, word),
+scored AS (
+  SELECT domain, word, n_domain,
+      CAST(floor(ln(n_domain + 1) * 1000000 + 0.5) AS BIGINT)
+    - CAST(floor(ln(SUM(n_domain) OVER (PARTITION BY domain) + 1) * 1000000 + 0.5) AS BIGINT)
+    - CAST(floor(ln(SUM(n_domain) OVER (PARTITION BY word) - n_domain + 1) * 1000000 + 0.5) AS BIGINT)
+    + CAST(floor(ln(SUM(n_domain) OVER () - SUM(n_domain) OVER (PARTITION BY domain) + 1) * 1000000 + 0.5) AS BIGINT)
+      AS delta_u
+  FROM c)
+SELECT domain, word, n_domain, delta_u FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY domain ORDER BY delta_u DESC, word ASC) AS rk
+  FROM scored) WHERE rk <= 5
 """
 
     # PII scrub over the PII-injected corpus: counts + redacted digest.

@@ -413,3 +413,63 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             "entropy_nats"
         ),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-domain distinctive vocabulary: for each domain, the ``k``
+    words whose smoothed log-odds most favor that domain over the REST
+    of the corpus — the Monroe et al. (2008) "fightin' words" analysis
+    in its engine-portable form. Output ``(domain, word, n_domain,
+    delta_u)``, ``delta_u`` the add-1-smoothed log-frequency-ratio
+    ``ln((c+1)/(T_d+1)) − ln((r+1)/(T_r+1))`` in integer micro-nats
+    (every ``ln`` argument is an integer count and each term snaps
+    independently — the char_entropy contract; the full Monroe
+    variance normalization is monotone per word and omitted), ordered
+    (delta desc, word asc) per domain.
+
+    Scale shape: ONE corpus tokenize → one (domain, word) count
+    aggregate, then everything else is window functions OVER THAT
+    |domains|·|vocab|-bounded relation (domain totals, global word
+    counts, the corpus total, and the per-domain top-k rank) — the
+    corpus is scanned once and never joined.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(norm_tokens(text_col)).alias("word"),
+    ).filter(F.col("domain").isNotNull())
+    c = toks.groupBy("domain", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_domain")
+    )
+
+    def _lnu(x):
+        return F.floor(F.log(x.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    t_d = F.expr("sum(n_domain) OVER (PARTITION BY domain)")
+    g_w = F.expr("sum(n_domain) OVER (PARTITION BY word)")
+    t_all = F.expr("sum(n_domain) OVER ()")
+    scored = c.select(
+        "domain",
+        "word",
+        "n_domain",
+        (
+            _lnu(F.col("n_domain") + 1)
+            - _lnu(t_d + 1)
+            - _lnu(g_w - F.col("n_domain") + 1)
+            + _lnu(t_all - t_d + 1)
+        ).alias("delta_u"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("delta_u"), F.asc("word")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -943,3 +943,58 @@ def test_phrase_match_counts_and_overlaps(spark):
 
     with _pytest.raises(ValueError):
         phrase_match(docs, "   ")
+
+
+def test_distinctive_terms_python_differential(spark):
+    import math as _math
+    import random as _random
+    from collections import Counter
+
+    from aces_spark.datapipe.text import distinctive_terms
+
+    rng = _random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        dom = ["a", "b", "c"][i % 3]
+        # domain-skewed draw so the log-odds have real structure
+        pool = vocab[:6] if dom == "a" else (vocab[4:10] if dom == "b" else vocab)
+        rows.append((i, dom, " ".join(rng.choice(pool) for _ in range(15))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def lnu(n):
+        return _math.floor(_math.log(n) * 1_000_000 + 0.5)
+
+    cnt = Counter()
+    for _, dom, text in rows:
+        for w in text.split():
+            cnt[(dom, w)] += 1
+    t_d = Counter()
+    g_w = Counter()
+    for (dom, w), n in cnt.items():
+        t_d[dom] += n
+        g_w[w] += n
+    t_all = sum(cnt.values())
+    expect = {}
+    for (dom, w), n in cnt.items():
+        delta = (
+            lnu(n + 1)
+            - lnu(t_d[dom] + 1)
+            - lnu(g_w[w] - n + 1)
+            + lnu(t_all - t_d[dom] + 1)
+        )
+        expect.setdefault(dom, []).append((-delta, w, n))
+    top = {
+        dom: [(w, n, -nd) for nd, w, n in sorted(v)[:5]]
+        for dom, v in expect.items()
+    }
+
+    got = {}
+    for r in distinctive_terms(docs, "lang", "text", k=5).collect():
+        got.setdefault(r["domain"], []).append(
+            (r["word"], r["n_domain"], r["delta_u"])
+        )
+    # row order within a domain is not contractual — compare rank-sorted
+    for dom in got:
+        got[dom].sort(key=lambda t: (-t[2], t[0]))
+    assert got == top
