@@ -1773,6 +1773,19 @@ def q_value_trend(spark, sf_dir):
     return group_linear_trend(ev, "user_id")
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Per-language percentile-rank normalization of document length
+    (functions.features.rank_normalize): competition ranks scaled to
+    integer basis points by one non-negative floor division — the
+    distribution-free feature transform. One exchange on the group key."""
+    from aces_spark.functions.features import rank_normalize
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return rank_normalize(docs, "lang", "n_chars")
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Per-language distinctive vocabulary (datapipe.text
     .distinctive_terms, Monroe et al. "fightin' words" simplified):
@@ -2468,6 +2481,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "distinctive_terms": q_distinctive_terms,
     "ivf_append_topk": q_ivf_append_topk,
+    "rank_normalize": q_rank_normalize,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2498,10 +2512,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_char_stats": q_text_char_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
-    "token_counts": q_token_counts,
-    # (html_extract + doc_length_quantiles yielded their slots to the
-    # distinctive_terms / ivf_append_topk debuts — same one-slot-per-debut
-    # rule as the TPC-H classics above)
+    # (token_counts + html_extract + doc_length_quantiles yielded their
+    # slots to the distinctive_terms / ivf_append_topk / rank_normalize
+    # debuts — same one-slot-per-debut rule as the TPC-H classics above)
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
     "static_filter": q_static_filter,
@@ -2533,6 +2546,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "doc_length_quantiles": q_doc_length_quantiles,
     "html_extract": q_html_extract,
+    "token_counts": q_token_counts,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3496,6 +3510,17 @@ p1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'hash')
 SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos
 GROUP BY p0.doc_id
+"""
+
+    # rank normalization: competition rank + group size windows, one
+    # non-negative integer floor division (Spark div ≡ DuckDB //)
+    sql["rank_normalize"] = """
+SELECT doc_id, lang, n_chars,
+  CAST(CASE WHEN COUNT(*) OVER (PARTITION BY lang) > 1
+       THEN ((RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * 10000)
+            // (COUNT(*) OVER (PARTITION BY lang) - 1)
+       ELSE 0 END AS BIGINT) AS pct_bp
+FROM documents
 """
 
     # distinctive terms: one (domain, word) count aggregate, then pure

@@ -189,3 +189,35 @@ def mllib_minhash_dup_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str = "pct_bp",
+) -> DataFrame:
+    """Per-group rank normalization: each row's percentile rank within
+    its group in INTEGER basis points — ``(rank − 1) · 10000 div
+    (n − 1)`` with competition ranking (ties share a rank), single-row
+    groups pinned to 0. The distribution-free feature transform
+    (quantile/rank normalization) that makes heavy-tailed columns
+    comparable across groups before training.
+
+    Engine-exact by construction: rank and group size are integers, the
+    scale is one integer floor-division on non-negative operands (Spark
+    trunc ≡ DuckDB floor), and tie handling is data-determined (no
+    row_number over equal keys). One exchange on the group key, shared
+    by both windows.
+    """
+    rk = F.rank().over(Window.partitionBy(key_col).orderBy(value_col))
+    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    pct = F.when(n > 1, F.expr(f"(({out_col}__rk - 1) * 10000) div ({out_col}__n - 1)")).otherwise(
+        F.lit(0)
+    )
+    return (
+        df.withColumn(f"{out_col}__rk", rk.cast("long"))
+        .withColumn(f"{out_col}__n", n.cast("long"))
+        .withColumn(out_col, pct.cast("long"))
+        .drop(f"{out_col}__rk", f"{out_col}__n")
+    )

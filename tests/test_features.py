@@ -133,3 +133,22 @@ def test_mllib_minhash_dup_pairs(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_rank_normalize_basis_points(spark):
+    from pyspark.sql import functions as F
+
+    from aces_spark.functions.features import rank_normalize
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 40.0), ("a", 5, 50.0),
+        ("b", 6, 7.0),                                   # singleton -> 0
+        ("c", 7, 1.0), ("c", 8, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    got = {r["rid"]: r["pct_bp"] for r in rank_normalize(df, "grp", "v").collect()}
+    # group a, n=5: ranks 1,2,2,4,5 -> (rk-1)*10000 div 4
+    assert got[1] == 0 and got[2] == 2500 and got[3] == 2500
+    assert got[4] == 7500 and got[5] == 10000
+    assert got[6] == 0
+    assert got[7] == 0 and got[8] == 10000
