@@ -42,9 +42,12 @@ that loses every member simply disappears (standard empty-cluster
 dropout; reseeding strategies are non-deterministic and out of
 contract).
 
-``k × dim`` is capped at 65,536 literal slots — beyond that the inline
-literals bloat codegen; a corpus needing more cells wants the IVF
-trainer (``similarity.py``), whose cell count scales with the data.
+``k × dim`` is capped at 4,096 literal slots: beyond that the generated
+argmin source grows to megabytes, Janino compilation goes superlinear
+(and at k=200·dim=32 crashed a default-heap driver), so the cap fails
+fast with a pointer at the IVF trainer (``similarity.py``) — the right
+tool for production cell counts, at the cost of the exact-integer
+oracle contract this module exists to provide.
 """
 
 from __future__ import annotations
@@ -58,8 +61,15 @@ from ..functions.hashing import md5_long60
 
 __all__ = ["kmeans_clusters", "semantic_dedup"]
 
-#: inline-literal budget: k*dim beyond this bloats the generated code
-MAX_LITERAL_SLOTS = 65_536
+#: inline-literal budget (k·dim). The measured cliff: at k·dim ≈ 6400
+#: (k=200, dim=32) the generated source for the argmin reaches ~2 MB and
+#: Janino compilation degrades from seconds to minutes — and crashed the
+#: driver JVM outright on a default heap. k·dim ≤ 4096 (e.g. 64 cells at
+#: dim 64) stays comfortably inside whole-stage codegen; corpora needing
+#: more cells want the MLlib IVF trainer (similarity.py), whose cell
+#: count scales with the data and which this module's semantic_dedup
+#: mirrors via cosine_dup_pairs(quantizer="kmeans").
+MAX_LITERAL_SLOTS = 4_096
 
 
 def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
@@ -78,7 +88,7 @@ def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
     lexicographic argmin with ties on the lowest centroid id. All terms
     are exact bigint arithmetic on the micro-unit coordinates —
     identical to the naive Σ(x−c)² expansion. Returns
-    ``(vec_id, __qv, __cid, __dist)``."""
+    ``(vec_id, __cid, __dist, __x0..__x{dim-1})``."""
     cents = sorted(cent_rows)
     dim = len(cents[0][1])
     # expressions are built as SQL STRINGS and shipped through ONE
@@ -87,38 +97,53 @@ def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
     # pure DataFrame CONSTRUCTION per iteration before anything ran)
     x = quant.selectExpr(
         "vec_id",
-        "__qv",
         *[f"element_at(__qv, {d + 1}) AS __x{d}" for d in range(dim)],
     )
     vv_sql = " + ".join(f"__x{d} * __x{d}" for d in range(dim))
-    dot_sqls = [
+    x2 = x.selectExpr(
+        "vec_id",
+        f"{vv_sql} AS __vv",
+        *[f"__x{d}" for d in range(dim)],
+    )
+
+    # STRUCT-FREE argmin: minimizing ``dist_c = ||v||² − 2·v·c + ||c||²``
+    # is maximizing the scalar score ``s_c = 2·v·c − ||c||²``, so the
+    # argmin is ``greatest`` over k plain bigint columns plus a
+    # first-match CASE chain recovering the centroid id (first match ≡
+    # lowest cid on ties — the documented tie-break). A least() over k
+    # inlined (dist, cid) STRUCTS was measured 14× slower than the same
+    # dots as plain scalar columns (per-row struct allocation + Least's
+    # unsplittable codegen falls interpreted near k≈100); Greatest and
+    # CaseWhen both split their generated code, so this shape stays in
+    # whole-stage codegen at any k the literal budget admits. Each
+    # __dot column is referenced twice (greatest + CASE), which also
+    # stops CollapseProject from re-merging the dot projection into one
+    # giant expression.
+    dots = [
         " + ".join(f"__x{d} * {int(c)}L" for d, c in enumerate(cv))
         + f" AS __dot{cid}"
         for cid, cv in cents
     ]
-    x2 = x.selectExpr(
-        "vec_id",
-        "__qv",
-        f"{vv_sql} AS __vv",
-        *dot_sqls,
-        *[f"__x{d}" for d in range(dim)],
-    )
-    struct_sqls = [
-        "named_struct('dist', __vv - 2L * __dot{cid} + {cc}L, 'cid', {cid}L)".format(
-            cid=cid, cc=sum(int(c) * int(c) for c in cv)
-        )
+    x3 = x2.selectExpr("vec_id", "__vv", *dots, *[f"__x{d}" for d in range(dim)])
+    score = {
+        cid: f"2L * __dot{cid} - {sum(int(c) * int(c) for c in cv)}L"
         for cid, cv in cents
-    ]
+    }
     best = (
-        struct_sqls[0]
-        if len(struct_sqls) == 1
-        else "least(" + ", ".join(struct_sqls) + ")"
+        next(iter(score.values()))
+        if len(cents) == 1
+        else "greatest(" + ", ".join(score.values()) + ")"
     )
-    return x2.selectExpr(
+    x4 = x3.selectExpr("*", f"{best} AS __best")
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {score[cid]} = __best THEN {cid}L" for cid, _ in cents)
+        + " END"
+    )
+    return x4.selectExpr(
         "vec_id",
-        "__qv",
-        f"({best}).cid AS __cid",
-        f"({best}).dist AS __dist",
+        f"{case} AS __cid",
+        "__vv - __best AS __dist",
         *[f"__x{d}" for d in range(dim)],
     )
 
