@@ -861,6 +861,27 @@ def q_fuzzy_vocab_pairs(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (datapipe.fuzzy
+    .sorted_neighborhood_pairs, Hernández-Stolfo): distance-≤2 pairs
+    among each value's 3 sorted neighbors within 2-char prefix blocks,
+    over the vocab + injected-typo pool — the O(w)-per-value blocker
+    complementing symmetric-delete. The oracle mirrors the window join
+    with a rank-difference BETWEEN join over the tiny pool."""
+    from aces_spark.datapipe.fuzzy import sorted_neighborhood_pairs
+    from aces_spark.datapipe.text import vocab_top_k
+
+    vocab = vocab_top_k(
+        _read_table(spark, sf_dir, "documents"), k=300
+    ).select("word")
+    typos = vocab.filter(F.length("word") >= 5).select(
+        F.concat(F.substring("word", 1, 1), F.expr("substring(word, 3)")).alias("word")
+    )
+    return sorted_neighborhood_pairs(
+        vocab.union(typos), "word", window=3, max_dist=2, prefix=2
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental-ingest dedup (datapipe.dedup.dedup_against): a new
     batch of perturbed copies (exact dups of every 5th corpus doc, dropped
@@ -2482,6 +2503,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinctive_terms": q_distinctive_terms,
     "ivf_append_topk": q_ivf_append_topk,
     "rank_normalize": q_rank_normalize,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "time_weighted_avg": q_time_weighted_avg,
     "coverage_select": q_coverage_select,
     "domain_temperature_mix": q_domain_temperature_mix,
@@ -2511,10 +2533,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # debut)
     "text_char_stats": q_text_char_stats,
     "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    # (token_counts + html_extract + doc_length_quantiles yielded their
-    # slots to the distinctive_terms / ivf_append_topk / rank_normalize
-    # debuts — same one-slot-per-debut rule as the TPC-H classics above)
+    # (doc_fingerprint + token_counts + html_extract +
+    # doc_length_quantiles yielded their slots to the sorted_neighborhood
+    # / distinctive_terms / ivf_append_topk / rank_normalize debuts —
+    # same one-slot-per-debut rule as the TPC-H classics above)
     "predicate_regex_anyof": q_predicate_regex_anyof,
     "special_predicates": q_special_predicates,
     "static_filter": q_static_filter,
@@ -2547,6 +2569,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "html_extract": q_html_extract,
     "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -3458,6 +3481,33 @@ SELECT a.word AS word_a, b.word AS word_b,
        CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
 FROM pool a JOIN pool b ON a.word < b.word
 WHERE levenshtein(a.word, b.word) <= 1
+"""
+
+    # sorted-neighborhood: prefix blocks + rank window, neighbor join as
+    # a rank-difference BETWEEN join (tiny pool), exact levenshtein
+    sql["sorted_neighborhood"] = f"""
+WITH words AS (
+  SELECT unnest({_DOC_TOKENS_SQL}) AS word FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM words GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 300)),
+pool AS (
+  SELECT DISTINCT word FROM (
+    SELECT word FROM vocab
+    UNION ALL
+    SELECT substring(word, 1, 1) || substring(word, 3) AS word
+    FROM vocab WHERE length(word) >= 5)),
+p AS (
+  SELECT word AS value, substring(word, 1, 2) AS blk,
+         row_number() OVER (
+           PARTITION BY substring(word, 1, 2) ORDER BY word) AS rk
+  FROM pool)
+SELECT a.value AS left_str, b.value AS right_str,
+       CAST(levenshtein(a.value, b.value) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 3
+WHERE levenshtein(a.value, b.value) <= 2
 """
 
     # entity resolution = the fuzzy pool + a recursive-CTE transitive

@@ -167,3 +167,73 @@ def resolve_entities(
         F.col("cluster_id").alias("entity_id"),
         F.col("cluster_size").cast("long").alias("entity_size"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    col: str,
+    *,
+    window: int = 3,
+    max_dist: int = 2,
+    prefix: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort the
+    distinct values, compare each only against its ``window`` following
+    neighbors, verify with exact ``levenshtein``. Returns
+    ``(left_str, right_str, dist)`` with ``left_str < right_str``.
+
+    The complementary blocker to :func:`fuzzy_join`: symmetric-delete
+    explodes ~``len^k`` variants per string (hard-capped at 512 chars)
+    and guarantees recall 1.0 for edit distance; sorted-neighborhood
+    costs O(w) comparisons per value at ANY length and ANY distance
+    function, but recall is heuristic — near-matches sorting far apart
+    (e.g. a first-character typo) are missed, the classic trade-off.
+
+    Scale shape: values first block on their ``prefix``-char key, the
+    sort + rank window runs WITHIN blocks (parallel across blocks — a
+    single global sort window would serialize the corpus through one
+    partition), and the neighbor join is one equi-join on
+    ``(block, rank bucket)`` realized as ``window`` rank-shifted copies
+    of the (value, rank) relation — rows ~ |values|·w, never quadratic.
+    Pairs straddling a block boundary are missed like any blocking
+    scheme's; shrink ``prefix`` (bigger blocks) or union with
+    :func:`fuzzy_self_pairs` when recall matters more than cost.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if prefix < 1:
+        raise ValueError("prefix must be >= 1")
+    from pyspark.sql import Window as W
+
+    vals = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .select(
+            "value", F.substring("value", 1, prefix).alias("__blk")
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(W.partitionBy("__blk").orderBy("value")),
+        )
+        # referenced 1 + window times below — truncate or Catalyst plans
+        # the distinct + rank pipeline once per shifted copy
+        .localCheckpoint(eager=False)
+    )
+    left = vals.select("__blk", F.col("value").alias("left_str"), "__rk")
+    pairs = None
+    for off in range(1, window + 1):
+        right = vals.select(
+            "__blk",
+            F.col("value").alias("right_str"),
+            (F.col("__rk") - off).alias("__rk"),
+        )
+        p = left.join(right, ["__blk", "__rk"]).select("left_str", "right_str")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.withColumn("dist", F.levenshtein("left_str", "right_str"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "left_str", "right_str", F.col("dist").cast("long").alias("dist")
+        )
+    )

@@ -193,3 +193,57 @@ def test_resolve_entities_python_differential(spark):
         for r in resolve_entities(df, "value").collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs: blocking-window differential
+# ---------------------------------------------------------------------------
+
+from aces_spark.datapipe.fuzzy import sorted_neighborhood_pairs
+
+
+def _py_snm(values, window, max_dist, prefix):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    blocks = {}
+    for v in sorted(set(values)):
+        blocks.setdefault(v[:prefix], []).append(v)
+    out = set()
+    for vs in blocks.values():
+        for i, a in enumerate(vs):
+            for b in vs[i + 1 : i + 1 + window]:
+                d = lev(a, b)
+                if d <= max_dist:
+                    out.add((a, b, d))
+    return out
+
+
+def test_sorted_neighborhood_differential(spark):
+    import random
+
+    rng = random.Random(17)
+    base = ["market", "martin", "marten", "garden", "gardon", "guards",
+            "stream", "streams", "striker", "strike"]
+    vals = list(base)
+    for w in base:
+        if rng.random() < 0.7:
+            i = rng.randrange(1, len(w))
+            vals.append(w[:i] + w[i + 1:])  # deletion typo, same first char
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    got = {
+        (r["left_str"], r["right_str"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "value", window=3, max_dist=2, prefix=2
+        ).collect()
+    }
+    assert got == _py_snm(vals, 3, 2, 2)
+    assert got  # non-vacuous: the planted typos sort adjacent
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "value", window=0)
