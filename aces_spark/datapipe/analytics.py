@@ -423,8 +423,14 @@ def covisitation(
     cap turns the per-key quadratic blowup (a 10⁶-item crawler key would
     emit 10¹² pairs) into ≤ cap² bounded work, the standard production
     mitigation. The pair join is key-keyed (co-partitioned equi-join).
+    The capped relation feeds BOTH sides of the self-join, so its
+    lineage is truncated once (lazy localCheckpoint) — without it
+    Catalyst replays the dedup + rank-window upstream per branch (same
+    rule :func:`association_rules` follows).
     """
-    capped = _capped_key_items(df, key_col, item_col, max_items_per_key)
+    capped = _capped_key_items(
+        df, key_col, item_col, max_items_per_key
+    ).localCheckpoint(eager=False)
     a = capped.select(F.col(key_col), F.col(item_col).alias("item_a"))
     b = capped.select(F.col(key_col), F.col(item_col).alias("item_b"))
     pairs = (
@@ -567,8 +573,14 @@ def winsorized_stats(
 
     def exact_div(num, den: int):
         # truncating integer division for NON-NEGATIVE operands as pure
-        # Column arithmetic: subtract the mod, then the division is exact
-        return ((num - num % den) / den).cast("long")
+        # Column arithmetic: subtract the mod so the quotient is
+        # integral, then divide in DECIMAL(38,0) — exact at any int64
+        # magnitude. The previous double division rounded dividends past
+        # 2^53 (value spans ≳1e3 raw units in micro-units) and could be
+        # off by one micro-unit vs the oracle's exact `//`.
+        return ((num - num % den).cast("decimal(38,0)") / F.lit(den)).cast(
+            "long"
+        )
 
     def bound(bp: int):
         pos_tt = (F.col("__n") - 1) * bp

@@ -190,22 +190,54 @@ def kmeans_clusters(
         )
     cent = [(i + 1, list(r["__qv"])) for i, r in enumerate(seed_rows)]
 
-    for _ in range(n_iters):
+    # coordinate-magnitude contract: every exact-bigint distance term
+    # (Σx², 2·v·c, ||c||²) must stay inside int64 — non-ANSI Spark wraps
+    # silently while the DuckDB oracle sums into HUGEINT, a silent
+    # cross-engine divergence. All terms are bounded by 4·dim·m² for
+    # m = max|quantized coord|, so require m ≤ isqrt(2^63 / (4·dim)).
+    # The check piggybacks on round 1's update aggregate (one extra
+    # max() column, no extra scan) and raises before any wrapped
+    # centroid or assignment is returned.
+    coord_bound = math.isqrt((2**63 - 1) // (4 * dim))
+
+    for it in range(n_iters):
         # wide-aggregate update: dim sums + a count per cluster in ONE
         # narrow k-group aggregate over the already-projected scalar
         # coordinate columns (a posexplode-to-long-format update pushed
         # n·dim generated rows through the shuffle — measured 2× slower
         # at 2M×32); k rows land on the driver (the bounded hop)
         dim = len(cent[0][1])
+        extra = (
+            [
+                F.max(
+                    F.greatest(*[F.abs(F.col(f"__x{d}")) for d in range(dim)])
+                    if dim > 1
+                    else F.abs(F.col("__x0"))
+                ).alias("__maxabs")
+            ]
+            if it == 0
+            else []
+        )
         rows = (
             _assigned(quant, cent)
             .groupBy("__cid")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 *[F.sum(f"__x{d}").alias(f"__s{d}") for d in range(dim)],
+                *extra,
             )
             .collect()
         )
+        if it == 0:
+            max_abs = max(r["__maxabs"] for r in rows)
+            if max_abs > coord_bound:
+                raise ValueError(
+                    "kmeans_clusters: |quantized coordinate| "
+                    f"{max_abs} exceeds the exact-int64 bound "
+                    f"{coord_bound} for dim={dim} (raw |x| ≤ "
+                    f"{coord_bound / 1e6:.1f}); rescale the embeddings "
+                    "or use the MLlib IVF trainer (similarity.py)"
+                )
         cent = [
             (
                 r["__cid"],
@@ -260,6 +292,16 @@ def semantic_dedup(
     """
     from .similarity import _norm
 
+    # empty-corpus check BEFORE the trainer: kmeans_clusters eagerly
+    # collects seeds and raises "input has no vectors", so a post-hoc
+    # guard would be dead code — return the empty assignment shape here
+    head = vectors.select(vec_col).first()
+    if head is None:
+        return vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("long").alias("cluster_id"),
+        ).limit(0)
+    dim = len(head[0])
     # truncate ONCE here: assign feeds both the pair join (via v) and the
     # final anti-join — un-checkpointed, the whole k-means assignment
     # evaluates twice
@@ -268,19 +310,20 @@ def semantic_dedup(
         .select("vec_id", "cluster_id")
         .localCheckpoint(eager=False)
     )
+    # zero-norm vectors have no defined cosine (0/0 → NaN, which Spark
+    # orders ABOVE every double, so NaN >= threshold would silently mark
+    # every zero-vector pair a near-dup) — they can never dominate or be
+    # dominated, so exclude them from the pair join entirely
     v = (
         vectors.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("__vec"),
         )
         .withColumn("__norm", _norm(F.col("__vec")))
+        .filter(F.col("__norm") > 0)
         .join(assign, "vec_id")
         .localCheckpoint(eager=False)
     )
-    head = vectors.select(vec_col).first()
-    if head is None:
-        return assign  # empty corpus: nothing to prune
-    dim = len(head[0])
     # coordinates flatten to scalar columns BEFORE the pair join (once
     # per vector, not per pair): element_at inside the post-join
     # projection ran 5× slower than this shape at 1M pairs — per-pair

@@ -98,8 +98,16 @@ def rank_topk(
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two float-array columns (JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two float-array columns (JVM-side).
+
+    NULL when either vector has zero norm: the 0/0 division is a hard
+    error under ANSI mode and a NaN under non-ANSI — and Spark orders
+    NaN ABOVE every double, so an unguarded ``NaN >= threshold`` would
+    silently flag every zero-vector pair a near-duplicate. NULL instead
+    drops out of threshold filters and sorts last in desc rankings on
+    both engines."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def brute_force_topk(
@@ -611,9 +619,13 @@ def cosine_dup_pairs(
     # float32 inputs widened to double make every product EXACT, matching
     # the all-double oracle arithmetic bit for bit. Expression strings,
     # not Column composition (py4j round-trip per node).
+    # zero-norm vectors are excluded up front: their cosine is 0/0 → NaN,
+    # and Spark orders NaN above every double, so NaN >= threshold would
+    # silently flag every zero-vector pair a near-duplicate
     v = (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
         .withColumn("__norm", _norm(F.col("__vec")))
+        .filter(F.col("__norm") > 0)
         .join(cells, "vec_id")
     )
     a = v.selectExpr(

@@ -209,15 +209,31 @@ def rank_normalize(
     trunc ≡ DuckDB floor), and tie handling is data-determined (no
     row_number over equal keys). One exchange on the group key, shared
     by both windows.
+
+    NULL values get a NULL percentile and are excluded from the group
+    size: ranking is ordered NULLS LAST on both engines (Spark's default
+    NULLS-FIRST ascending disagrees with DuckDB's NULLS-LAST and would
+    shift every non-null rank), and ``n`` counts only non-null values —
+    engine-portable null semantics instead of order-dependent ones. The
+    ``div`` expression references only FIXED internal column names, so a
+    non-identifier ``out_col`` (spaces, quotes) cannot break or inject
+    into the SQL fragment.
     """
-    rk = F.rank().over(Window.partitionBy(key_col).orderBy(value_col))
-    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
-    pct = F.when(n > 1, F.expr(f"(({out_col}__rk - 1) * 10000) div ({out_col}__n - 1)")).otherwise(
-        F.lit(0)
+    rk = F.rank().over(
+        Window.partitionBy(key_col).orderBy(F.col(value_col).asc_nulls_last())
+    )
+    n = F.count(F.col(value_col)).over(Window.partitionBy(key_col))
+    pct = (
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("long"))
+        .when(
+            F.col("__rknorm_n") > 1,
+            F.expr("((__rknorm_rk - 1) * 10000) div (__rknorm_n - 1)"),
+        )
+        .otherwise(F.lit(0))
     )
     return (
-        df.withColumn(f"{out_col}__rk", rk.cast("long"))
-        .withColumn(f"{out_col}__n", n.cast("long"))
+        df.withColumn("__rknorm_rk", rk.cast("long"))
+        .withColumn("__rknorm_n", n.cast("long"))
         .withColumn(out_col, pct.cast("long"))
-        .drop(f"{out_col}__rk", f"{out_col}__n")
+        .drop("__rknorm_rk", "__rknorm_n")
     )
