@@ -3,13 +3,14 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 typed metadata struct. The Spark-side contract — schema, partition-friendly
 batch shape, Arrow-batched ``mapInPandas`` transforms — is real and tested,
-and so is the image core: a dependency-free raw-RGB codec (Netpbm PPM "P6",
-the classic uncompressed interchange format) plus a pure-numpy bilinear
-resampler run inside the existing ``mapInPandas`` batches. Compressed
-codecs (JPEG/PNG/H.264) need external libraries that are absent in this
-environment; those payloads take the documented fallback paths below
-(byte-level features; resize skips with a null output) instead of failing
-the job — at 100 TB a poison payload must never kill the stage.
+and so is the image core: dependency-free decoders for raw-RGB (Netpbm
+PPM "P6") and 8-bit PNG (stdlib ``zlib`` inflate + numpy unfilter —
+greyscale/RGB/RGBA, the formats a real crawl corpus actually carries)
+plus a pure-numpy bilinear resampler, all run inside the existing
+``mapInPandas`` batches. Codecs that genuinely need external libraries
+(JPEG/H.264, palette/interlaced PNG) take the documented fallback paths
+below (byte-level features; resize skips with a null output) instead of
+failing the job — at 100 TB a poison payload must never kill the stage.
 """
 
 from __future__ import annotations
@@ -105,6 +106,122 @@ def decode_rgb(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG payload to ``(h, w, 3)`` uint8 —
+    dependency-free (stdlib ``zlib`` inflate + numpy unfilter), covering
+    the real-world corpus formats greyscale (0), RGB (2), and RGBA (6;
+    alpha dropped). Everything else — 16-bit, palette, Adam7 interlace —
+    raises :class:`DecodeNotAvailable`; corrupt streams (bad CRC, bad
+    raster length, bad filter byte) raise ``ValueError``.
+
+    Unfiltering follows the spec exactly (RFC 2083 §6): per scanline one
+    of None/Sub/Up/Average/Paeth against the prior reconstructed row.
+    Up and None are whole-row numpy ops (uint8 wrap-around IS the spec's
+    mod-256 addition); Sub/Average/Paeth carry an in-row recurrence and
+    loop over pixels with the channel lanes vectorized.
+    """
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise DecodeNotAvailable("not a PNG payload")
+    buf = bytes(payload)
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing or malformed IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2, 6):
+        raise DecodeNotAvailable(
+            f"PNG bit-depth {depth} / color-type {color} needs palette or "
+            "16-bit handling"
+        )
+    if interlace:
+        raise DecodeNotAvailable("Adam7-interlaced PNG")
+    if comp != 0 or filt != 0 or w < 1 or h < 1:
+        raise ValueError("malformed IHDR fields")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG raster length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:]
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
+            cur = line.copy()
+            for x in range(ch, stride, ch):
+                cur[x : x + ch] += cur[x - ch : x]  # uint8 wrap = mod 256
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average: + floor((left + up) / 2), sum needs 9 bits
+            cur = np.empty(stride, dtype=np.uint8)
+            cur[:ch] = line[:ch] + (prev[:ch].astype(np.uint16) >> 1).astype(
+                np.uint8
+            )
+            for x in range(ch, stride, ch):
+                avg = (
+                    cur[x - ch : x].astype(np.uint16)
+                    + prev[x : x + ch].astype(np.uint16)
+                ) >> 1
+                cur[x : x + ch] = line[x : x + ch] + avg.astype(np.uint8)
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            cur[:ch] = line[:ch] + prev[:ch]  # left=c=0 ⇒ predictor is up
+            for x in range(ch, stride, ch):
+                a = cur[x - ch : x].astype(np.int16)
+                b = prev[x : x + ch].astype(np.int16)
+                c = prev[x - ch : x].astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x : x + ch] = line[x : x + ch] + pr.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    img = recon.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Codec dispatch by magic bytes: PPM "P6" (:func:`decode_rgb`) or
+    PNG (:func:`decode_png`) to ``(h, w, 3)`` uint8; anything else
+    raises :class:`DecodeNotAvailable` (JPEG/H.264 need external libs
+    absent in this environment)."""
+    if payload is not None and len(payload) >= 8 and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    return decode_rgb(payload)
+
+
 def encode_rgb(img: np.ndarray) -> bytes:
     """Encode an ``(h, w, 3)`` uint8 array as a binary PPM "P6" payload."""
     if img.ndim != 3 or img.shape[2] != 3:
@@ -182,7 +299,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     """Arrow-batched feature extraction over the binary payload column via
     ``mapInPandas`` (the sanctioned slow-path shape: Python only where the
     JVM genuinely cannot express the work, and always batch-at-a-time).
-    Raw-RGB payloads get real image statistics (:func:`_image_feature`);
+    Raw-RGB and PNG payloads get real image statistics (:func:`_image_feature`);
     everything else gets the byte-profile fallback."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,7 +307,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
         def feat(payload: bytes) -> list[float]:
             try:
-                return _image_feature(decode_rgb(payload))
+                return _image_feature(decode_image(payload))
             except (DecodeNotAvailable, ValueError):
                 return _byte_feature(payload)
 
@@ -258,8 +375,8 @@ def resize_images(
     media: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """Arrow-batched image resize over the binary payload column
-    (``mapInPandas`` — binary in, binary out): decode raw-RGB
-    (:func:`decode_rgb`), :func:`bilinear_resize`, re-encode. Output:
+    (``mapInPandas`` — binary in, binary out): decode PPM/PNG
+    (:func:`decode_image`), :func:`bilinear_resize`, re-encode. Output:
     ``(media_id, width, height, resized, n_bytes_out)``.
 
     Same slow-path contract as :func:`extract_features`: Python touches
@@ -276,7 +393,7 @@ def resize_images(
             if payload is None:
                 return None
             try:
-                return encode_rgb(bilinear_resize(decode_rgb(payload), width, height))
+                return encode_rgb(bilinear_resize(decode_image(payload), width, height))
             except (DecodeNotAvailable, ValueError):
                 return None
 

@@ -1,0 +1,184 @@
+"""PNG decode (datapipe/multimodal.py) — pixel-exact goldens against
+hand-built PNGs covering every filter type and color type 0/2/6, plus
+the DecodeNotAvailable / corrupt-stream contracts and the distributed
+feature path picking PNG payloads up."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aces_spark.datapipe.multimodal import (
+    DecodeNotAvailable,
+    decode_image,
+    decode_png,
+    decode_rgb,
+    encode_rgb,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Reference encoder (test-local): 8-bit color-type from channel
+    count, one chosen filter per scanline so the decoder's unfilter path
+    for each type is exercised explicitly."""
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        row = flat[y]
+        enc = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            left = int(row[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            enc[x] = (int(row[x]) - pred) % 256
+        out += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8) if ch > 1 else rng.randint(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+
+
+def test_png_rgb_all_filters_pixel_exact():
+    img = _rand_img(5, 7, 3, 11)
+    png = encode_png(img, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_rgba_drops_alpha():
+    img = _rand_img(4, 3, 4, 5)
+    png = encode_png(img, filters=[4, 3, 2, 1])
+    assert np.array_equal(decode_png(png), img[:, :, :3])
+
+
+def test_png_greyscale_replicates():
+    img = _rand_img(3, 4, 1, 9)
+    png = encode_png(img, filters=[1, 3, 4])
+    got = decode_png(png)
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got[:, :, 0], img)
+    assert np.array_equal(got[:, :, 1], img)
+
+
+def test_png_multiple_idat_chunks():
+    img = _rand_img(4, 4, 3, 2)
+    png = encode_png(img, filters=[2, 4, 4, 1])
+    # split the single IDAT into two chunks — decoders must concatenate
+    sig, rest = png[:8], png[8:]
+    (ln,) = struct.unpack(">I", rest[:4])
+    ihdr = rest[: 12 + ln]
+    rest = rest[12 + ln :]
+    (ln2,) = struct.unpack(">I", rest[:4])
+    idat_data = rest[8 : 8 + ln2]
+    iend = rest[12 + ln2 :]
+    mid = len(idat_data) // 2
+    rebuilt = (
+        sig
+        + ihdr
+        + _chunk(b"IDAT", idat_data[:mid])
+        + _chunk(b"IDAT", idat_data[mid:])
+        + iend
+    )
+    assert np.array_equal(decode_png(rebuilt), img)
+
+
+def test_png_unsupported_and_corrupt():
+    img = _rand_img(2, 2, 3, 3)
+    png = encode_png(img)
+    # 16-bit depth -> DecodeNotAvailable (patch IHDR depth byte + re-CRC)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad_depth = png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :]
+    with pytest.raises(DecodeNotAvailable):
+        decode_png(bad_depth)
+    # interlaced -> DecodeNotAvailable
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(DecodeNotAvailable):
+        decode_png(png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :])
+    # flipped payload byte -> CRC mismatch (corrupt, not unsupported)
+    flipped = bytearray(png)
+    flipped[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+    # not a PNG at all
+    with pytest.raises(DecodeNotAvailable):
+        decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_decode_image_dispatch():
+    img = _rand_img(3, 3, 3, 7)
+    assert np.array_equal(decode_image(encode_png(img, [0, 2, 4])), img)
+    assert np.array_equal(decode_image(encode_rgb(img)), img)
+    assert np.array_equal(decode_rgb(encode_rgb(img)), img)
+    with pytest.raises(DecodeNotAvailable):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_extract_features_decodes_png(spark):
+    from aces_spark.datapipe.multimodal import MEDIA_SCHEMA, extract_features
+
+    img = _rand_img(4, 6, 3, 13)
+    png = encode_png(img, filters=[1, 2, 3, 4])
+    ppm = encode_rgb(img)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image", (6, 4, None, "png")),
+            (2, bytearray(ppm), "image", (6, 4, None, "ppm")),
+            (3, bytearray(b"\xff\xd8 not decodable"), "image", (None, None, None, "jpeg")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    # PNG and PPM of the SAME image produce the SAME real image feature
+    assert rows[1]["feature"] == rows[2]["feature"]
+    assert rows[1]["feature"][0] == 6.0 and rows[1]["feature"][1] == 4.0
+    # non-decodable payload takes the byte-profile fallback (8 dims too)
+    assert len(rows[3]["feature"]) == 8
+    assert rows[3]["feature"] != rows[1]["feature"]
