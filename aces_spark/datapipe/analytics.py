@@ -188,9 +188,16 @@ def heavy_keys(
     One scan: the total is a 1-row aggregate OF the per-key counts,
     broadcast back onto them — no second pass over the input (the old
     eager ``df.count()``) and no global window that would funnel a
-    billion-key counts relation through one partition.
+    billion-key counts relation through one partition. The counts
+    relation feeds BOTH the total aggregate and the join, so it is
+    lineage-truncated once — without it Catalyst replays the input scan
+    + partial aggregate per branch and the "one scan" claim is false.
     """
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("n_rows").cast("double").alias("__total"))
     frac = F.col("n_rows").cast("double") / F.col("__total")
     return (
@@ -477,8 +484,13 @@ def association_rules(
     capped = _capped_key_items(
         df, key_col, item_col, max_items_per_key
     ).localCheckpoint(eager=False)
-    item_counts = capped.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("__n_item")
+    # item_counts feeds TWO joins (antecedent and consequent sides):
+    # truncate once so the per-item aggregate over the checkpointed
+    # capped relation runs once per job, not per side
+    item_counts = (
+        capped.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__n_item"))
+        .localCheckpoint(eager=False)
     )
     total = capped.select(key_col).distinct().agg(
         F.count(F.lit(1)).cast("long").alias("__n_keys")

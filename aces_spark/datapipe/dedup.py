@@ -106,7 +106,15 @@ def _capped_hashed_shingles(
     sh = sh.persist()
     if cache_registry is not None:
         cache_registry.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes feeds BOTH size joins (n_a and n_b) downstream: persist (same
+    # registry lifecycle as sh) so the per-doc count aggregate runs once
+    # per job, not per side — persist rather than localCheckpoint because
+    # the scoped wrappers must be able to release it on exit
+    sizes = (
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles")).persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(sizes)
     return sh, sizes
 
 
@@ -449,7 +457,11 @@ def minhash_lsh_pairs(
 
 
 def _lsh_pairs_from_signatures(
-    sig: DataFrame, num_hashes: int, bands: int, hasher: str
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hasher: str,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Band an existing signature relation and emit candidate pairs —
     shared by :func:`minhash_lsh_pairs` and :func:`minhash_jaccard_pairs`
@@ -470,6 +482,14 @@ def _lsh_pairs_from_signatures(
     banded = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # banded feeds BOTH sides of the bucket self-join: persist once, or
+    # the whole shingle→signature pipeline upstream replays per side
+    # (callers that persist the signatures still save the banding
+    # projection itself from running twice); persist rather than
+    # localCheckpoint so scoped callers can release it via the registry
+    banded = banded.persist()
+    if cache_registry is not None:
+        cache_registry.append(banded)
 
     a = banded.alias("a")
     b2 = banded.alias("b")
@@ -515,7 +535,9 @@ def minhash_jaccard_pairs(
     sig = sig.persist()
     if cache_registry is not None:
         cache_registry.append(sig)
-    cand = _lsh_pairs_from_signatures(sig, num_hashes, bands, hasher)
+    cand = _lsh_pairs_from_signatures(
+        sig, num_hashes, bands, hasher, cache_registry
+    )
     hcols = [f"h{i}" for i in range(num_hashes)]
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(h).alias(f"a_{h}") for h in hcols])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(h).alias(f"b_{h}") for h in hcols])

@@ -265,6 +265,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "exact",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with
     k-means, then drop near-duplicates WITHIN each cluster — the
@@ -289,6 +290,20 @@ def semantic_dedup(
     lineage-truncated before the self-join — without it Catalyst plans
     the entire k-means trajectory into BOTH join branches (measured 20 s
     → ~2 s at sf0.1).
+
+    ``quantizer`` picks the clustering stage — the SAME pair-pruning
+    runs downstream of either:
+
+    * ``"exact"`` (default): the deterministic trainer above —
+      oracle-able, capped at k·dim ≤ {MAX_LITERAL_SLOTS} literal slots.
+    * ``"ivf"``: the MLlib-trained IVF coarse quantizer
+      (``similarity.kmeans_centroids`` + broadcast ``assign_cells``) —
+      UNCAPPED cell counts, the production path for real SemDeDup runs
+      where k is in the tens of thousands (``n_iters`` is the trainer's
+      maxIter there). Parity with "exact" whenever both quantizers
+      induce the same grouping (pinned at k=1 and on separated clusters
+      in ``tests/test_kmeans.py``); recall at k ≥ 256 is measured by
+      ``tools/semdedup_probe.py``.
     """
     from .similarity import _norm
 
@@ -303,13 +318,26 @@ def semantic_dedup(
         ).limit(0)
     dim = len(head[0])
     # truncate ONCE here: assign feeds both the pair join (via v) and the
-    # final anti-join — un-checkpointed, the whole k-means assignment
+    # final anti-join — un-checkpointed, the whole clustering trajectory
     # evaluates twice
-    assign = (
-        kmeans_clusters(vectors, k, n_iters, id_col, vec_col)
-        .select("vec_id", "cluster_id")
-        .localCheckpoint(eager=False)
-    )
+    if quantizer == "exact":
+        assign = kmeans_clusters(vectors, k, n_iters, id_col, vec_col).select(
+            "vec_id", "cluster_id"
+        )
+    elif quantizer == "ivf":
+        from .similarity import assign_cells, kmeans_centroids
+
+        cents = kmeans_centroids(
+            vectors, k=k, id_col=id_col, vec_col=vec_col, max_iter=max(1, n_iters)
+        )
+        assign = assign_cells(vectors, cents, id_col, vec_col).select(
+            "vec_id", F.col("cell_id").cast("long").alias("cluster_id")
+        )
+    else:
+        raise ValueError(
+            f"unknown quantizer {quantizer!r} (expected 'exact' or 'ivf')"
+        )
+    assign = assign.localCheckpoint(eager=False)
     # zero-norm vectors have no defined cosine (0/0 → NaN, which Spark
     # orders ABOVE every double, so NaN >= threshold would silently mark
     # every zero-vector pair a near-dup) — they can never dominate or be

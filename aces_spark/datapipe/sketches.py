@@ -376,6 +376,10 @@ def hist_quantiles(
 
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("hist_quantiles: each q must be in (0, 1]")
+    # registers feeds BOTH the cumsum window and the total aggregate —
+    # truncate once or Catalyst replays whatever pipeline BUILT the
+    # register table (usually a full-corpus sketch) per branch
+    registers = registers.localCheckpoint(eager=False)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = registers.select(
         "bucket", F.sum("cnt").over(w).cast("long").alias("cum")

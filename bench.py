@@ -100,6 +100,48 @@ def main() -> int:
     # every few queries keeps the driver heap flat; the GC itself runs
     # OUTSIDE the timed region.
     gc_every = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8")))
+    # heavy-tail isolation: lingering lazily-localCheckpointed RDDs from
+    # a preceding graph/iterative query survive the plain unpersist (the
+    # async ContextCleaner reaps them on its own schedule) and can
+    # inflate EVERY sample of the next multi-second query — r6 recorded
+    # item_covisitation at 13.9 s in-suite vs 1.7 s isolated-warm. The
+    # fix is the repo's own probe discipline (tools/scale_probe.py):
+    # before each timed sample of a query whose previous-round time
+    # exceeded 2 s, unpersist + System.gc() + a short settle so the
+    # block manager is actually empty when the clock starts. The settle
+    # runs OUTSIDE the timed region (it adds wall time, not query time).
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "2"))
+    prior: dict[str, float] = {}
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        prior = json.loads(detail_path.read_text()).get("queries", {})
+    except Exception:
+        pass
+    heavy = {
+        k for k, v in prior.items() if isinstance(v, (int, float)) and v > 2.0
+    }
+
+    def drop_leftovers():
+        # drop leftover storage blocks (lazy localCheckpoints from the
+        # iterative operators live in the block manager until the async
+        # cleaner gets to them; by the ~110th query the accumulated
+        # blocks caused eviction thrash — one 3 s query read 52 s
+        # in-suite but 2.7 s isolated). Queries are independent, so
+        # unpersisting everything between them is safe.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
+
+    def gc_barrier():
+        drop_leftovers()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(settle)
+
     n_done = 0
     # bench-only extras (e.g. JVM-intrinsic hash fast paths that have no
     # SQL oracle): timed like any query, prefixed so they are visibly not
@@ -107,19 +149,9 @@ def main() -> int:
     for name, fn in getattr(entry_mod, "bench_extras", dict)().items():
         to_bench[f"bench_only:{name}"] = fn
     for name, fn in to_bench.items():
-        # drop the previous query's leftover storage blocks (lazy
-        # localCheckpoints from the iterative operators live in the
-        # block manager until the async cleaner gets to them; by the
-        # ~110th query the accumulated blocks caused eviction thrash —
-        # one 3 s query read 52 s in-suite but 2.7 s isolated). Queries
-        # are independent, so unpersisting everything between them is
-        # safe and runs OUTSIDE the timed region.
-        try:
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist(False)
-        except Exception:
-            pass
-        if n_done % gc_every == 0:
+        is_heavy = name in heavy
+        drop_leftovers()
+        if n_done % gc_every == 0 and not is_heavy:
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
@@ -128,6 +160,8 @@ def main() -> int:
         samples: list[float] = []
         failed = False
         for _ in range(runs):
+            if is_heavy:
+                gc_barrier()
             spark.catalog.clearCache()
             start = time.perf_counter()
             try:
@@ -143,9 +177,13 @@ def main() -> int:
                 break
         # heavy-tail stabilization: a best-of-2 above 2 s can still be a
         # one-off position blip (in-suite numbers move ±3x with suite
-        # position); take a third sample and report the MEDIAN so a
-        # round-over-round delta on the tail means the code changed
+        # position); take a third sample — behind the full barrier, so a
+        # query that turned heavy THIS round (not in the prior record)
+        # also gets at least one thrash-free sample — and report the
+        # MEDIAN so a round-over-round delta on the tail means the code
+        # changed
         if not failed and samples and min(samples) > 2.0:
+            gc_barrier()
             spark.catalog.clearCache()
             start = time.perf_counter()
             try:
@@ -181,7 +219,6 @@ def main() -> int:
     # final line is the full object if it fits, else a summary carrying the
     # headline numbers, the slowest queries, and a pointer to the detail.
     compact = json.dumps(obj, separators=(",", ":"))
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
         detail_path.write_text(compact + "\n")
     except OSError:
