@@ -258,6 +258,71 @@ def kmeans_clusters(
     )
 
 
+def _prune_cells_batched(
+    vectors: DataFrame,
+    assign: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """SemDeDup pair-pruning as one Arrow batch per cluster
+    (``applyInPandas`` over ``cluster_id``): normalize the cell's m×dim
+    block once, gram-matrix it in column chunks, and drop every vector
+    some lower-id cellmate scores ≥ ``threshold`` against (cosine
+    rounded to 6 dp — the :func:`semantic_dedup` rule). Zero-norm
+    vectors are kept (no defined cosine, never dominate or dominated).
+
+    Scale shape: work and memory are per-CELL (the quantizer's job is
+    to keep cells ~target-bucket-sized), the gram matrix is chunked at
+    {_PRUNE_CHUNK} columns so a hot cell costs m×{_PRUNE_CHUNK} doubles
+    at a time, and the only exchange is the one groupBy on cluster_id.
+    Returns the kept ``(vec_id, cluster_id)``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+        )
+        .join(assign, "vec_id")
+        .select("vec_id", "cluster_id", "__vec")
+    )
+    out_schema = T.StructType(
+        [src.schema["vec_id"], src.schema["cluster_id"]]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])[order]
+        norms = np.linalg.norm(x, axis=1)
+        nz = norms > 0
+        xn = np.where(nz[:, None], x / np.maximum(norms, 1e-300)[:, None], 0.0)
+        m = len(ids)
+        dom = np.zeros(m, dtype=bool)
+        for start in range(0, m, _PRUNE_CHUNK):
+            stop = min(start + _PRUNE_CHUNK, m)
+            sims = np.round(xn @ xn[start:stop].T, 6)
+            lower = np.arange(m)[:, None] < np.arange(start, stop)[None, :]
+            dom[start:stop] = ((sims >= threshold) & lower & nz[:, None]).any(axis=0)
+        dom &= nz  # zero-norm columns are never dominated
+        kept = order[~dom]
+        return pd.DataFrame(
+            {"vec_id": ids[order][~dom], "cluster_id": pdf["cluster_id"].to_numpy()[kept]}
+        )
+
+    return src.groupBy("cluster_id").applyInPandas(prune, out_schema)
+
+
+#: column-chunk width for the per-cell gram matrix in
+#: :func:`_prune_cells_batched` — bounds peak memory at m×chunk doubles
+_PRUNE_CHUNK = 2_048
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 8,
@@ -297,13 +362,14 @@ def semantic_dedup(
     * ``"exact"`` (default): the deterministic trainer above —
       oracle-able, capped at k·dim ≤ {MAX_LITERAL_SLOTS} literal slots.
     * ``"ivf"``: the MLlib-trained IVF coarse quantizer
-      (``similarity.kmeans_centroids`` + broadcast ``assign_cells``) —
-      UNCAPPED cell counts, the production path for real SemDeDup runs
-      where k is in the tens of thousands (``n_iters`` is the trainer's
-      maxIter there). Parity with "exact" whenever both quantizers
-      induce the same grouping (pinned at k=1 and on separated clusters
-      in ``tests/test_kmeans.py``); recall at k ≥ 256 is measured by
-      ``tools/semdedup_probe.py``.
+      (``similarity.kmeans_centroids`` + the Arrow-batched matmul
+      ``assign_cells_batched``, then per-cell numpy gram pruning via
+      ``_prune_cells_batched``) — UNCAPPED cell counts, the production
+      path for real SemDeDup runs where k is in the tens of thousands
+      (``n_iters`` is the trainer's maxIter there). Parity with "exact"
+      whenever both quantizers induce the same grouping (pinned at k=1
+      and on separated clusters in ``tests/test_kmeans.py``); recall at
+      k ≥ 256 is measured by ``tools/semdedup_probe.py``.
     """
     from .similarity import _norm
 
@@ -325,19 +391,48 @@ def semantic_dedup(
             "vec_id", "cluster_id"
         )
     elif quantizer == "ivf":
-        from .similarity import assign_cells, kmeans_centroids
+        if k == 1:
+            # MLlib KMeans requires k >= 2; one cell needs no trainer
+            assign = vectors.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(0).cast("long").alias("cluster_id"),
+            )
+        else:
+            from .similarity import (
+                assign_cells_batched,
+                collect_centroid_rows,
+                kmeans_centroids,
+            )
 
-        cents = kmeans_centroids(
-            vectors, k=k, id_col=id_col, vec_col=vec_col, max_iter=max(1, n_iters)
-        )
-        assign = assign_cells(vectors, cents, id_col, vec_col).select(
-            "vec_id", F.col("cell_id").cast("long").alias("cluster_id")
-        )
+            cents = kmeans_centroids(
+                vectors, k=k, id_col=id_col, vec_col=vec_col, max_iter=max(1, n_iters)
+            )
+            # k×dim centroid rows to the driver (the sanctioned bounded
+            # hop), then map-only Arrow-batched matmul assignment — the
+            # crossJoin-scoring assign_cells ran the interpreted cosine
+            # fold k times per vector (measured ~6 min at 220k×256×32 vs
+            # seconds for the batched matmul)
+            assign = assign_cells_batched(
+                vectors, collect_centroid_rows(cents), id_col, vec_col
+            ).select("vec_id", F.col("cell_id").cast("long").alias("cluster_id"))
     else:
         raise ValueError(
             f"unknown quantizer {quantizer!r} (expected 'exact' or 'ivf')"
         )
     assign = assign.localCheckpoint(eager=False)
+    if quantizer == "ivf":
+        # per-cell numpy gram matrix instead of the relational pair
+        # join: the join materializes O(Σ m_c²) rows that are 2·dim
+        # scalar columns wide through the SMJ (measured ~130 s of the
+        # 145 s probe at 220k×256×32), while applyInPandas hands each
+        # cell to BLAS once — Xn·Xnᵀ over an ~m×dim block, column j
+        # dominated iff any row with a smaller vec_id scores
+        # ≥ threshold. Same keep-lowest-id rule, cosine rounded 6 dp;
+        # this arm trades the exact branch's bit-exact oracle contract
+        # for uncapped k — which is the point of the ivf variant.
+        return _prune_cells_batched(
+            vectors, assign, threshold, id_col, vec_col
+        )
     # zero-norm vectors have no defined cosine (0/0 → NaN, which Spark
     # orders ABOVE every double, so NaN >= threshold would silently mark
     # every zero-vector pair a near-dup) — they can never dominate or be

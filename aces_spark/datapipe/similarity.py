@@ -204,6 +204,65 @@ def inline_cell_expr(
     return F.element_at(ids, pos.cast("int")).alias("cell_id")
 
 
+def assign_cells_batched(
+    vectors: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k cell assignment as ONE Arrow-batched numpy matmul per
+    batch: normalize the k×dim centroid matrix once in the closure,
+    normalize each batch of vectors, ``argmax(Xn @ Cn.T)`` — BLAS does
+    k·dim multiply-adds per row instead of k interpreted higher-order
+    lambda folds (:func:`assign_cells`'s crossJoin scoring measured
+    ~6 min for 220k×256×32; this shape is seconds). Same semantics:
+    cosine rounded to 9 dp, first-max tie-break ⇒ lowest cell_id
+    (``np.argmax`` returns the first maximum over the cell_id-ascending
+    matrix); zero-norm vectors score 0 everywhere and land in the first
+    cell instead of dividing by zero.
+
+    Map-only (no crossJoin, no shuffle — output partitioning follows
+    input), so it is also the right STORAGE-side assignment at 100 TB
+    when k is past the literal budget of :func:`inline_cell_expr`. The
+    one caveat vs :func:`assign_cells` is float summation order: BLAS
+    pairwise sums can differ from the sequential lambda fold in the last
+    ulp, so a sim sitting EXACTLY on a rounding boundary may tip — use
+    :func:`assign_cells` where bit-exact oracle parity is the contract.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows_sorted = sorted(centroid_rows)
+    ids = np.array([int(i) for i, _ in rows_sorted], dtype=np.int32)
+    cmat = np.asarray([c for _, c in rows_sorted], dtype=np.float64)
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+
+    src = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    out_schema = T.StructType(
+        [src.schema["vec_id"], T.StructField("cell_id", T.IntegerType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell_id": []})
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = np.round(xn @ cn.T, 9)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell_id": ids[np.argmax(sims, axis=1)]}
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
 def collect_centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Driver-side (tiny, sanctioned) materialization of a centroid frame
     for :func:`inline_cell_expr`."""

@@ -136,3 +136,36 @@ def test_semantic_dedup_differential(spark):
     kept = {v for v, _ in got}
     for i in range(0, 60, 7):
         assert i in kept and (1000 + i) not in kept
+
+
+def test_semantic_dedup_ivf_parity(spark):
+    """quantizer='ivf' (MLlib coarse quantizer, uncapped k) must agree
+    with the exact trainer whenever both induce the same grouping:
+    trivially at k=1, and at k=2 on well-separated blobs."""
+    import random
+
+    from aces_spark.datapipe.kmeans import semantic_dedup
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [x + rng.uniform(-1, 1) for x in base]))
+    rows.append((100, [x * 1.0001 for x in rows[0][1]]))  # near-dup of 0
+    rows.append((101, [x * 1.0002 for x in rows[1][1]]))  # near-dup of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for k in (1, 2):
+        exact = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(df, k=k, threshold=0.9999).collect()
+        )
+        ivf = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                df, k=k, threshold=0.9999, quantizer="ivf"
+            ).collect()
+        )
+        assert exact == ivf, f"k={k}"
+        assert 100 not in exact and 101 not in exact
+    with pytest.raises(ValueError, match="quantizer"):
+        semantic_dedup(df, quantizer="nope")

@@ -6,7 +6,13 @@ actually get dropped.
 
 Prints one JSON line. Usage:
 
-    python tools/semdedup_probe.py [n_vectors] [dim] [k]
+    python tools/semdedup_probe.py [n_vectors] [dim] [k] [quantizer]
+
+``quantizer`` is ``exact`` (default — the deterministic oracle-able
+trainer, capped at k*dim <= 4096) or ``ivf`` (the MLlib-trained coarse
+quantizer, uncapped — the production path for k in the hundreds-plus;
+this is the variant the r6 verdict asked to see measured at k >= 256).
+Recall here = fraction of the planted near-duplicates dropped.
 """
 
 from __future__ import annotations
@@ -22,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    quantizer = sys.argv[4] if len(sys.argv) > 4 else "exact"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -54,7 +61,9 @@ def main() -> int:
     n_total = vecs.count()
 
     t0 = time.time()
-    kept = semantic_dedup(vecs, k=k, n_iters=2, threshold=0.999)
+    kept = semantic_dedup(
+        vecs, k=k, n_iters=2, threshold=0.999, quantizer=quantizer
+    )
     stats = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum((F.col("vec_id") >= n).cast("long")).alias("dups_surviving"),
@@ -65,6 +74,7 @@ def main() -> int:
         json.dumps(
             {
                 "probe": "semantic_dedup",
+                "quantizer": quantizer,
                 "n_vectors": n_total,
                 "dim": dim,
                 "k": k,
@@ -72,6 +82,9 @@ def main() -> int:
                 "n_kept": stats["n_kept"],
                 "n_dropped": n_total - stats["n_kept"],
                 "planted_dups_surviving": int(stats["dups_surviving"] or 0),
+                "planted_recall": round(
+                    1 - (stats["dups_surviving"] or 0) / max(1, n_total - n), 4
+                ),
                 "wall_sec": round(sec, 2),
                 "vectors_per_sec": int(n_total / sec),
             },
