@@ -2483,6 +2483,30 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(_read_events(spark, sf_dir), "user_id", p=9)
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators.graph.adamic_adar) over
+    the item covisitation graph: two items score high when the items
+    co-visited with BOTH of them are rare (1/ln(deg) weights) — the
+    related-items candidate-expansion signal one hop beyond direct
+    covisitation. Per-neighbor weights snap to integer micro-units
+    before the SUM so the score is addition-order-free; top 50 by
+    (score desc, pair asc)."""
+    from aces_spark.datapipe.analytics import covisitation
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import adamic_adar
+
+    ev = _read_events(spark, sf_dir)
+    items = extract_json_fields(ev, "props", "k BIGINT").select(
+        "user_id", F.col("k").alias("item")
+    ).filter(F.col("item").isNotNull())
+    edges = covisitation(items, "user_id", "item", max_items_per_key=20, min_pairs=2)
+    return (
+        adamic_adar(edges, "item_a", "item_b", max_degree=500, min_common=2)
+        .orderBy(F.col("score").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(50)
+    )
+
+
 # Rotation policy (see ARCHITECTURE.md "Query rotation policy"): the
 # driver's correctness harness records only the FIRST 50 dict entries per
 # round, so ordering is a verification schedule, not cosmetics.
@@ -2494,7 +2518,9 @@ def q_hll_registers(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (r6 new/first-hash): 5 debuts + bpe_merges' first value-verified row (its unrolled-CTE oracle landed this round) ---
+    # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
+    "adamic_adar_links": q_adamic_adar,
+    # --- r6 debut block (rotating down as r7 tier-1 fills) ---
     "dsir_selection": q_dsir_selection,
     "kmeans_clusters": q_kmeans_clusters,
     "entity_resolution": q_entity_resolution,
@@ -5047,6 +5073,50 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # Adamic-Adar over the covisitation graph: same capped pair CTE as
+    # the edges, then degree-weighted common-neighbor enumeration with
+    # per-neighbor micro-unit weights (integer SUM = order-free)
+    sql["adamic_adar_links"] = """
+WITH ki AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item, COUNT(*) AS c
+  FROM events WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY user_id, TRY_CAST(props->>'k' AS BIGINT)),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, item ASC) AS rk
+    FROM ki)
+  WHERE rk <= 20),
+e AS (
+  SELECT item_a AS eu, item_b AS ev FROM (
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_keys
+    FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item)
+  WHERE n_keys >= 2),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT eu AS node FROM e UNION ALL SELECT ev FROM e)
+  GROUP BY node),
+wd AS (
+  SELECT a.w, a.nbr,
+         CAST(FLOOR(1000000.0 / LN(CAST(deg.deg AS DOUBLE)) + 0.5) AS BIGINT)
+           AS w_u6
+  FROM (SELECT eu AS w, ev AS nbr FROM e
+        UNION ALL SELECT ev AS w, eu AS nbr FROM e) a
+  JOIN deg ON deg.node = a.w
+  WHERE deg.deg >= 2 AND deg.deg <= 500),
+pr AS (
+  SELECT l.nbr AS u, r.nbr AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(l.w_u6) AS BIGINT) AS s_u6
+  FROM wd l JOIN wd r ON l.w = r.w AND l.nbr < r.nbr
+  GROUP BY l.nbr, r.nbr)
+SELECT u, v, n_common, CAST(s_u6 AS DOUBLE) / 1000000.0 AS score
+FROM pr WHERE n_common >= 2
+ORDER BY score DESC, u ASC, v ASC LIMIT 50
 """
 
     # LPA communities over the covisitation graph: 2 synchronous rounds

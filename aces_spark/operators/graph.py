@@ -428,3 +428,75 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the undirected graph of
+    ``edges``: for each node pair sharing at least ``min_common``
+    neighbors, ``score = Σ_w 1/ln(deg(w))`` over common neighbors ``w``
+    — the classic people-you-may-know / related-items signal where rare
+    shared neighbors count more than ubiquitous ones (Adamic & Adar
+    2003). Output ``(u, v, n_common, score)`` with ``u < v``; per-w
+    contributions snap to integer micro-units before the SUM so Spark
+    and any SQL oracle agree bit-for-bit regardless of addition order.
+    A common neighbor has degree ≥ 2 by construction, so ``ln(deg)``
+    never hits zero.
+
+    Scale shape: the only quadratic step is the per-neighbor pair
+    enumeration — adjacency self-joined on the common neighbor ``w``,
+    Σ deg(w)² rows. ``max_degree`` is the hub guard: neighbors above the
+    cap are excluded BEFORE the join (deterministic, not sampled), the
+    same celebrity-node discipline as covisitation's capped relation —
+    a hub's per-pair contribution ``1/ln(deg)`` is the smallest anyway,
+    while its pair fan-out is the largest. Everything else is node-key
+    equi-joins; the canonical edge relation feeds degrees + both join
+    sides, so it is lineage-truncated once.
+    """
+    if min_common < 1:
+        raise ValueError("adamic_adar: min_common must be >= 1")
+    e = _undirected(edges, src, dst).localCheckpoint(eager=False)
+    deg = _degrees(e)
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    # deg >= 2: a common neighbor has two distinct neighbors by
+    # definition, and it keeps 1/ln(1) (infinity) out of the weight
+    # column entirely — degree-1 rows could never join into a pair but
+    # would still evaluate the division
+    wd = adj.join(deg.withColumnRenamed("node", "w"), "w").filter(
+        F.col("deg") >= 2
+    )
+    if max_degree is not None:
+        wd = wd.filter(F.col("deg") <= F.lit(int(max_degree)))
+    # micro-unit weight of one common neighbor: floor(1e6/ln(deg)+0.5)
+    wd = wd.select(
+        "w",
+        "nbr",
+        F.floor(F.lit(1000000.0) / F.log(F.col("deg").cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("__w_u6"),
+    ).localCheckpoint(eager=False)
+    left = wd.select("w", F.col("nbr").alias("u"), "__w_u6")
+    right = wd.select("w", F.col("nbr").alias("v"))
+    pairs = left.join(right, "w").filter(F.col("u") < F.col("v"))
+    return (
+        pairs.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("__w_u6").cast("long").alias("__s_u6"),
+        )
+        .filter(F.col("n_common") >= F.lit(int(min_common)))
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("__s_u6").cast("double") / 1000000.0).alias("score"),
+        )
+    )

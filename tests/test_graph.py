@@ -391,3 +391,63 @@ def test_lpa_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+class TestAdamicAdar:
+    """Hand-computed golden for adamic_adar on the 5-edge house graph
+    plus the hub-cap and min_common guards."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_scores_match_hand_computation(self, spark):
+        import math
+
+        from aces_spark.operators.graph import adamic_adar
+
+        got = {
+            (r["u"], r["v"]): (r["n_common"], r["score"])
+            for r in adamic_adar(self._df(spark)).collect()
+        }
+        w2 = math.floor(1e6 / math.log(2) + 0.5) / 1e6  # deg-2 neighbor
+        w3 = math.floor(1e6 / math.log(3) + 0.5) / 1e6  # deg-3 neighbor
+        assert got == {
+            (2, 3): (2, round(2 * w2, 6)),  # common {1, 4}, both deg 2
+            (1, 4): (2, round(2 * w3, 6)),  # common {2, 3}, both deg 3
+            (1, 2): (1, w3),
+            (1, 3): (1, w3),
+            (2, 4): (1, w3),
+            (3, 4): (1, w3),
+        }
+
+    def test_max_degree_excludes_hubs(self, spark):
+        from aces_spark.operators.graph import adamic_adar
+
+        got = {
+            (r["u"], r["v"]): r["n_common"]
+            for r in adamic_adar(self._df(spark), max_degree=2).collect()
+        }
+        # only the deg-2 nodes (1 and 4) may serve as common neighbors
+        assert got == {(2, 3): 2}
+
+    def test_min_common_filters(self, spark):
+        from aces_spark.operators.graph import adamic_adar
+
+        got = {
+            (r["u"], r["v"])
+            for r in adamic_adar(self._df(spark), min_common=2).collect()
+        }
+        assert got == {(2, 3), (1, 4)}
+
+    def test_reversed_duplicate_edges_collapse(self, spark):
+        from aces_spark.operators.graph import adamic_adar
+
+        doubled = spark.createDataFrame(
+            self.EDGES + [(d, s) for s, d in self.EDGES] + [(5, 5)],
+            "src long, dst long",
+        )
+        a = sorted(map(tuple, adamic_adar(self._df(spark)).collect()))
+        b = sorted(map(tuple, adamic_adar(doubled).collect()))
+        assert a == b

@@ -48,10 +48,18 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
 
+    import os
+
+    cpus = os.environ.get("ORACLE_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # local mode = ONE jvm; the 1g default heap OOMs on 10x-scale
+        # sweeps (sf1 containment's ~280M-row pair mass found this)
+        .config(
+            "spark.driver.memory", os.environ.get("ORACLE_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -62,7 +70,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one file per table; Spark-written tables
+        # (e.g. tools/make_sfbig.py output) are part-file DIRECTORIES —
+        # glob those so the oracle reads the same rows Spark does
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).is_dir():
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
