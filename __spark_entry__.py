@@ -2483,6 +2483,102 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(_read_events(spark, sf_dir), "user_id", p=9)
 
 
+def q_decayed_engagement(spark, sf_dir):
+    """Exponential-decay engagement score per event type (operators
+    .timeseries.decayed_sum, half-life 7 days, ref = corpus max ts —
+    deterministic, never wall-clock): the trending / recency-weighted
+    popularity primitive. Pure per-row weights — no ordering, no
+    windows, map + one aggregate — so it re-aggregates incrementally at
+    any scale."""
+    from datetime import timedelta
+
+    from aces_spark.operators.timeseries import decayed_sum
+
+    return decayed_sum(
+        _read_events(spark, sf_dir),
+        "event_type",
+        half_life=timedelta(days=7),
+    )
+
+
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval (datapipe.retrieval.rrf_fuse): reciprocal-rank
+    fusion (k=60) of a BM25 top-100 lexical list over documents and a
+    brute-cosine top-100 semantic list against vec_id 0's embedding —
+    the calibration-free combiner behind every hybrid search stack.
+    Integer micro-unit rank contributions; top 50 fused."""
+    from aces_spark.datapipe.retrieval import bm25_scores, rrf_fuse
+
+    lex = bm25_scores(
+        _read_table(spark, sf_dir, "documents"),
+        ["join", "hash", "vector"],
+        top_k=100,
+    ).select("doc_id", "score")
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=100).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("cosine_sim").alias("score")
+    )
+    fused = rrf_fuse([lex, sem], k=60)
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(50)
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Signed hashing-trick features (functions.features.feature_hashing,
+    1024 buckets) over documents — fit-free, vocabulary-free sparse
+    featurization with the repo's portable md5 hash, so the exact
+    feature matrix any downstream trainer sees is engine-verifiable
+    (HashingTF's murmur3 is JVM-only). Map-only + one aggregate."""
+    from aces_spark.functions.features import feature_hashing
+
+    return feature_hashing(
+        _read_table(spark, sf_dir, "documents"), n_buckets=1 << 10
+    )
+
+
+def q_user_active_coverage(spark, sf_dir):
+    """Merged-interval coverage (operators.timeseries.interval_coverage):
+    each event opens a 30-minute half-open activity span; overlapping or
+    touching spans merge into islands, then a per-user rollup of island
+    count and exact covered microseconds — the total-active-time /
+    uptime primitive. One key exchange shared by both windows and the
+    aggregates."""
+    from aces_spark.operators.timeseries import interval_coverage
+
+    ev = _read_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+    )
+    isl = interval_coverage(ev, "user_id")
+    span = F.unix_micros("island_end") - F.unix_micros("island_start")
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum(span).cast("long").alias("covered_us"),
+        F.max(span).cast("long").alias("max_island_us"),
+    )
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """TF-IDF-weighted cosine near-dup pairs (datapipe.dedup
+    .tfidf_cosine_pairs) over the near-dup-augmented corpus: the
+    distribution-level similarity miner — a shuffled or lightly
+    paraphrased copy keeps its tf-idf direction where shingle Jaccard
+    dilutes. df-pruned inverted index (same boilerplate discipline as
+    ngram_jaccard_pairs); integer micro-unit dots/norms so the cosine
+    is addition-order-free."""
+    from aces_spark.datapipe.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.8, max_doc_freq=1000
+    )
+
+
 def q_adamic_adar(spark, sf_dir):
     """Adamic-Adar link prediction (operators.graph.adamic_adar) over
     the item covisitation graph: two items score high when the items
@@ -2520,6 +2616,11 @@ def q_adamic_adar(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "adamic_adar_links": q_adamic_adar,
+    "tfidf_cosine_dups": q_tfidf_cosine,
+    "user_active_coverage": q_user_active_coverage,
+    "feature_hashing": q_feature_hashing,
+    "decayed_engagement": q_decayed_engagement,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
     # --- r6 debut block (rotating down as r7 tier-1 fills) ---
     "dsir_selection": q_dsir_selection,
     "kmeans_clusters": q_kmeans_clusters,
@@ -5073,6 +5174,163 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # exponential-decay aggregate: per-row weight 2^(-Δus/half_life_us)
+    # on exact integer microsecond deltas, micro-unit snap before SUM
+    sql["decayed_engagement"] = """
+WITH ref AS (SELECT MAX(ts) AS r FROM events),
+c AS (
+  SELECT event_type,
+    CAST(FLOOR(CAST(value AS DOUBLE)
+         * POWER(2.0, -(CAST(epoch_us(ref.r) - epoch_us(ts) AS DOUBLE)
+                        / 604800000000.0))
+         * 1000000 + 0.5) AS BIGINT) AS cu
+  FROM events, ref)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cu) AS DOUBLE) / 1000000.0 AS decayed_sum
+FROM c GROUP BY event_type
+"""
+
+    # hybrid RRF: the bm25_search pipeline (top-100) + the ann cosine
+    # pipeline (top-100 vs vec 0), each rank contributing the integer
+    # micro-unit floor(1e6/(60+rk)+0.5)
+    sql["hybrid_rrf_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKENS_SQL}) AS term
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term),
+df_ AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df_.df AS DOUBLE) + 0.5)
+               / (CAST(df_.df AS DOUBLE) + 0.5))
+      * CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      / (CAST(tf.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+      * 1000000 + 0.5) AS BIGINT) AS cu
+  FROM tf JOIN df_ USING (term) JOIN dl USING (doc_id), stats),
+per AS (SELECT doc_id, CAST(SUM(cu) AS BIGINT) AS su FROM sc GROUP BY doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY su DESC, doc_id ASC) AS rk
+        FROM per),
+lexc AS (SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rk) + 0.5) AS BIGINT) AS cu
+         FROM lex WHERE rk <= 100),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id AS doc_id,
+    ROUND(list_dot_product(qv, e.v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+          6) AS score
+  FROM e, q WHERE e.vec_id <> 0),
+sem AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+        FROM s),
+semc AS (SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rk) + 0.5) AS BIGINT) AS cu
+         FROM sem WHERE rk <= 100),
+u AS (SELECT * FROM lexc UNION ALL SELECT * FROM semc),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(cu) AS BIGINT) AS su
+      FROM u GROUP BY doc_id)
+SELECT doc_id, n_lists, CAST(su AS DOUBLE) / 1000000.0 AS rrf_score
+FROM g ORDER BY su DESC, doc_id ASC LIMIT 50
+"""
+
+    # signed hashing trick: 60-bit md5 hash -> bucket = h % 1024, sign =
+    # bit 59 (bitwise AND — integer-exact in both engines)
+    sql["feature_hashing"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS term FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE term <> '')
+SELECT doc_id,
+       h % 1024 AS bucket,
+       CAST(SUM(CASE WHEN (h & 576460752303423488) <> 0 THEN -1 ELSE 1 END)
+            AS BIGINT) AS value
+FROM h GROUP BY doc_id, h % 1024
+"""
+
+    # gaps-and-islands: running max-end breaks islands, cumulative break
+    # count numbers them; identical-duplicate rows are interchangeable
+    # under both windows so the mirror is exact
+    sql["user_active_coverage"] = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+m AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m),
+g AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(e) AS en,
+         CAST(COUNT(*) AS BIGINT) AS n_iv
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+  CAST(SUM(epoch_us(en) - epoch_us(st)) AS BIGINT) AS covered_us,
+  CAST(MAX(epoch_us(en) - epoch_us(st)) AS BIGINT) AS max_island_us
+FROM g GROUP BY user_id
+"""
+
+    # TF-IDF cosine pairs: df-pruned vocabulary weights, micro-unit
+    # integer dots and norms (order-free sums), 6-dp floor on the cosine
+    sql["tfidf_cosine_dups"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (
+  SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS term FROM docs_aug),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs_aug),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  GROUP BY term HAVING COUNT(*) <= 1000),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * LN((nd.n + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+norms AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(FLOOR(w * w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS n2
+  FROM w GROUP BY doc_id
+  HAVING SUM(CAST(FLOOR(w * w * 1000000 + 0.5) AS BIGINT)) > 0),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(CAST(FLOOR(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared_terms,
+  FLOOR((CAST(dot AS DOUBLE) / 1000000.0)
+        / SQRT((CAST(na.n2 AS DOUBLE) / 1000000.0)
+             * (CAST(nb.n2 AS DOUBLE) / 1000000.0)) * 1000000 + 0.5)
+    / 1000000.0 AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE FLOOR((CAST(dot AS DOUBLE) / 1000000.0)
+        / SQRT((CAST(na.n2 AS DOUBLE) / 1000000.0)
+             * (CAST(nb.n2 AS DOUBLE) / 1000000.0)) * 1000000 + 0.5)
+    / 1000000.0 >= 0.8
 """
 
     # Adamic-Adar over the covisitation graph: same capped pair CTE as

@@ -703,3 +703,99 @@ def winnowing_fingerprints(
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Soft near-duplicate pairs by TF-IDF-weighted cosine over the
+    df-pruned vocabulary — the similarity miner that catches documents
+    sharing a *weighted word distribution* where shingle Jaccard (word
+    ORDER) and MinHash (set overlap) both dilute: a shuffled or lightly
+    paraphrased copy keeps its tf-idf direction. Returns
+    ``(doc_a, doc_b, n_shared_terms, cosine)`` with ``doc_a < doc_b``
+    and ``cosine ≥ threshold`` (6-dp floor rule).
+
+    Semantics are defined ON the pruned vocabulary: terms in more than
+    ``max_doc_freq`` documents are excluded from weights, norms, AND the
+    pair join (self-consistent cosine over the informative vocabulary —
+    ubiquitous terms carry ~zero idf anyway, and they are what makes the
+    inverted index quadratic). ``idf = ln((N+1)/(df+1))`` (the
+    ``tfidf_exact`` / MLlib formula); per-term products and squared
+    weights snap to integer micro-units before their SUMs so dot
+    products and norms are addition-order-free and any SQL oracle
+    agrees bit-for-bit. Documents whose surviving terms all weigh 0
+    (df = N edge) are excluded — a zero vector has no direction.
+
+    Scale shape: one tokenize → (doc, term) tf aggregate → df-capped
+    inverted-index self-join (per-term fan-out ≤ max_doc_freq², the
+    ngram_jaccard boilerplate discipline) → pair aggregate → two
+    broadcast-size norm joins. The weight relation feeds three branches
+    (norms + both join sides) and is lineage-truncated once.
+    """
+    from .text import norm_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("__df") <= F.lit(int(max_doc_freq)))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df").cast("double") + F.lit(1.0)))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = (
+        w.groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(F.col("w") * F.col("w") * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("__n2_u6")
+        )
+        .filter(F.col("__n2_u6") > 0)
+    )
+    a = w.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("__wa"))
+    b = w.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("__wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                F.floor(F.col("__wa") * F.col("__wb") * 1000000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("__dot_u6"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("__n2_u6").alias("__na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("__n2_u6").alias("__nb"))
+    cos = (F.col("__dot_u6").cast("double") / 1000000.0) / F.sqrt(
+        (F.col("__na").cast("double") / 1000000.0)
+        * (F.col("__nb").cast("double") / 1000000.0)
+    )
+    cos6 = F.floor(cos * 1000000 + F.lit(0.5)).cast("double") / 1000000.0
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared_terms", cos6.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

@@ -26,7 +26,7 @@ and the top-k ranking compares integers (doc id tie-break).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import norm_tokens
@@ -157,4 +157,74 @@ def phrase_match(
         cur = cur.join(nxt, ["doc_id", "pos"])
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    by: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of candidate lists:
+    each list contributes ``1/(k + rank)`` per document and the fused
+    score is the sum — the standard hybrid-search combiner (BM25 +
+    embedding cosine) that needs NO score calibration between lists,
+    only their ranks. Returns ``(by?, id_col, n_lists, rrf_score)``;
+    ``k=60`` is the canonical damping constant. Ranks are dense
+    row_numbers over ``(score desc, id asc)`` — fully deterministic —
+    and per-rank contributions snap to integer micro-units before the
+    SUM (order-free, oracle-exact).
+
+    ``by`` partitions the ranking (per-query fusion); ``None`` ranks
+    each list globally — correct ONLY because inputs are top-k candidate
+    lists by contract (bounded), never raw corpora: a global row_number
+    over an unbounded input would serialize one partition, and RRF over
+    a full corpus is meaningless anyway (rank 10⁶ contributes ~0).
+
+    Scale shape: one window per list (partitioned by ``by`` when per-
+    query), a union, ONE aggregate keyed by (by?, id). With bounded
+    lists every stage is candidate-sized, not corpus-sized.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    keys = ([by] if by else []) + [id_col]
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    wspec = (
+        Window.partitionBy(by).orderBy(*order)
+        if by
+        else Window.orderBy(*order)
+    )
+    parts = []
+    for r in rankings:
+        ranked = r.select(*keys, score_col).withColumn(
+            "__rk", F.row_number().over(wspec)
+        )
+        parts.append(
+            ranked.select(
+                *keys,
+                F.floor(
+                    F.lit(1000000.0) / (F.lit(int(k)) + F.col("__rk")) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("__c_u6"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("__c_u6").cast("long").alias("__s_u6"),
+        )
+        .select(
+            *keys,
+            "n_lists",
+            (F.col("__s_u6").cast("double") / 1000000.0).alias("rrf_score"),
+        )
     )

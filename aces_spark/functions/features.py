@@ -237,3 +237,51 @@ def rank_normalize(
         .withColumn(out_col, pct.cast("long"))
         .drop("__rknorm_rk", "__rknorm_n")
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    n_buckets: int = 1 << 10,
+    signed: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) over normalized word
+    tokens with an engine-portable hash: each term lands in
+    ``md5-derived hash mod n_buckets``; with ``signed`` a second hash
+    bit flips the contribution's sign, which unbiases the inner product
+    under collisions (E[collision noise] = 0 — the vowpal-wabbit trick).
+    Returns the sparse features ``(doc_id, bucket, value)`` — BIGINT
+    value = Σ ±tf, zero-sum buckets kept (they are real feature values,
+    and dropping them would make the sign trick unobservable to tests).
+
+    Unlike :func:`tfidf_features` (MLlib ``HashingTF``, murmur3 —
+    fastest, but not reproducible outside the JVM) this uses the repo's
+    md5 recipe, so the exact feature matrix is verifiable by any SQL
+    engine and stable across Spark versions — the property that matters
+    when features feed a model TRAINED elsewhere.
+
+    Scale shape: map-only tokenize/hash + ONE (doc, bucket) aggregate —
+    no joins, no vocabulary state (the point of hashing: no fit step,
+    new terms at inference hash to the same place).
+    """
+    from ..datapipe.text import norm_tokens
+    from .hashing import md5_long60
+
+    if n_buckets < 1:
+        raise ValueError("feature_hashing: n_buckets must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("term")
+    )
+    h = md5_long60(F.col("term"))
+    bucket = F.pmod(h, F.lit(int(n_buckets))).cast("long")
+    # bit 59 (top of the 60-bit hash) decides the sign — independent of
+    # the low bits the bucket uses for any n_buckets < 2^59; bitwise AND
+    # is integer-exact in every engine (a double division here would hit
+    # 53-bit mantissa rounding AND Spark-truncate-vs-SQL-round casts)
+    sign = F.when(h.bitwiseAND(F.lit(1 << 59)) != 0, F.lit(-1)).otherwise(F.lit(1))
+    contrib = sign if signed else F.lit(1)
+    return (
+        toks.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.sum(contrib).cast("long").alias("value"))
+    )

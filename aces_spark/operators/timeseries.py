@@ -32,7 +32,7 @@ event".
 
 from __future__ import annotations
 
-from datetime import timedelta
+from datetime import datetime, timedelta
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -50,6 +50,8 @@ __all__ = [
     "rolling_stats_time",
     "group_linear_trend",
     "time_weighted_avg",
+    "interval_coverage",
+    "decayed_sum",
 ]
 
 _BUCKET_US = {
@@ -773,4 +775,116 @@ def time_weighted_avg(
         F.col("n_points").cast("long").alias("n_points"),
         F.col("span_secs").cast("long").alias("span_secs"),
         (twa_u.cast("double") / 1000000.0).alias("twa"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    on: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Merge overlapping-or-touching half-open intervals per key into
+    maximal covered islands — the gaps-and-islands primitive behind
+    "total active time", SLA coverage, and sensor-uptime rollups that
+    :func:`interval_overlap_join` (pairs) and :func:`gapfill_locf`
+    (grids) don't express. Returns one row per island:
+    ``(on, island_start, island_end, n_intervals)``.
+
+    Under the repo's half-open convention ``[start, end)``, touching
+    intervals (``next.start == prev.end``) merge — coverage has no gap
+    between them; empty intervals (``end <= start``) are dropped. An
+    island starts where an interval's start exceeds the running maximum
+    end of everything before it in ``(start, end)`` order; the island id
+    is the running count of such breaks. Identical (start, end)
+    duplicates are interchangeable under both windows, so the result is
+    deterministic and exactly SQL-mirrorable.
+
+    Scale shape: ONE hash exchange on the key shared by both windows
+    (running max-end and the cumulative break count use the same
+    partition + ordering, so Catalyst plans them in one Window node) and
+    the final island aggregate — no joins, no explode, per-key memory
+    O(1). Skewed keys are bounded by the window's streaming frame, not
+    by island fan-out.
+    """
+    w_order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    prev_max = F.max(as_timestamp(end_col)).over(
+        Window.partitionBy(on)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (as_timestamp(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(brk).over(
+        Window.partitionBy(on)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.filter(as_timestamp(start_col) < as_timestamp(end_col))
+        .withColumn("__island", island)
+        .groupBy(on, "__island")
+        .agg(
+            F.min(as_timestamp(start_col)).alias("island_start"),
+            F.max(as_timestamp(end_col)).alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("__island")
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life: timedelta = timedelta(days=7),
+    ref_ts: datetime | None = None,
+) -> DataFrame:
+    """Exponential-decay aggregate per key:
+    ``Σ value · 2^(-(t_ref - ts)/half_life)`` — the recency-weighted
+    popularity / trending-items primitive (an event loses half its
+    weight every ``half_life``). Unlike a recursive EWMA this is a pure
+    per-row weight, so it is embarrassingly parallel, needs no ordering,
+    and re-aggregates incrementally (yesterday's sum times a constant
+    plus today's batch). Returns ``(on, n_events, decayed_sum)``.
+
+    ``ref_ts`` anchors "now"; ``None`` uses the corpus max timestamp
+    (deterministic, broadcast 1-row aggregate — never wall-clock, which
+    would make the result unreproducible). Per-row contributions snap to
+    integer micro-units before the SUM (order-free, oracle-exact); the
+    weight itself is ``pow(2, -Δus/half_life_us)`` on exact integer
+    microsecond deltas.
+
+    Scale shape: map-only weighting + ONE key aggregate; no windows, no
+    joins (the ref is a broadcast single row). Future rows (ts > ref)
+    are kept and weigh MORE than 1 — callers filtering a closed corpus
+    never see one, and truncating silently would corrupt incremental
+    merges.
+    """
+    hl_us = _td_us(half_life)
+    if hl_us <= 0:
+        raise ValueError("decayed_sum: half_life must be positive")
+    if ref_ts is not None:
+        src = df.withColumn("__ref", F.lit(ref_ts).cast("timestamp"))
+    else:
+        ref = df.agg(F.max(as_timestamp(ts_col)).alias("__ref"))
+        src = df.crossJoin(F.broadcast(ref))
+    delta = F.unix_micros(F.col("__ref")) - F.unix_micros(as_timestamp(ts_col))
+    w = F.pow(F.lit(2.0), -(delta.cast("double") / F.lit(float(hl_us))))
+    contrib_u6 = F.floor(
+        F.col(value_col).cast("double") * w * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        src.groupBy(on)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(contrib_u6).cast("long").alias("__s_u6"),
+        )
+        .select(
+            on,
+            "n_events",
+            (F.col("__s_u6").cast("double") / 1000000.0).alias("decayed_sum"),
+        )
     )

@@ -1,0 +1,324 @@
+"""Round-7 operators: TF-IDF cosine pairs, interval coverage, decayed
+sums, feature hashing, and reciprocal-rank fusion."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import ts
+
+
+# ------------------------------------------------- tfidf_cosine_pairs
+
+
+class TestTfidfCosinePairs:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple banana cherry apple"),
+                (2, "banana apple apple cherry"),  # permutation of 1
+                (3, "dog cat mouse"),
+                (4, "apple banana"),  # subset-ish of 1
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_permutation_has_cosine_one(self, spark):
+        from aces_spark.datapipe.dedup import tfidf_cosine_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(self._docs(spark), threshold=0.0).collect()
+        }
+        # docs 1 and 2 have identical term multisets -> identical vectors
+        assert got[(1, 2)] == pytest.approx(1.0, abs=2e-6)
+        # and every returned pair is ordered and within [0, 1] + rounding
+        for (a, b), c in got.items():
+            assert a < b and 0.0 <= c <= 1.0 + 1e-9
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from aces_spark.datapipe.dedup import tfidf_cosine_pairs
+
+        docs = self._docs(spark)
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        # python reference with the SAME micro-unit contract
+        toks = {d: [w for w in t.lower().split() if w] for d, t in rows}
+        n = len(rows)
+        df_ = {}
+        for d, ws in toks.items():
+            for w in set(ws):
+                df_[w] = df_.get(w, 0) + 1
+        vecs = {
+            d: {
+                w: ws.count(w) * math.log((n + 1) / (df_[w] + 1))
+                for w in set(ws)
+            }
+            for d, ws in toks.items()
+        }
+        n2 = {
+            d: sum(math.floor(x * x * 1e6 + 0.5) for x in v.values())
+            for d, v in vecs.items()
+        }
+        expected = {}
+        ids = sorted(toks)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = set(vecs[a]) & set(vecs[b])
+                if not shared or n2[a] == 0 or n2[b] == 0:
+                    continue
+                dot = sum(
+                    math.floor(vecs[a][w] * vecs[b][w] * 1e6 + 0.5) for w in shared
+                )
+                cos = (dot / 1e6) / math.sqrt((n2[a] / 1e6) * (n2[b] / 1e6))
+                expected[(a, b)] = (len(shared), math.floor(cos * 1e6 + 0.5) / 1e6)
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+            for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+        }
+        assert got == expected
+
+    def test_max_doc_freq_prunes_vocabulary(self, spark):
+        from aces_spark.datapipe.dedup import tfidf_cosine_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "common alpha") if i == 0 else (i, "common") for i in range(4)],
+            "doc_id long, text string",
+        )
+        # 'common' is in all 4 docs; cap 3 removes it -> no shared terms
+        assert (
+            tfidf_cosine_pairs(docs, threshold=0.0, max_doc_freq=3).count() == 0
+        )
+
+    def test_threshold_filters(self, spark):
+        from aces_spark.datapipe.dedup import tfidf_cosine_pairs
+
+        out = tfidf_cosine_pairs(self._docs(spark), threshold=0.99)
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+        assert pairs == {(1, 2)}
+
+
+# -------------------------------------------------- interval_coverage
+
+
+class TestIntervalCoverage:
+    def test_merges_overlaps_and_touching(self, spark):
+        from aces_spark.operators.timeseries import interval_coverage
+
+        df = spark.createDataFrame(
+            [
+                # key 1: [0,10) + [5,15) overlap; [15,20) touches -> one island
+                (1, ts("2024-01-01 00:00"), ts("2024-01-01 00:10")),
+                (1, ts("2024-01-01 00:05"), ts("2024-01-01 00:15")),
+                (1, ts("2024-01-01 00:15"), ts("2024-01-01 00:20")),
+                # key 1: gap, then [30,40)
+                (1, ts("2024-01-01 00:30"), ts("2024-01-01 00:40")),
+                # key 2: nested interval
+                (2, ts("2024-01-01 00:00"), ts("2024-01-01 01:00")),
+                (2, ts("2024-01-01 00:10"), ts("2024-01-01 00:20")),
+                # empty interval is dropped
+                (2, ts("2024-01-01 02:00"), ts("2024-01-01 02:00")),
+            ],
+            "k long, start_ts timestamp, end_ts timestamp",
+        )
+        got = sorted(
+            (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+            for r in interval_coverage(df, "k").collect()
+        )
+        assert got == [
+            (1, ts("2024-01-01 00:00"), ts("2024-01-01 00:20"), 3),
+            (1, ts("2024-01-01 00:30"), ts("2024-01-01 00:40"), 1),
+            (2, ts("2024-01-01 00:00"), ts("2024-01-01 01:00"), 2),
+        ]
+
+    def test_duplicate_intervals_merge(self, spark):
+        from aces_spark.operators.timeseries import interval_coverage
+
+        df = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00"), ts("2024-01-01 00:10"))] * 3,
+            "k long, start_ts timestamp, end_ts timestamp",
+        )
+        got = interval_coverage(df, "k").collect()
+        assert len(got) == 1 and got[0]["n_intervals"] == 3
+
+
+# ------------------------------------------------------- decayed_sum
+
+
+class TestDecayedSum:
+    def test_matches_python_reference(self, spark):
+        from aces_spark.operators.timeseries import decayed_sum
+
+        rows = [
+            ("a", ts("2024-01-08 00:00"), 10.0),  # ref row (max ts)
+            ("a", ts("2024-01-01 00:00"), 10.0),  # exactly one half-life old
+            ("b", ts("2024-01-04 12:00"), 4.0),  # half a half-life
+            ("b", ts("2024-01-08 00:00"), None),  # null value
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+        got = {
+            r["k"]: (r["n_events"], r["decayed_sum"])
+            for r in decayed_sum(
+                df, "k", half_life=datetime.timedelta(days=7)
+            ).collect()
+        }
+        ref = ts("2024-01-08 00:00")
+        exp = {}
+        for k in ("a", "b"):
+            s = 0
+            n = 0
+            for kk, t, v in rows:
+                if kk != k:
+                    continue
+                n += 1
+                if v is None:
+                    continue
+                d_us = (ref - t) // datetime.timedelta(microseconds=1)
+                s += math.floor(
+                    v * 2.0 ** (-(d_us / (7 * 86400 * 1e6))) * 1e6 + 0.5
+                )
+            exp[k] = (n, s / 1e6)
+        assert got == exp
+        # sanity: one half-life halves the weight
+        assert got["a"] == (2, pytest.approx(15.0, abs=1e-6))
+
+    def test_explicit_ref_ts(self, spark):
+        from aces_spark.operators.timeseries import decayed_sum
+
+        df = spark.createDataFrame(
+            [("a", ts("2024-01-01 00:00"), 8.0)],
+            "k string, ts timestamp, value double",
+        )
+        got = decayed_sum(
+            df,
+            "k",
+            half_life=datetime.timedelta(days=1),
+            ref_ts=ts("2024-01-03 00:00"),
+        ).collect()[0]
+        assert got["decayed_sum"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_bad_half_life_raises(self, spark):
+        from aces_spark.operators.timeseries import decayed_sum
+
+        df = spark.createDataFrame(
+            [("a", ts("2024-01-01 00:00"), 1.0)],
+            "k string, ts timestamp, value double",
+        )
+        with pytest.raises(ValueError, match="half_life"):
+            decayed_sum(df, "k", half_life=datetime.timedelta(0))
+
+
+# --------------------------------------------------- feature_hashing
+
+
+class TestFeatureHashing:
+    def test_deterministic_and_signed(self, spark):
+        from aces_spark.functions.features import feature_hashing
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "apple"), (3, "")],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, feature_hashing(docs).collect()))
+        b = sorted(map(tuple, feature_hashing(docs).collect()))
+        assert a == b
+        # doc 2's single bucket carries |value| == 1; doc 1's apple
+        # bucket carries ±2 in the same bucket with the same sign
+        by_doc = {}
+        for doc, bucket, value in a:
+            by_doc.setdefault(doc, {})[bucket] = value
+        assert 3 not in by_doc  # empty text -> no tokens -> no rows
+        (b2, v2), = by_doc[2].items()
+        assert abs(v2) == 1
+        assert by_doc[1][b2] == 2 * v2  # tf=2, same term, same sign
+
+    def test_unsigned_counts(self, spark):
+        from aces_spark.functions.features import feature_hashing
+
+        docs = spark.createDataFrame(
+            [(1, "x y x y x")], "doc_id long, text string"
+        )
+        vals = sorted(
+            r["value"] for r in feature_hashing(docs, signed=False).collect()
+        )
+        assert vals == [2, 3]  # y:2, x:3 (distinct buckets w.h.p.)
+
+    def test_bucket_range(self, spark):
+        from aces_spark.functions.features import feature_hashing
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        out = feature_hashing(docs, n_buckets=8).collect()
+        assert all(0 <= r["bucket"] < 8 for r in out)
+        with pytest.raises(ValueError, match="n_buckets"):
+            feature_hashing(docs, n_buckets=0)
+
+
+# ---------------------------------------------------------- rrf_fuse
+
+
+class TestRrfFuse:
+    def test_matches_hand_rrf(self, spark):
+        from aces_spark.datapipe.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(10, 3.0), (20, 2.0), (30, 1.0)], "doc_id long, score double"
+        )
+        sem = spark.createDataFrame(
+            [(20, 0.9), (40, 0.8)], "doc_id long, score double"
+        )
+        got = {
+            r["doc_id"]: (r["n_lists"], r["rrf_score"])
+            for r in rrf_fuse([lex, sem], k=60).collect()
+        }
+
+        def c(rank):
+            return math.floor(1e6 / (60 + rank) + 0.5)
+
+        assert got == {
+            10: (1, c(1) / 1e6),
+            20: (2, (c(2) + c(1)) / 1e6),
+            30: (1, c(3) / 1e6),
+            40: (1, c(2) / 1e6),
+        }
+        # doc 20 (rank 2 + rank 1) outranks doc 10 (single rank 1)
+        assert got[20][1] > got[10][1]
+
+    def test_score_ties_break_by_id(self, spark):
+        from aces_spark.datapipe.retrieval import rrf_fuse
+
+        tied = spark.createDataFrame(
+            [(2, 1.0), (1, 1.0)], "doc_id long, score double"
+        )
+        got = {
+            r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse([tied], k=60).collect()
+        }
+        assert got[1] > got[2]  # lower id wins the tie -> better rank
+
+    def test_per_query_partition(self, spark):
+        from aces_spark.datapipe.retrieval import rrf_fuse
+
+        lists = spark.createDataFrame(
+            [("q1", 10, 2.0), ("q1", 20, 1.0), ("q2", 10, 5.0)],
+            "qid string, doc_id long, score double",
+        )
+        got = {
+            (r["qid"], r["doc_id"]): r["rrf_score"]
+            for r in rrf_fuse([lists], k=60, by="qid").collect()
+        }
+        # doc 10 is rank 1 in BOTH queries despite different raw scores
+        assert got[("q1", 10)] == got[("q2", 10)]
+
+    def test_empty_rankings_raise(self, spark):
+        from aces_spark.datapipe.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError, match="rankings"):
+            rrf_fuse([])
