@@ -2621,73 +2621,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_hashing": q_feature_hashing,
     "decayed_engagement": q_decayed_engagement,
     "hybrid_rrf_search": q_hybrid_rrf_search,
-    # --- r6 debut block (rotating down as r7 tier-1 fills) ---
-    "dsir_selection": q_dsir_selection,
-    "kmeans_clusters": q_kmeans_clusters,
-    "entity_resolution": q_entity_resolution,
-    "semantic_dedup": q_semantic_dedup,
-    "phrase_search": q_phrase_search,
-    "distinctive_terms": q_distinctive_terms,
-    "ivf_append_topk": q_ivf_append_topk,
-    "rank_normalize": q_rank_normalize,
-    "sorted_neighborhood": q_sorted_neighborhood,
-    "time_weighted_avg": q_time_weighted_avg,
-    "coverage_select": q_coverage_select,
-    "domain_temperature_mix": q_domain_temperature_mix,
-    "containment_pairs": q_containment_pairs,
-    "hard_negatives": q_hard_negatives,
-    "winsorized_values": q_winsorized_values,
-    "random_projection": q_random_projection,
-    "bpe_merges": q_bpe_merges,
-    "bpe_encode_tokens": q_bpe_encode_tokens,
-    # --- tier 2 (stalest: last green r3, 3 rounds old — the overflow block the r5 ledger promised would lead here) ---
-    "tfidf_features": q_tfidf_features,
-    "sessionization": q_sessionization,
-    "decontamination": q_decontamination,
-    "sequence_packing": q_sequence_packing,
-    "split_assignment": q_split_assignment,
-    "vocab_topk": q_vocab_topk,
-    "paragraph_dedup": q_paragraph_dedup,
-    "dedup_incremental": q_dedup_incremental,
-    "corpus_pipeline": q_corpus_pipeline,
-    "event_funnel": q_event_funnel,
-    "cohort_retention": q_cohort_retention,
-    # (lineitem_pricing_summary + revenue_join + region_rollup +
-    # brand_revenue rotated to the tier-4a head: one r3-stale slot per r6
-    # debut has to yield, and the TPC-H classics are the safest to wait a
-    # round — unchanged since r1, guarded by pytest goldens, trivially
-    # SQL-shaped; local_supplier_volume joined them for the phrase_search
-    # debut)
-    "text_char_stats": q_text_char_stats,
-    "lang_id": q_lang_id,
-    # (doc_fingerprint + token_counts + html_extract +
-    # doc_length_quantiles yielded their slots to the sorted_neighborhood
-    # / distinctive_terms / ivf_append_topk / rank_normalize debuts —
-    # same one-slot-per-debut rule as the TPC-H classics above)
-    "predicate_regex_anyof": q_predicate_regex_anyof,
-    "special_predicates": q_special_predicates,
-    "static_filter": q_static_filter,
-    "trigger_anchors": q_trigger_anchors,
-    "esgpt_predicates": q_esgpt_predicates,
-    "stratified_take": q_stratified_take,
-    "corpus_clean": q_corpus_clean,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_clusters": q_dedup_clusters,
-    "pii_scrub": q_pii_scrub,
-    # --- tier 2b emptied: the r6 debut batch grew to 9, so the last
-    # r4-green slot-holder rotates to the tail head with its cohort ---
-    # --- tier 3 (pinned core: flagship + 8 kernels, always in the top 50) ---
-    "cohort_flagship": q_cohort_flagship,
-    "temporal_window_fwd": q_temporal_window_fwd,
-    "temporal_window_chunked": q_temporal_window_chunked,
-    "temporal_window_bwd": q_temporal_window_bwd,
-    "temporal_window_offset": q_temporal_window_offset,
-    "event_bound_fwd": q_event_bound_fwd,
-    "event_bound_chunked": q_event_bound_chunked,
-    "event_bound_bwd": q_event_bound_bwd,
-    "event_bound_record_end": q_event_bound_record_end,
-    # --- tier 4a (r4-green remainder — rotate up in r7; the top two were
-    # displaced from tier 2b by the late containment/hard-negative debuts) ---
+    # --- tier 2a (last green r3, 4 rounds stale): the displaced TPC-H classics rotate up first ---
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
     "region_rollup": q_region_rollup,
@@ -2697,6 +2631,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    # --- tier 2b (last green r4): head of the 44-entry r4 block ---
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
@@ -2723,6 +2658,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "embedding_dim_stats": q_embedding_dim_stats,
     "repetition_stats": q_repetition_stats,
+    # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
+    "cohort_flagship": q_cohort_flagship,
+    "temporal_window_fwd": q_temporal_window_fwd,
+    "temporal_window_chunked": q_temporal_window_chunked,
+    "temporal_window_bwd": q_temporal_window_bwd,
+    "temporal_window_offset": q_temporal_window_offset,
+    "event_bound_fwd": q_event_bound_fwd,
+    "event_bound_chunked": q_event_bound_chunked,
+    "event_bound_bwd": q_event_bound_bwd,
+    "event_bound_record_end": q_event_bound_record_end,
+    # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2741,7 +2687,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
-    # --- tier 4b (freshest: r5-green, their recent rows vouch while they wait) ---
+    # --- tier 4b (last green r5) ---
     "pagerank_items": q_pagerank_items,
     "ppr_items": q_ppr_items,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
@@ -2782,6 +2728,48 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_and_or": q_derived_and_or,
     "text_quality": q_text_quality,
     "stratified_sample": q_stratified_sample,
+    # --- tier 4c (last green r6, freshest last) ---
+    "dsir_selection": q_dsir_selection,
+    "kmeans_clusters": q_kmeans_clusters,
+    "entity_resolution": q_entity_resolution,
+    "semantic_dedup": q_semantic_dedup,
+    "phrase_search": q_phrase_search,
+    "distinctive_terms": q_distinctive_terms,
+    "ivf_append_topk": q_ivf_append_topk,
+    "rank_normalize": q_rank_normalize,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "time_weighted_avg": q_time_weighted_avg,
+    "coverage_select": q_coverage_select,
+    "domain_temperature_mix": q_domain_temperature_mix,
+    "containment_pairs": q_containment_pairs,
+    "hard_negatives": q_hard_negatives,
+    "winsorized_values": q_winsorized_values,
+    "random_projection": q_random_projection,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
+    "tfidf_features": q_tfidf_features,
+    "sessionization": q_sessionization,
+    "decontamination": q_decontamination,
+    "sequence_packing": q_sequence_packing,
+    "split_assignment": q_split_assignment,
+    "vocab_topk": q_vocab_topk,
+    "paragraph_dedup": q_paragraph_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_pipeline": q_corpus_pipeline,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "text_char_stats": q_text_char_stats,
+    "lang_id": q_lang_id,
+    "predicate_regex_anyof": q_predicate_regex_anyof,
+    "special_predicates": q_special_predicates,
+    "static_filter": q_static_filter,
+    "trigger_anchors": q_trigger_anchors,
+    "esgpt_predicates": q_esgpt_predicates,
+    "stratified_take": q_stratified_take,
+    "corpus_clean": q_corpus_clean,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_clusters": q_dedup_clusters,
+    "pii_scrub": q_pii_scrub,
 }
 
 
