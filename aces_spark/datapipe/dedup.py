@@ -770,6 +770,10 @@ def tfidf_cosine_pairs(
             .alias("__n2_u6")
         )
         .filter(F.col("__n2_u6") > 0)
+        # norms feeds BOTH pair-side joins — truncate or the aggregate
+        # over the weight relation replays once per branch (plan-audit
+        # untruncated_reuse rule)
+        .localCheckpoint(eager=False)
     )
     a = w.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("__wa"))
     b = w.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("__wb"))
