@@ -2783,7 +2783,18 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (JVM intrinsic), so it cannot be oracled — but its claimed speedup over
     the portable md5 path should be a recorded number, not prose. bench.py
     appends these to its timings dict with a ``bench_only:`` prefix."""
+    def _semantic_dedup_ivf(spark, sf_dir):
+        # the large-k production path (MLlib trainer + Arrow-batched
+        # matmul assignment + per-cell gram pruning): BLAS pairwise sums
+        # are not bit-contracted to the sequential-fold oracle, so it is
+        # bench-only; parity with the exact arm is pytest-pinned
+        from aces_spark.datapipe.kmeans import semantic_dedup
+
+        emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return semantic_dedup(emb, k=4, n_iters=2, threshold=0.4, quantizer="ivf")
+
     return {
+        "semantic_dedup_ivf": _semantic_dedup_ivf,
         "minhash_signatures_xxh": lambda spark, sf_dir: minhash_signatures(
             _read_table(spark, sf_dir, "documents"), n=3, num_hashes=8, hasher="xxhash64"
         ),
