@@ -277,8 +277,6 @@ def _prune_cells_batched(
     {_PRUNE_CHUNK} columns so a hot cell costs m×{_PRUNE_CHUNK} doubles
     at a time, and the only exchange is the one groupBy on cluster_id.
     Returns the kept ``(vec_id, cluster_id)``."""
-    from collections.abc import Iterator
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
