@@ -2483,6 +2483,21 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(_read_events(spark, sf_dir), "user_id", p=9)
 
 
+def q_contamination_fraction(spark, sf_dir):
+    """Per-document contamination report (datapipe.decontam
+    .contamination_fraction): fraction of each corpus doc's distinct
+    word 8-grams present in the benchmark split — the published
+    reporting form of decontamination (a distribution, not a flag).
+    One pass over the corpus shingles: broadcast LEFT join marks hits,
+    a single per-doc aggregate counts total + matched together."""
+    from aces_spark.datapipe.decontam import contamination_fraction
+
+    aug = _docs_with_near_dups(spark, sf_dir)
+    bench = aug.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1_000_000))
+    corpus = aug.filter((F.col("doc_id") % 20 != 0) | (F.col("doc_id") >= 1_000_000))
+    return contamination_fraction(corpus, bench, n=8)
+
+
 def q_decayed_engagement(spark, sf_dir):
     """Exponential-decay engagement score per event type (operators
     .timeseries.decayed_sum, half-life 7 days, ref = corpus max ts —
@@ -2621,6 +2636,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_hashing": q_feature_hashing,
     "decayed_engagement": q_decayed_engagement,
     "hybrid_rrf_search": q_hybrid_rrf_search,
+    "contamination_fraction": q_contamination_fraction,
     # --- tier 2a (last green r3, 4 rounds stale): the displaced TPC-H classics rotate up first ---
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
@@ -2657,7 +2673,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_histogram": q_token_histogram,
     "corpus_mix": q_corpus_mix,
     "embedding_dim_stats": q_embedding_dim_stats,
-    "repetition_stats": q_repetition_stats,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2669,6 +2684,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -5173,6 +5189,28 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # per-doc contamination fraction: same shingle CTEs as the flag
+    # form, LEFT join + one aggregate, basis-point floor on the ratio
+    sql["contamination_fraction"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0 AND doc_id < 1000000),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0 OR doc_id >= 1000000),
+per AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM corp c LEFT JOIN bench b USING (shingle)
+  GROUP BY c.doc_id)
+SELECT doc_id, n_shingles, n_overlap,
+  FLOOR(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 10000 + 0.5)
+    / 10000.0 AS frac
+FROM per
 """
 
     # exponential-decay aggregate: per-row weight 2^(-Δus/half_life_us)

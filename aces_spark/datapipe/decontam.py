@@ -57,3 +57,57 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination REPORT: for every corpus doc with at
+    least one word ``n``-gram, the fraction of its distinct shingles
+    found in the benchmark set — the number the GPT-3/PaLM-style
+    contamination appendices actually publish (a distribution, not just
+    a flag; :func:`decontaminate` is the flag form). Returns
+    ``(doc_id, n_shingles, n_overlap, frac)`` with ``frac`` in basis
+    points (floor rule). Docs shorter than ``n`` words have no shingles
+    and no defined fraction — they are absent, not 0.
+
+    Scale shape: deliberately ONE pass over the corpus-sized shingle
+    relation — a broadcast LEFT join against the benchmark hash set
+    marks hits, and a single per-doc aggregate counts total and matched
+    shingles together. (The naive plan — count shingles per doc, then
+    separately join-and-count overlaps — reads the corpus relation
+    twice or forces a checkpoint of something corpus-sized; the hit
+    mark costs one broadcast probe per row instead.) Same xxhash64
+    collapse as :func:`decontaminate`: the overlap COUNT is hash-
+    insensitive at ~|shingles|²/2⁶⁴ collision odds.
+    """
+    bench_sh = (
+        word_shingles(benchmark, n, text_col)
+        .select(F.xxhash64(F.col("shingle")).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_sh = word_shingles(corpus, n, text_col).select(
+        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
+    )
+    per = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+    )
+    frac = (
+        F.floor(
+            F.col("n_overlap").cast("double")
+            / F.col("n_shingles").cast("double")
+            * 10000
+            + F.lit(0.5)
+        ).cast("double")
+        / 10000.0
+    )
+    return per.select("doc_id", "n_shingles", "n_overlap", frac.alias("frac"))

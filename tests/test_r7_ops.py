@@ -322,3 +322,59 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError, match="rankings"):
             rrf_fuse([])
+
+
+# ---------------------------------------------- contamination_fraction
+
+
+class TestContaminationFraction:
+    def test_fraction_matches_hand_count(self, spark):
+        from aces_spark.datapipe.decontam import contamination_fraction
+
+        # 8-grams over 9 words -> 2 shingles per doc
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f g h i")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i"),  # both shingles hit -> 1.0
+                (2, "a b c d e f g h x y"),  # 1 of 3 shingles hit
+                (3, "q r s t u v w x y"),  # no overlap -> 0.0
+                (4, "too short"),  # < 8 words -> absent
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["frac"])
+            for r in contamination_fraction(corpus, bench, n=8).collect()
+        }
+        assert got == {
+            1: (2, 2, 1.0),
+            2: (3, 1, 0.3333),  # floor(1/3*1e4+0.5)/1e4
+            3: (2, 0, 0.0),
+        }
+
+    def test_consistent_with_decontaminate_flag(self, spark):
+        from aces_spark.datapipe.decontam import (
+            contamination_fraction,
+            decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight ok"),
+                (2, "completely different words in this unrelated document here"),
+            ],
+            "doc_id long, text string",
+        )
+        flagged = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+        frac = {
+            r["doc_id"]: r["n_overlap"]
+            for r in contamination_fraction(corpus, bench, n=8).collect()
+        }
+        # the flag form is exactly "frac's n_overlap >= min_overlap"
+        assert flagged == {d for d, o in frac.items() if o >= 1}
