@@ -378,3 +378,109 @@ class TestContaminationFraction:
         }
         # the flag form is exactly "frac's n_overlap >= min_overlap"
         assert flagged == {d for d, o in frac.items() if o >= 1}
+
+
+# --------------------------------------- property-based differentials
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # start minute
+            st.integers(min_value=0, max_value=15),  # duration minutes
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_interval_coverage_matches_python_merge(spark, data):
+    from aces_spark.operators.timeseries import interval_coverage
+
+    base = ts("2024-01-01 00:00")
+    rows = [
+        (k, base + datetime.timedelta(minutes=s), base + datetime.timedelta(minutes=s + d))
+        for k, s, d in data
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, start_ts timestamp, end_ts timestamp"
+    ) if rows else spark.createDataFrame([], "k long, start_ts timestamp, end_ts timestamp")
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in interval_coverage(df, "k").collect()
+    )
+    # python reference: sort, sweep, merge touching-or-overlapping
+    expected = []
+    for k in sorted({r[0] for r in rows}):
+        ivs = sorted((s, e) for kk, s, e in rows if kk == k and s < e)
+        cur = None
+        for s, e in ivs:
+            if cur is None or s > cur[1]:
+                if cur:
+                    expected.append((k, cur[0], cur[1], cur[2]))
+                cur = [s, e, 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        if cur:
+            expected.append((k, cur[0], cur[1], cur[2]))
+    assert got == sorted(expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    max_degree=st.one_of(st.none(), st.integers(min_value=2, max_value=6)),
+)
+def test_adamic_adar_matches_python_reference(spark, edges, max_degree):
+    from aces_spark.operators.graph import adamic_adar
+
+    df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["score"])
+        for r in adamic_adar(df, max_degree=max_degree).collect()
+    }
+    # python reference with the same micro-unit contract
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[tuple[int, int], tuple[int, float]] = {}
+    nodes = sorted(adj)
+    for w in nodes:
+        deg = len(adj[w])
+        if deg < 2 or (max_degree is not None and deg > max_degree):
+            continue
+        w_u6 = math.floor(1e6 / math.log(deg) + 0.5)
+        nbrs = sorted(adj[w])
+        for i, u in enumerate(nbrs):
+            for v in nbrs[i + 1 :]:
+                n, s = expected.get((u, v), (0, 0))
+                expected[(u, v)] = (n + 1, s + w_u6)
+    expected = {k: (n, s / 1e6) for k, (n, s) in expected.items()}
+    assert got == expected
