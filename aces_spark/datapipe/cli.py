@@ -176,6 +176,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dst", default="dst")
     sp.add_argument("--iterations", type=int, default=3)
     sp.add_argument("--k", type=int, default=20)
+
+    sp = sub.add_parser("decontam")
+    _io(sp)
+    sp.add_argument("--benchmark", required=True, help="benchmark parquet")
+    sp.add_argument("--ngram", type=int, default=8)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument(
+        "--max-frac",
+        type=float,
+        default=None,
+        help="drop docs with overlap fraction above this; default: report only",
+    )
     return p
 
 
@@ -363,6 +375,26 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         print(json.dumps({"op": "pagerank", "top": [r.asDict() for r in rows]}))
         return 0
+    elif args.op == "decontam":
+        from pyspark.sql import functions as F
+
+        from .decontam import contamination_fraction
+
+        corpus = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark)
+        report = contamination_fraction(
+            corpus, bench, n=args.ngram, text_col=args.text_col
+        )
+        if args.max_frac is None:
+            report.write.mode("overwrite").parquet(args.output)
+        else:
+            # keep-clean mode: docs above the contamination cap are
+            # dropped; short docs (no shingles) have no fraction and are
+            # kept — absence of evidence, the report form's convention
+            bad = report.filter(F.col("frac") > args.max_frac).select("doc_id")
+            corpus.join(bad, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(args.output)
     return 0
 
 

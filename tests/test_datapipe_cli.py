@@ -197,3 +197,28 @@ def test_cli_pagerank(spark, tmp_path, capsys):
     top = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["top"]
     assert len(top) == 3
     assert top[0]["rank_u"] >= top[-1]["rank_u"]
+
+
+def test_cli_decontam_report_and_filter(spark, docs_path, tmp_path):
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog " * 30)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(bench)
+
+    out = str(tmp_path / "report")
+    assert main([
+        "decontam", "--input", docs_path, "--output", out,
+        "--benchmark", bench,
+    ]) == 0
+    rep = {r["doc_id"]: r["frac"] for r in spark.read.parquet(out).collect()}
+    assert rep[1] == 1.0 and rep[2] == 1.0  # exact benchmark copies
+    assert rep[4] == 0.0
+
+    clean = str(tmp_path / "clean")
+    assert main([
+        "decontam", "--input", docs_path, "--output", clean,
+        "--benchmark", bench, "--max-frac", "0.5",
+    ]) == 0
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(clean).collect())
+    assert ids == [3, 4]
