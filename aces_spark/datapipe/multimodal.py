@@ -3,12 +3,13 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 typed metadata struct. The Spark-side contract — schema, partition-friendly
 batch shape, Arrow-batched ``mapInPandas`` transforms — is real and tested,
-and so is the image core: dependency-free decoders for raw-RGB (Netpbm
-PPM "P6") and 8-bit PNG (stdlib ``zlib`` inflate + numpy unfilter —
-greyscale/RGB/RGBA, the formats a real crawl corpus actually carries)
-plus a pure-numpy bilinear resampler, all run inside the existing
-``mapInPandas`` batches. Codecs that genuinely need external libraries
-(JPEG/H.264, palette/interlaced PNG) take the documented fallback paths
+and so are the image and audio cores: dependency-free decoders for
+raw-RGB (Netpbm PPM "P6"), 8-bit PNG (stdlib ``zlib`` inflate + numpy
+unfilter — greyscale/RGB/RGBA), and RIFF/WAVE integer PCM (8/16-bit,
+any channel count), plus a pure-numpy bilinear resampler, all run
+inside the existing ``mapInPandas`` batches. Codecs that genuinely need
+external libraries (JPEG/MP3/H.264, palette/interlaced PNG, float PCM)
+take the documented fallback paths
 below (byte-level features; resize skips with a null output) instead of
 failing the job — at 100 TB a poison payload must never kill the stage.
 """
@@ -299,8 +300,11 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     """Arrow-batched feature extraction over the binary payload column via
     ``mapInPandas`` (the sanctioned slow-path shape: Python only where the
     JVM genuinely cannot express the work, and always batch-at-a-time).
-    Raw-RGB and PNG payloads get real image statistics (:func:`_image_feature`);
-    everything else gets the byte-profile fallback."""
+    Raw-RGB and PNG payloads get real image statistics
+    (:func:`_image_feature`), WAV PCM payloads real audio statistics
+    (:func:`_audio_feature`); everything else gets the byte-profile
+    fallback. Sniffing is by magic bytes, not the ``media_type`` label —
+    a mislabeled payload decodes by what it IS."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -308,6 +312,10 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
         def feat(payload: bytes) -> list[float]:
             try:
                 return _image_feature(decode_image(payload))
+            except (DecodeNotAvailable, ValueError):
+                pass
+            try:
+                return _audio_feature(*decode_wav(payload))
             except (DecodeNotAvailable, ValueError):
                 return _byte_feature(payload)
 
@@ -410,3 +418,76 @@ def resize_images(
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE integer-PCM payload dependency-free: walk the
+    chunk list (chunks pad to even offsets), parse ``fmt ``, and return
+    ``(samples, sample_rate)`` with ``samples`` float64 in [-1, 1],
+    shaped ``(n_frames, n_channels)``. 8-bit WAV is unsigned by spec
+    (offset 128); 16-bit is little-endian signed. Anything that is not
+    a WAV at all — or needs a real codec (float PCM, ADPCM, MP3-in-WAV,
+    24-bit) — raises :class:`DecodeNotAvailable` so callers fall back;
+    a true-WAV with a malformed/truncated chunk list raises
+    ``ValueError`` (corrupt, not unsupported)."""
+    if (
+        payload is None
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise DecodeNotAvailable("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise DecodeNotAvailable(f"WAV format {audio_format} (integer PCM only)")
+    if bits not in (8, 16):
+        raise DecodeNotAvailable(f"{bits}-bit WAV (8/16-bit PCM only)")
+    if n_channels < 1 or rate < 1:
+        raise ValueError("WAV with zero channels or rate")
+    if bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        usable = len(data) - (len(data) % 2)
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    frames = x.shape[0] // n_channels
+    if frames == 0:
+        raise ValueError("WAV data chunk holds no complete frame")
+    return x[: frames * n_channels].reshape(frames, n_channels), rate
+
+
+def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
+    """8-dim feature for decoded audio — the cheap curation signals
+    (silence/clipping detection, channel count, level stats): frames,
+    sample rate, channels, RMS, absolute peak, zero-crossing rate of the
+    mono mixdown, DC offset, clipping fraction (|x| ≥ 0.999)."""
+    mono = samples.mean(axis=1)
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    n = samples.shape[0]
+    return [
+        float(n),
+        float(rate),
+        float(samples.shape[1]),
+        round(float(np.sqrt(np.mean(mono * mono))), 4),
+        round(float(np.max(np.abs(samples))), 4),
+        round(zc / max(1, n - 1), 4),
+        round(float(mono.mean()), 4),
+        round(float(np.mean(np.abs(samples) >= 0.999)), 4),
+    ]

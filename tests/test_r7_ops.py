@@ -484,3 +484,83 @@ def test_adamic_adar_matches_python_reference(spark, edges, max_degree):
                 expected[(u, v)] = (n + 1, s + w_u6)
     expected = {k: (n, s / 1e6) for k, (n, s) in expected.items()}
     assert got == expected
+
+
+# ----------------------------------------------------- WAV audio core
+
+
+import struct
+
+
+def _wav(bits, channels, rate, data):
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestWavDecode:
+    def test_16bit_mono_exact(self):
+        import numpy as np
+
+        from aces_spark.datapipe.multimodal import _audio_feature, decode_wav
+
+        samples = [0, 16384, -16384, 32767, -32768, 0]
+        payload = _wav(16, 1, 8000, struct.pack("<6h", *samples))
+        x, rate = decode_wav(payload)
+        assert rate == 8000 and x.shape == (6, 1)
+        assert np.allclose(x[:, 0], np.array(samples) / 32768.0)
+        f = _audio_feature(x, rate)
+        assert f[0] == 6.0 and f[1] == 8000.0 and f[2] == 1.0
+        mono = np.array(samples) / 32768.0
+        assert f[3] == round(float(np.sqrt((mono ** 2).mean())), 4)
+        assert f[4] == round(32767 / 32768, 4)
+        assert f[7] == round(2 / 6, 4)  # 32767 and -32768 clip at 0.999
+
+    def test_8bit_stereo_unsigned_offset(self):
+        import numpy as np
+
+        from aces_spark.datapipe.multimodal import decode_wav
+
+        # L channel silence (128 = 0.0), R channel full positive (255)
+        data = bytes([128, 255] * 4)
+        x, rate = decode_wav(_wav(8, 2, 44100, data))
+        assert rate == 44100 and x.shape == (4, 2)
+        assert np.allclose(x[:, 0], 0.0)
+        assert np.allclose(x[:, 1], 127 / 128)
+
+    def test_unsupported_and_corrupt(self):
+        import pytest as pt
+
+        from aces_spark.datapipe.multimodal import DecodeNotAvailable, decode_wav
+
+        with pt.raises(DecodeNotAvailable):
+            decode_wav(b"not a wav" * 10)
+        # float PCM (format 3) is unsupported, not corrupt
+        p = bytearray(_wav(16, 1, 8000, struct.pack("<2h", 0, 0)))
+        p[20:22] = struct.pack("<H", 3)
+        with pt.raises(DecodeNotAvailable):
+            decode_wav(bytes(p))
+        # truncated data chunk IS corrupt
+        good = _wav(16, 1, 8000, struct.pack("<4h", 1, 2, 3, 4))
+        with pt.raises(ValueError):
+            decode_wav(good[:-3])
+
+    def test_extract_features_sniffs_wav(self, spark):
+        from aces_spark.datapipe.multimodal import extract_features
+
+        wav = _wav(16, 2, 16000, struct.pack("<8h", *([1000, -1000] * 4)))
+        media = spark.createDataFrame(
+            [(1, bytearray(wav), "audio"), (2, bytearray(b"plain text"), "text")],
+            "media_id long, payload binary, media_type string",
+        )
+        got = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+        assert got[1][0] == 4.0 and got[1][1] == 16000.0 and got[1][2] == 2.0
+        assert len(got[2]) == 8  # byte fallback stays 8-dim
