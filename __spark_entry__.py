@@ -1329,8 +1329,11 @@ def q_multimodal_payload_stats(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal slow path: Arrow-batched mapInPandas feature extraction
-    over binary payloads (decode stubbed — see datapipe.multimodal).
-    Not SQL-expressible; driver records a rows-only check."""
+    over binary payloads (real PPM/PNG image + WAV audio decode cores;
+    text payloads here take the byte-profile path — see
+    datapipe.multimodal). The oracle hash-checks the SQL-expressible
+    columns (sizes + digests), so the Python-worker path itself is
+    value-verified."""
     docs = _read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -4332,8 +4335,9 @@ FROM documents
 """
 
     # multimodal_features runs the Arrow-batched mapInPandas slow path, but
-    # the columns it RETURNS (sizes + digests; the stub feature array is
-    # projected away) are plain SQL — so the Python-worker path itself gets
+    # the columns it RETURNS (sizes + digests; the feature array is
+    # projected away — its decode cores are pixel/sample-exact pytest
+    # territory) are plain SQL — so the Python-worker path itself gets
     # hash-checked against the oracle.
     sql["multimodal_features"] = """
 SELECT doc_id AS media_id,
