@@ -564,3 +564,32 @@ class TestWavDecode:
         got = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
         assert got[1][0] == 4.0 and got[1][1] == 16000.0 and got[1][2] == 2.0
         assert len(got[2]) == 8  # byte fallback stays 8-dim
+
+
+def test_decayed_sum_is_incrementally_mergeable(spark):
+    """The docstring's incremental claim, pinned: at a FIXED reference
+    timestamp, decayed_sum over a union equals the sum of per-batch
+    results (weights depend only on ref), so daily batches merge without
+    rescanning history."""
+    from aces_spark.operators.timeseries import decayed_sum
+
+    ref = ts("2024-02-01 00:00")
+    hl = datetime.timedelta(days=3)
+    b1 = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00"), 5.0), ("b", ts("2024-01-10 00:00"), 2.0)],
+        "k string, ts timestamp, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", ts("2024-01-20 00:00"), 7.0), ("c", ts("2024-01-31 00:00"), 1.0)],
+        "k string, ts timestamp, value double",
+    )
+    full = {
+        r["k"]: (r["n_events"], r["decayed_sum"])
+        for r in decayed_sum(b1.unionByName(b2), "k", half_life=hl, ref_ts=ref).collect()
+    }
+    merged: dict[str, tuple[int, float]] = {}
+    for b in (b1, b2):
+        for r in decayed_sum(b, "k", half_life=hl, ref_ts=ref).collect():
+            n, s = merged.get(r["k"], (0, 0.0))
+            merged[r["k"]] = (n + r["n_events"], round(s + r["decayed_sum"], 6))
+    assert {k: (n, round(s, 6)) for k, (n, s) in full.items()} == merged
