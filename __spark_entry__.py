@@ -2486,6 +2486,20 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(_read_events(spark, sf_dir), "user_id", p=9)
 
 
+def q_token_budget_fill(spark, sf_dir):
+    """Training-mixture manifest (datapipe.selection.token_budget_fill):
+    temperature-scaled per-domain token quotas (α=0.5, IEEE-exact sqrt
+    weights) filled by a deterministic hash-ordered greedy walk — the
+    step that turns a mixture policy into the actual doc list. 100k
+    token budget over documents by source; stable fill prefix means a
+    bigger budget only appends."""
+    from aces_spark.datapipe.selection import token_budget_fill
+
+    return token_budget_fill(
+        _read_table(spark, sf_dir, "documents"), token_budget=100_000
+    )
+
+
 def q_contamination_fraction(spark, sf_dir):
     """Per-document contamination report (datapipe.decontam
     .contamination_fraction): fraction of each corpus doc's distinct
@@ -2640,6 +2654,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_engagement": q_decayed_engagement,
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "contamination_fraction": q_contamination_fraction,
+    "token_budget_fill": q_token_budget_fill,
     # --- tier 2a (last green r3, 4 rounds stale): the displaced TPC-H classics rotate up first ---
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_join": q_revenue_join,
@@ -2675,7 +2690,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_vocab_topk": q_group_vocab_topk,
     "token_histogram": q_token_histogram,
     "corpus_mix": q_corpus_mix,
-    "embedding_dim_stats": q_embedding_dim_stats,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2687,6 +2701,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "embedding_dim_stats": q_embedding_dim_stats,
     "repetition_stats": q_repetition_stats,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -5193,6 +5208,45 @@ p AS (
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item)
 SELECT item_a, item_b, n_keys FROM p WHERE n_keys >= 2
+"""
+
+    # token-budget fill: sqrt-temperature quotas over per-domain token
+    # availability (division-first keeps budget*ratio in double's exact
+    # range), hash-ordered greedy fill with doc_id tie-break
+    sql["token_budget_fill"] = """
+WITH toks AS (
+  SELECT source AS domain, doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS n_tokens
+  FROM documents WHERE source IS NOT NULL),
+avail AS (
+  SELECT domain, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM toks GROUP BY domain),
+w AS (
+  SELECT domain, avail_tokens,
+    CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      AS w_u
+  FROM avail),
+q AS (
+  SELECT domain,
+    LEAST(avail_tokens,
+      CAST(FLOOR(100000.0 * (CAST(w_u AS DOUBLE)
+                             / CAST(SUM(w_u) OVER () AS DOUBLE)) + 0.5)
+           AS BIGINT)) AS quota_tokens
+  FROM w),
+ordered AS (
+  SELECT t.domain, t.doc_id, t.n_tokens, q.quota_tokens,
+    CAST(SUM(t.n_tokens) OVER (
+      PARTITION BY t.domain
+      ORDER BY CAST(concat('0x', substring(md5(concat('0|',
+                 CAST(t.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 ASC,
+               t.doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM toks t JOIN q USING (domain))
+SELECT domain, doc_id, n_tokens, cum_tokens, quota_tokens
+FROM ordered WHERE cum_tokens <= quota_tokens
 """
 
     # per-doc contamination fraction: same shingle CTEs as the flag

@@ -21,12 +21,17 @@ oracles hash-match: micro-unit floors, basis-point rounding via the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["greedy_coverage_select", "temperature_mix_weights", "dsir_score"]
+__all__ = [
+    "greedy_coverage_select",
+    "temperature_mix_weights",
+    "dsir_score",
+    "token_budget_fill",
+]
 
 
 def doc_word_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -249,3 +254,100 @@ def dsir_score(
         )
     )
     return scored.orderBy(F.desc("dsir_score_u"), F.asc("doc_id")).limit(k)
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    token_budget: int,
+    alpha_pct: int = 50,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Fill a total token budget across domains: temperature-scaled
+    per-domain quotas (``quota_d ∝ avail_d^(alpha_pct/100)``, clamped at
+    what the domain has), then a deterministic hash-ordered greedy fill
+    inside each domain until its quota is reached — the step that turns
+    a mixture policy into an actual training-set manifest. Returns the
+    KEPT docs ``(domain, doc_id, n_tokens, cum_tokens, quota_tokens)``.
+
+    Determinism contract: availability weights snap to integer
+    micro-units (``sqrt`` is IEEE-correctly-rounded, so alpha 50 is
+    bit-exact everywhere; other alphas inherit the pow caveat of
+    ``temperature_mix_weights``); the quota is
+    ``floor(budget · (weight_u / tot_u) + 0.5)`` with the DIVISION
+    FIRST — the ratio ≤ 1 keeps the product inside double's exact-integer
+    range for any budget < 2^53 tokens, where ``budget · weight_u``
+    would overflow it at corpus scale. Fill order is the md5 sample
+    bucket with doc-id tie-break (a total order), so the manifest is
+    reproducible bit-for-bit and re-running with a bigger budget only
+    APPENDS docs (the fill prefix is stable — what makes incremental
+    budget raises cheap). Token counts are whitespace tokens, the
+    ``sequence_packing`` convention.
+
+    Scale shape: the narrow (doc, domain, tokens) projection is scanned
+    twice — once for the |domains|-row availability aggregate, once for
+    the fill window — which at 100 TB beats materializing a corpus-sized
+    checkpoint (the projection is scan-bound, carries no shuffle, and
+    the two consumers' exchanges are both keyed by domain). Quotas come
+    back as a broadcast |domains|-row join; domain skew in the fill
+    window is bounded by the running frame, not island fan-out.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    if not 0 <= alpha_pct <= 100:
+        raise ValueError("alpha_pct must be in [0, 100]")
+    from .sampling import sample_bucket_expr
+
+    text = F.col(text_col)
+    n_tokens = (
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+        .cast("long")
+    )
+    toks = docs.filter(F.col(domain_col).isNotNull()).select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+    )
+    avail = toks.groupBy("domain").agg(
+        F.sum("n_tokens").cast("long").alias("avail_tokens")
+    )
+    if alpha_pct == 50:
+        scaled = F.sqrt(F.col("avail_tokens").cast("double"))
+    elif alpha_pct == 100:
+        scaled = F.col("avail_tokens").cast("double")
+    elif alpha_pct == 0:
+        scaled = F.lit(1.0)
+    else:
+        scaled = F.pow(F.col("avail_tokens").cast("double"), F.lit(alpha_pct / 100.0))
+    w = avail.withColumn(
+        "__w_u", F.floor(scaled * 1000000 + F.lit(0.5)).cast("long")
+    )
+    quotas = w.select(
+        "domain",
+        F.least(
+            F.col("avail_tokens"),
+            F.floor(
+                F.lit(float(token_budget))
+                * (
+                    F.col("__w_u").cast("double")
+                    / F.expr("sum(__w_u) OVER ()").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("quota_tokens"),
+    )
+    order = [sample_bucket_expr(F.col("doc_id"), seed).asc(), F.col("doc_id").asc()]
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("domain").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        toks.join(F.broadcast(quotas), "domain")
+        .withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .select("domain", "doc_id", "n_tokens", "cum_tokens", "quota_tokens")
+    )

@@ -593,3 +593,54 @@ def test_decayed_sum_is_incrementally_mergeable(spark):
             n, s = merged.get(r["k"], (0, 0.0))
             merged[r["k"]] = (n + r["n_events"], round(s + r["decayed_sum"], 6))
     assert {k: (n, round(s, 6)) for k, (n, s) in full.items()} == merged
+
+
+# --------------------------------------------------- token_budget_fill
+
+
+class TestTokenBudgetFill:
+    def _docs(self, spark):
+        rows = []
+        for i in range(30):
+            dom = "web" if i % 3 else "books"
+            rows.append((i, dom, "tok " * (5 + i % 7)))
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_quota_respected_and_cum_consistent(self, spark):
+        from aces_spark.datapipe.selection import token_budget_fill
+
+        out = token_budget_fill(self._docs(spark), token_budget=80).collect()
+        assert out, "budget 80 over ~180 tokens must keep something"
+        by_dom: dict[str, list] = {}
+        for r in out:
+            assert r["cum_tokens"] <= r["quota_tokens"]
+            by_dom.setdefault(r["domain"], []).append(r)
+        for rows in by_dom.values():
+            rows.sort(key=lambda r: r["cum_tokens"])
+            run = 0
+            for r in rows:
+                run += r["n_tokens"]
+                assert r["cum_tokens"] == run  # kept set is a fill PREFIX
+
+    def test_bigger_budget_only_appends(self, spark):
+        from aces_spark.datapipe.selection import token_budget_fill
+
+        docs = self._docs(spark)
+        small = {r["doc_id"] for r in token_budget_fill(docs, 60).collect()}
+        big = {r["doc_id"] for r in token_budget_fill(docs, 140).collect()}
+        assert small <= big
+
+    def test_full_budget_takes_everything(self, spark):
+        from aces_spark.datapipe.selection import token_budget_fill
+
+        docs = self._docs(spark)
+        out = token_budget_fill(docs, 10_000_000).collect()
+        assert len(out) == 30  # quota clamps at availability, all kept
+
+    def test_validation(self, spark):
+        from aces_spark.datapipe.selection import token_budget_fill
+
+        with pytest.raises(ValueError, match="token_budget"):
+            token_budget_fill(self._docs(spark), -1)
+        with pytest.raises(ValueError, match="alpha_pct"):
+            token_budget_fill(self._docs(spark), 10, alpha_pct=101)
