@@ -2500,6 +2500,94 @@ def q_token_budget_fill(spark, sf_dir):
     )
 
 
+def q_sq8_codes(spark, sf_dir):
+    """Scalar int8 quantization codes (datapipe.sq.sq8_encode — the
+    FAISS ScalarQuantizer layout, the PQ family's lighter sibling):
+    per-dim min/max bounds from ONE order-free aggregate, baked back
+    as literal arrays so encoding is MAP-ONLY zero-shuffle; codes are
+    bit-deterministic (exact inputs, identical IEEE expression tree).
+    Long-format (vec_id, dim, code) output for canonicalization."""
+    from aces_spark.datapipe.sq import collect_sq8_bounds, sq8_bounds, sq8_encode
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lo, hi = collect_sq8_bounds(sq8_bounds(emb))
+    return sq8_encode(emb, lo, hi).select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "code")
+
+
+def q_sq8_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over the SQ8-compressed corpus
+    (datapipe.sq.sq8_topk): queries full-precision, corpus dequantized
+    on the fly (≡ what a stored-codes index returns); broadcast queries
+    × map-only dequantized corpus → the shared rank_topk epilogue."""
+    from aces_spark.datapipe.sq import sq8_topk
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_corpus_diversity(spark, sf_dir):
+    """Mean pairwise cosine of the whole embedding corpus WITHOUT
+    forming pairs (datapipe.similarity.corpus_diversity): the identity
+    Σ_{i≠j}<u_i,u_j> = |Σu|² − Σ|u|² collapses the O(n²) question to
+    one posexplode + a dim-keyed aggregate — O(n·d), one exchange,
+    zero joins; micro-unit snapping + DECIMAL squares keep it
+    engine-exact."""
+    from aces_spark.datapipe.similarity import corpus_diversity
+
+    return corpus_diversity(_read_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Norm z-score embedding QA report (datapipe.similarity
+    .embedding_norm_outliers): micro-unit norms, EXACT integer
+    mean/variance (Σu long, Σu² DECIMAL), one map-only pass + a 1-row
+    broadcast join — catches truncated/blown-up vectors before they
+    poison an index."""
+    from aces_spark.datapipe.similarity import embedding_norm_outliers
+
+    return embedding_norm_outliers(_read_table(spark, sf_dir, "embeddings"))
+
+
+def q_hist_by_group(spark, sf_dir):
+    """Per-source document-length quantiles off the GROUPED histogram
+    sketch (datapipe.sketches.hist_registers_by/hist_quantiles_by) —
+    the scalable GROUP BY + percentile replacement: one hash aggregate
+    bounded at |sources|·400 rows however big the corpus, then
+    sketch-sized window + probe work only."""
+    from aces_spark.datapipe.sketches import hist_quantiles_by, hist_registers_by
+
+    docs = _read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    regs = hist_registers_by(docs, "source", "n_chars", lo=0.0, hi=4000.0, buckets=400)
+    return hist_quantiles_by(
+        regs, "source", [0.5, 0.9, 0.99], lo=0.0, hi=4000.0, buckets=400
+    )
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Flesch-family readability signals (datapipe.text.sentence_stats):
+    sentence segmentation on [.!?] runs, whitespace words, vowel-group
+    syllable proxy, reading ease from the 4 dp-rounded ratios — all
+    row-local Column expressions, map-only, zero shuffle."""
+    from aces_spark.datapipe.text import sentence_stats
+
+    return sentence_stats(_read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/val/test split (datapipe.packing
+    .leakage_safe_splits): the chain-graph near-dup clusters are
+    assigned to splits as UNITS by the md5 bucket of the cluster
+    representative — no near-duplicate can straddle train and test.
+    Oracle: the dedup_clusters recursive closure + the assign_splits
+    bucket rule on cluster_id."""
+    from aces_spark.datapipe.packing import leakage_safe_splits
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    return leakage_safe_splits(docs, _chain_pairs(docs))
+
+
 def q_contamination_fraction(spark, sf_dir):
     """Per-document contamination report (datapipe.decontam
     .contamination_fraction): fraction of each corpus doc's distinct
@@ -2647,6 +2735,13 @@ def q_adamic_adar(spark, sf_dir):
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
+    "sq8_codes": q_sq8_codes,
+    "sq8_topk": q_sq8_topk,
+    "corpus_diversity": q_corpus_diversity,
+    "embedding_outliers": q_embedding_outliers,
+    "hist_by_group": q_hist_by_group,
+    "sentence_stats": q_sentence_stats,
+    "leakage_safe_split": q_leakage_safe_split,
     "adamic_adar_links": q_adamic_adar,
     "tfidf_cosine_dups": q_tfidf_cosine,
     "user_active_coverage": q_user_active_coverage,
@@ -6270,5 +6365,166 @@ r AS (SELECT h & 511 AS register,
       FROM h)
 SELECT register, CAST(MAX(rnk) AS INT) AS max_rank
 FROM r GROUP BY register
+"""
+
+    # SQ8 scalar quantization: per-dim min/max is ORDER-FREE (engine-
+    # exact), and the affine floor is the identical IEEE expression tree
+    # on both sides — codes are bit-deterministic, no rounding needed
+    sql["sq8_codes"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, u.i AS dim, v[u.i + 1] AS x
+      FROM e, UNNEST(range(0, len(v))) AS u(i)),
+b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY dim)
+SELECT vec_id, d.dim,
+  CAST(CASE WHEN hi = lo THEN 0
+       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT),
+                           0), 255)
+       END AS INT) AS code
+FROM d JOIN b USING (dim)
+"""
+
+    # SQ8 asymmetric-distance top-k: dequantized corpus list reassembled
+    # in dim order so list_dot_product mirrors the JVM sequential fold
+    sql["sq8_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, u.i AS dim, v[u.i + 1] AS x
+      FROM e, UNNEST(range(0, len(v))) AS u(i)),
+b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY dim),
+c AS (SELECT vec_id, d.dim, lo, hi,
+        CASE WHEN hi = lo THEN 0
+        ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT),
+                            0), 255) END AS code
+      FROM d JOIN b USING (dim)),
+xh AS (SELECT vec_id, list(lo + code / 255.0 * (hi - lo) ORDER BY dim) AS xv
+       FROM c GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT query_id, xh.vec_id AS neighbor_id,
+        ROUND(list_dot_product(qv, xh.xv), 6) AS adc_dot
+      FROM q, xh WHERE query_id <> xh.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dot DESC, neighbor_id ASC) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, adc_dot FROM r WHERE rk <= 5
+"""
+
+    # corpus diversity via |Σu|² − Σ|u|²: micro-unit snapped normalized
+    # coords, hugeint-exact sums; a single snap flip moves the mean by
+    # ~1e-12 — far inside the 6 dp rounding
+    sql["corpus_diversity"] = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+f AS (SELECT v, nrm FROM n WHERE nrm > 0),
+d AS (SELECT u.i AS dim,
+        CAST(FLOOR(v[u.i + 1] / nrm * 1000000 + 0.5) AS BIGINT) AS uu
+      FROM f, UNNEST(range(0, len(v))) AS u(i)),
+p AS (SELECT dim, COUNT(*) AS cnt, SUM(uu) AS s, SUM(uu * uu) AS q
+      FROM d GROUP BY dim),
+a AS (SELECT MAX(cnt) AS n_vectors, SUM(s * s) AS cr, SUM(q) AS sf FROM p)
+SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+  ROUND(CAST(cr - sf AS DOUBLE)
+        / (CAST(n_vectors AS DOUBLE) * (CAST(n_vectors AS DOUBLE) - 1.0))
+        / 1000000.0 / 1000000.0, 6) AS mean_pairwise_cosine
+FROM a
+"""
+
+    # norm z-score outliers: micro-unit norms, exact integer mean/var
+    # (n·Σu² − (Σu)² in hugeint), the final z is the only float division
+    sql["embedding_outliers"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+        CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT) AS uu
+      FROM e),
+st AS (SELECT COUNT(*) AS n, SUM(uu) AS s, SUM(uu * uu) AS q FROM u),
+z AS (SELECT vec_id, CAST(uu AS DOUBLE) / 1000000 AS norm,
+        CASE WHEN n * q - s * s > 0 THEN
+          ROUND((CAST(uu AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt(CAST(n * q - s * s AS DOUBLE)) * CAST(n AS DOUBLE), 4)
+        END AS z
+      FROM u, st)
+SELECT vec_id, norm, z, COALESCE(ABS(z) > 2.0, FALSE) AS is_outlier FROM z
+"""
+
+    # grouped histogram sketch: per-source bucketing + the ceil(q·total)
+    # upper-edge readout rule of hist_quantiles, partitioned by source
+    sql["hist_by_group"] = """
+WITH regs AS (
+  SELECT source,
+    CAST(LEAST(GREATEST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 4000.0 * 400) AS BIGINT), 0), 399) AS INT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT source, bucket,
+    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM regs),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM regs GROUP BY source),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5),(0.9),(0.99)) t(q))
+SELECT source, q, 0.0 + CAST(b + 1 AS DOUBLE) * 10.0 AS est_value
+FROM (
+  SELECT t.source, q, MIN(bucket) AS b
+  FROM qs, tot t JOIN cum c ON c.source = t.source
+  WHERE cum >= CAST(CEIL(q * total) AS BIGINT)
+  GROUP BY 1, 2)
+"""
+
+    # readability signals: sentence segments on [.!?] runs, whitespace
+    # words (the token_counts rule), vowel-group syllables; reading ease
+    # from the 4 dp-rounded ratios exactly as the Spark column chain
+    sql["sentence_stats"] = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents),
+r AS (
+  SELECT doc_id, n_sentences, n_words, n_syllables,
+    ROUND(CASE WHEN n_sentences > 0
+          THEN CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) END, 4)
+      AS words_per_sentence,
+    ROUND(CASE WHEN n_words > 0
+          THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) END, 4)
+      AS syllables_per_word
+  FROM b)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+  words_per_sentence, syllables_per_word,
+  ROUND(206.835 - 1.015 * words_per_sentence - 84.6 * syllables_per_word, 3)
+    AS reading_ease
+FROM r
+"""
+
+    # cluster-aware split: the dedup_clusters recursive closure, then
+    # the assign_splits 90/5/5 bucket rule keyed on cluster_id
+    sql["leakage_safe_split"] = """
+WITH RECURSIVE
+p AS (
+  SELECT d1.doc_id AS doc_a, d1.doc_id + 1 AS doc_b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 10 < 4),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)),
+sized AS (
+  SELECT doc_id, cluster_id,
+    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM allc),
+bkt AS (
+  SELECT *, CAST(concat('0x', substring(md5(concat('0|', CAST(cluster_id AS VARCHAR))), 1, 8))
+                 AS BIGINT) % 10000 AS b
+  FROM sized)
+SELECT doc_id, cluster_id, cluster_size,
+  CASE WHEN b < 9000 THEN 'train'
+       WHEN b < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM bkt
 """
     return sql

