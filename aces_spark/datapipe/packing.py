@@ -132,3 +132,32 @@ def assign_splits(
     for name, bound in reversed(conds):
         expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: every transitive near-dup cluster (from any of the dedup
+    miners' pair outputs) is assigned as a UNIT, by the md5 bucket of
+    its cluster representative — the eval-integrity step naive per-doc
+    hashing gets wrong (a doc in train and its 0.98-Jaccard copy in test
+    silently inflates held-out metrics; the published dedup papers'
+    motivating failure).
+
+    Output ``(doc_id, cluster_id, cluster_size, split)``. Plan: the
+    log-round star closure from clusters.connected_components, then a
+    row-local bucket on ``cluster_id`` — the split itself adds ZERO
+    shuffle on top of the clustering, and singleton docs (absent from
+    ``pairs``) hash exactly as in :func:`assign_splits` because their
+    cluster id IS their doc id."""
+    from .clusters import dedup_clusters
+
+    clustered = dedup_clusters(docs, pairs, id_col=id_col, src=src, dst=dst)
+    return assign_splits(clustered, splits, key_col="cluster_id", seed=seed)

@@ -459,3 +459,104 @@ def hll_distinct_by(
         n_empty.cast("long").alias("n_empty_registers"),
         (F.floor(est * 10000 + 0.5).cast("double") / 10000.0).alias("estimate"),
     )
+
+
+def hist_registers_by(
+    df: DataFrame,
+    keys,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group histogram register table ``(keys…, bucket, cnt)`` — the
+    grouped quantile sketch: the scalable replacement for
+    ``GROUP BY k, percentile(col, q)``, whose exact form needs a
+    per-group SORT of the data. This needs ONE hash aggregate whose
+    output is ≤ |keys|·buckets rows however many values each key holds;
+    disjoint corpora's tables union-sum with :func:`hist_merge_by`.
+    Identical IEEE-exact affine bucketing as :func:`hist_registers`."""
+    if hi <= lo:
+        raise ValueError("hist_registers_by: need hi > lo")
+    if buckets < 1:
+        raise ValueError("hist_registers_by: need buckets >= 1")
+    if isinstance(keys, str):
+        keys = [keys]
+    x = F.col(col).cast("double")
+    raw = F.floor((x - lo) / (hi - lo) * buckets).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, b.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge_by(keys, *register_tables: DataFrame) -> DataFrame:
+    """Union-sum per-group histogram tables built with identical
+    (lo, hi, buckets): merge ≡ sketch of the union, per group."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if not register_tables:
+        raise ValueError("hist_merge_by: need at least one register table")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantiles_by(
+    registers: DataFrame,
+    keys,
+    qs: list,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group quantile readout: for each group and each ``q`` the
+    UPPER EDGE of the first bucket whose within-group cumulative count
+    reaches ``ceil(q · group_total)`` — the same deterministic rule as
+    :func:`hist_quantiles`, partitioned. Register relation is ≤
+    |keys|·buckets rows, so the window cumsum, the per-group total, and
+    the |qs|-way probe are all sketch-sized work — no pass over the
+    original data, and the probe join keys on the GROUP (equi-join, not
+    a cross join)."""
+    from pyspark.sql import Window
+
+    if isinstance(keys, str):
+        keys = [keys]
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("hist_quantiles_by: each q must be in (0, 1]")
+    registers = registers.localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = registers.select(
+        *keys, "bucket", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = registers.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("total"))
+    qdf = registers.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    width = (hi - lo) / buckets
+    target = F.ceil(F.col("q") * F.col("total")).cast("long")
+    probes = total.crossJoin(F.broadcast(qdf)).select(*keys, "q", target.alias("__t"))
+    return (
+        probes.join(F.broadcast(cum), [*keys], "inner")
+        .filter(F.col("cum") >= F.col("__t"))
+        .groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("__b"))
+        .select(
+            *keys,
+            "q",
+            (F.lit(lo) + (F.col("__b") + 1).cast("double") * F.lit(width)).alias(
+                "est_value"
+            ),
+        )
+    )
