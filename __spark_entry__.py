@@ -2588,6 +2588,19 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_splits(docs, _chain_pairs(docs))
 
 
+def q_mmr_select(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-3 re-rank
+    (datapipe.selection.mmr_select, λ=0.7 as the rational 7/10):
+    integer-exact greedy over a 10-candidate relevance pool — each round
+    compares pure integers (7·rel_u − 3·maxsim_u, micro-unit snapped)
+    with the id tie-break; candidate relation lineage-truncated once,
+    selected relation per round. Oracle: the same rounds unrolled."""
+    from aces_spark.datapipe.selection import mmr_select
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mmr_select(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=10)
+
+
 def q_contamination_fraction(spark, sf_dir):
     """Per-document contamination report (datapipe.decontam
     .contamination_fraction): fraction of each corpus doc's distinct
@@ -2742,6 +2755,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_by_group": q_hist_by_group,
     "sentence_stats": q_sentence_stats,
     "leakage_safe_split": q_leakage_safe_split,
+    "mmr_select": q_mmr_select,
     "adamic_adar_links": q_adamic_adar,
     "tfidf_cosine_dups": q_tfidf_cosine,
     "user_active_coverage": q_user_active_coverage,
@@ -6527,4 +6541,69 @@ SELECT doc_id, cluster_id, cluster_size,
        ELSE 'test' END AS split
 FROM bkt
 """
+
+    # MMR: the identical integer greedy unrolled — micro-snapped cosine
+    # (the cosine() NULL-on-zero-norm contract mirrored by CASE), pure
+    # integer 7·rel_u − 3·maxsim_u scores, (score desc, id asc) argmax
+    _mmr_cos = (
+        "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+        "THEN list_dot_product({a}, {b}) "
+        "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END"
+    )
+    _mmr_round = f"""
+rem{{i}} AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel{{p}} s
+                    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+ms{{i}} AS (
+  SELECT r.query_id, r.cand_id,
+    MAX(CAST(FLOOR(({_mmr_cos.format(a="r.v", b="s.v")}) * 1000000 + 0.5) AS BIGINT))
+      AS maxsim_u
+  FROM rem{{i}} r JOIN sel{{p}} s ON s.query_id = r.query_id
+  GROUP BY 1, 2),
+sc{{i}} AS (
+  SELECT c.query_id, c.cand_id, c.rel_u, c.v,
+         7 * c.rel_u - 3 * m.maxsim_u AS score_u
+  FROM ms{{i}} m JOIN cand c
+    ON c.query_id = m.query_id AND c.cand_id = m.cand_id),
+m{{i}} AS (
+  SELECT query_id, cand_id, rel_u, score_u, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_u DESC, cand_id ASC) AS rk2
+    FROM sc{{i}}) WHERE rk2 = 1),
+sel{{i}} AS (SELECT query_id, cand_id, v FROM sel{{p}}
+             UNION ALL SELECT query_id, cand_id, v FROM m{{i}})"""
+    sql["mmr_select"] = (
+        f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+s0 AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    CAST(FLOOR(({_mmr_cos.format(a="qv", b="e.v")}) * 1000000 + 0.5) AS BIGINT)
+      AS rel_u,
+    e.v AS v
+  FROM q, e WHERE query_id <> e.vec_id),
+cand AS (
+  SELECT query_id, cand_id, rel_u, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel_u DESC, cand_id ASC) AS rk
+    FROM s0) WHERE rk <= 10),
+m1 AS (
+  SELECT query_id, cand_id, rel_u, CAST(NULL AS BIGINT) AS score_u, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel_u DESC, cand_id ASC) AS rk
+    FROM cand) WHERE rk = 1),
+sel1 AS (SELECT query_id, cand_id, v FROM m1),"""
+        + _mmr_round.format(i=2, p=1)
+        + ","
+        + _mmr_round.format(i=3, p=2)
+        + """
+SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
+  CAST(rel_u AS DOUBLE) / 1000000 AS rel,
+  CAST(score_u AS DOUBLE) / 10 / 1000000 AS mmr_score
+FROM (
+  SELECT 1 AS rank, query_id, cand_id, rel_u, score_u FROM m1
+  UNION ALL SELECT 2, query_id, cand_id, rel_u, score_u FROM m2
+  UNION ALL SELECT 3, query_id, cand_id, rel_u, score_u FROM m3)
+"""
+    )
     return sql

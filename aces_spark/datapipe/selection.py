@@ -31,6 +31,7 @@ __all__ = [
     "temperature_mix_weights",
     "dsir_score",
     "token_budget_fill",
+    "mmr_select",
 ]
 
 
@@ -350,4 +351,147 @@ def token_budget_fill(
         .withColumn("cum_tokens", cum.cast("long"))
         .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
         .select("domain", "doc_id", "n_tokens", "cum_tokens", "quota_tokens")
+    )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k re-rank (Carbonell &
+    Goldstein 1998): per query, greedily pick the candidate maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — the standard
+    diversity re-rank for retrieval results and for sampling varied
+    exemplars from a clustered corpus (plain top-k returns k near-copies
+    of the best hit; MMR returns the best hit plus its complements).
+
+    Integer-exact greedy: λ is the RATIONAL ``lam_num/lam_den``,
+    relevance and pairwise similarities snap to micro-units, so every
+    round's argmax compares pure integers (``lam_num·rel_u −
+    (lam_den−lam_num)·maxsim_u``) with the id tie-break — no float
+    accumulation across rounds, and the DuckDB oracle unrolls the same
+    rounds verbatim.
+
+    Plan shape: ONE corpus-wide pass builds the top-``pool`` relevance
+    candidates per query (broadcast queries, the brute_force_topk plan;
+    at index scale swap in the IVF candidate generator — the greedy is
+    agnostic to where candidates came from). Every greedy round then
+    touches only |queries|·pool candidate rows joined against the
+    ≤ |queries|·round selected rows — broadcast-sized work per round,
+    with the candidate relation lineage-truncated ONCE for all rounds
+    and the selected relation truncated per round (the
+    greedy_coverage_select discipline).
+
+    Returns ``(query_id, rank, neighbor_id, rel, mmr_score)`` with
+    ``rank`` 1-based; ``mmr_score`` is NULL for rank 1 (the seed pick is
+    pure argmax-relevance — the textbook initialization)."""
+    from .similarity import cosine
+
+    if k < 1 or pool < k:
+        raise ValueError("mmr_select: need k >= 1 and pool >= k")
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("mmr_select: need 0 < lam_num <= lam_den")
+    unit = 1_000_000
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    rel_u = F.floor(cosine(F.col("__qv"), F.col("__cv")) * unit + 0.5).cast("long")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", rel_u.alias("rel_u"), "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("cand_id").asc()
+    )
+    cand = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= pool)
+        .drop("__rk")
+        .localCheckpoint(eager=False)  # feeds every greedy round
+    )
+
+    picks = (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    ).select(
+        "query_id",
+        F.lit(1).alias("rank"),
+        "cand_id",
+        "rel_u",
+        F.lit(None).cast("long").alias("score_u"),
+        "__cv",
+    )
+    selected = picks.select("query_id", "cand_id", "__cv").localCheckpoint(
+        eager=False
+    )
+    out = [picks.drop("__cv")]
+
+    sim_u = F.floor(cosine(F.col("__cv"), F.col("__sv")) * unit + 0.5).cast("long")
+    for rnd in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "cand_id"), ["query_id", "cand_id"], "anti"
+        )
+        pairs = remaining.join(
+            F.broadcast(
+                selected.select(
+                    "query_id", F.col("__cv").alias("__sv")
+                )
+            ),
+            "query_id",
+        )
+        maxsim = pairs.groupBy("query_id", "cand_id").agg(
+            F.max("rel_u").alias("rel_u"),
+            F.max(sim_u).alias("maxsim_u"),
+            F.first("__cv").alias("__cv"),
+        )
+        score = (
+            F.lit(lam_num) * F.col("rel_u")
+            - F.lit(lam_den - lam_num) * F.col("maxsim_u")
+        ).cast("long")
+        w_s = Window.partitionBy("query_id").orderBy(
+            F.col("score_u").desc(), F.col("cand_id").asc()
+        )
+        pick = (
+            maxsim.withColumn("score_u", score)
+            .withColumn("__rk", F.row_number().over(w_s))
+            .filter(F.col("__rk") == 1)
+            .select(
+                "query_id",
+                F.lit(rnd).alias("rank"),
+                "cand_id",
+                "rel_u",
+                "score_u",
+                "__cv",
+            )
+        )
+        selected = (
+            selected.unionByName(pick.select("query_id", "cand_id", "__cv"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(pick.drop("__cv"))
+
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cand_id").alias("neighbor_id"),
+        (F.col("rel_u").cast("double") / unit).alias("rel"),
+        (F.col("score_u").cast("double") / lam_den / unit).alias("mmr_score"),
     )
