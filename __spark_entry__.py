@@ -2601,6 +2601,29 @@ def q_mmr_select(spark, sf_dir):
     return mmr_select(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=10)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty over the near-dup-augmented corpus
+    (datapipe.dedup.ngram_novelty, 5-grams): fraction of each doc's
+    distinct shingles FIRST introduced by that doc (owner = min doc_id)
+    — truncated copies own none of their shingles and score 0. Plan:
+    min-over-shingle window + doc aggregate, two exchanges, NO join."""
+    from aces_spark.datapipe.dedup import ngram_novelty
+
+    return ngram_novelty(_docs_with_near_dups(spark, sf_dir), n=5)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (datapipe.text
+    .tokenizer_fertility): BPE-ish tokens per whitespace word + chars
+    per token from exact integer sums — the multilingual
+    tokenizer-efficiency diagnostic; one group aggregate."""
+    from aces_spark.datapipe.text import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _read_table(spark, sf_dir, "documents"), group_col="lang"
+    )
+
+
 def q_contamination_fraction(spark, sf_dir):
     """Per-document contamination report (datapipe.decontam
     .contamination_fraction): fraction of each corpus doc's distinct
@@ -2756,6 +2779,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_stats": q_sentence_stats,
     "leakage_safe_split": q_leakage_safe_split,
     "mmr_select": q_mmr_select,
+    "ngram_novelty": q_ngram_novelty,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "adamic_adar_links": q_adamic_adar,
     "tfidf_cosine_dups": q_tfidf_cosine,
     "user_active_coverage": q_user_active_coverage,
@@ -6606,4 +6631,49 @@ FROM (
   UNION ALL SELECT 3, query_id, cand_id, rel_u, score_u FROM m3)
 """
     )
+
+    # n-gram novelty: min-over-shingle ownership (order-free), then the
+    # (2N+D) div 2D round-half-up basis points — no join on either side
+    sql["ngram_novelty"] = f"""
+WITH aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5),
+m AS (SELECT doc_id,
+        MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST((2 * SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 10000 + COUNT(*))
+       // (2 * COUNT(*)) AS BIGINT) AS novelty_bp
+FROM m GROUP BY doc_id
+"""
+
+    # tokenizer fertility: the token_counts word rules, exact integer
+    # sums per language, two 4 dp divisions
+    sql["tokenizer_fertility"] = """
+WITH per AS (
+  SELECT lang AS "group",
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe,
+    CAST(length(text) AS BIGINT) AS chars
+  FROM documents),
+a AS (SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(chars) AS BIGINT) AS chars
+      FROM per GROUP BY 1)
+SELECT "group", n_docs, ws_tokens, bpe_tokens,
+  ROUND(CASE WHEN ws_tokens > 0
+        THEN CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) END, 4)
+    AS fertility,
+  ROUND(CASE WHEN bpe_tokens > 0
+        THEN CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END, 4)
+    AS chars_per_token
+FROM a
+"""
     return sql

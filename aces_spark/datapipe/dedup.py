@@ -803,3 +803,42 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", "n_shared_terms", cos6.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that first appear in that doc (first = owned by the
+    minimum doc_id over the whole corpus) — the freshness curve an
+    incremental corpus-growth pipeline watches (a crawl snapshot whose
+    novelty collapses toward 0 is re-crawling what it already has;
+    boilerplate-heavy docs score low against any corpus).
+
+    Returns ``(doc_id, n_shingles, n_novel, novelty_bp)`` for every doc
+    with at least one shingle (docs shorter than ``n`` tokens have no
+    n-grams and are absent — mirror of the shingle guard). novelty_bp is
+    round-half-up basis points via the pure-integer ``(2N+D) div 2D``
+    recipe.
+
+    Plan shape — NO join: one shingle exchange (min-over-window marks
+    each shingle's owner) + one doc-keyed aggregate. Two exchanges
+    total however big the corpus; ownership is a min, so the answer is
+    order-free and engine-exact. At 100 TB swap the raw shingle string
+    for the hashed-shingle variant (`_capped_hashed_shingles`) — the
+    window/agg shape is unchanged."""
+    sh = word_shingles(docs, n, text_col)
+    w = Window.partitionBy("shingle")
+    marked = sh.withColumn("__first", F.min("doc_id").over(w))
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum((F.col("doc_id") == F.col("__first")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return agg.withColumn(
+        "novelty_bp",
+        F.expr("(2 * n_novel * 10000 + n_shingles) div (2 * n_shingles)").cast(
+            "long"
+        ),
+    )

@@ -524,3 +524,49 @@ def sentence_stats(
         .withColumn("syllables_per_word", F.round(spw, 4))
         .withColumn("reading_ease", F.round(ease, 3))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group tokenizer-fertility report: BPE-ish tokens per
+    whitespace word and characters per BPE-ish token — the standard
+    tokenizer-efficiency diagnostic for a multilingual mix (a language
+    whose fertility is 2× the corpus mean pays 2× the compute per word;
+    chars/token collapsing toward 1 flags byte-fallback-style
+    fragmentation).
+
+    Exact integer sums (counts are longs; no float accumulates across
+    rows), one group-keyed aggregate with map-side partials, then two
+    divisions at 4 dp — NULL when the denominator is zero. Output:
+    ``(group, n_docs, ws_tokens, bpe_tokens, fertility,
+    chars_per_token)``."""
+    t = F.col(text_col)
+    per = df.select(
+        F.col(group_col).alias("group"),
+        token_count(t).alias("__ws"),
+        bpe_ish_token_count(t).alias("__bpe"),
+        F.length(t).cast("long").alias("__chars"),
+    )
+    agg = per.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.sum("__chars").cast("long").alias("__chars"),
+    )
+    fert = F.when(
+        F.col("ws_tokens") > 0,
+        F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"),
+    )
+    cpt = F.when(
+        F.col("bpe_tokens") > 0,
+        F.col("__chars").cast("double") / F.col("bpe_tokens").cast("double"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(fert, 4).alias("fertility"),
+        F.round(cpt, 4).alias("chars_per_token"),
+    )

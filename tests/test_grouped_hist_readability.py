@@ -178,3 +178,66 @@ class TestLeakageSafeSplit:
         docs, pairs = self._fixture(spark)
         got = leakage_safe_splits(docs, pairs, splits={"train": 0.5, "test": 0.5})
         assert set(r["split"] for r in got.collect()) <= {"train", "test"}
+
+
+# ------------------------------------------------------ ngram_novelty
+
+
+class TestNgramNovelty:
+    def test_duplicate_owns_nothing(self, spark):
+        from aces_spark.datapipe.dedup import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),          # 2 distinct 5-grams, both novel
+                (2, "a b c d e f"),          # exact copy: owns none
+                (3, "x y z"),                # < 5 tokens: absent
+                (4, "a b c d e zzz"),        # 1 of 2 shingles shared with doc1
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(docs, n=5).collect()}
+        assert 3 not in got
+        assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 2)
+        assert got[1]["novelty_bp"] == 10000
+        assert (got[2]["n_shingles"], got[2]["n_novel"]) == (2, 0)
+        assert got[2]["novelty_bp"] == 0
+        # doc4: "a b c d e" owned by doc1; "b c d e zzz" novel
+        assert (got[4]["n_shingles"], got[4]["n_novel"]) == (2, 1)
+        assert got[4]["novelty_bp"] == 5000
+
+    def test_bp_rounds_half_up(self, spark):
+        from aces_spark.datapipe.dedup import ngram_novelty
+
+        # doc 2 shares 1 of its 3 shingles with doc 1 -> 2/3 = 6666.67 bp
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e f g")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["novelty_bp"] for r in ngram_novelty(docs, n=5).collect()}
+        assert got[2] == 6667
+
+
+# ------------------------------------------------- tokenizer_fertility
+
+
+class TestTokenizerFertility:
+    def test_hand_computed(self, spark):
+        from aces_spark.datapipe.text import tokenizer_fertility
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "hello, world!"),   # ws 2; bpe: hello , world ! = 4
+                (2, "en", "one two"),          # ws 2; bpe 2
+                (3, "de", ""),                 # ws 0; bpe 0
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {r["group"]: r for r in tokenizer_fertility(docs).collect()}
+        en = got["en"]
+        assert (en["n_docs"], en["ws_tokens"], en["bpe_tokens"]) == (2, 4, 6)
+        assert en["fertility"] == 1.5
+        assert en["chars_per_token"] == round((13 + 7) / 6, 4)
+        de = got["de"]
+        assert de["ws_tokens"] == 0 and de["fertility"] is None
+        assert de["chars_per_token"] is None
