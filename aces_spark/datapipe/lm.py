@@ -25,12 +25,17 @@ so scores are order-independent and engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["train_bigram_lm", "score_documents_lm", "collocations"]
+__all__ = [
+    "train_bigram_lm",
+    "score_documents_lm",
+    "perplexity_buckets",
+    "collocations",
+]
 
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -133,6 +138,60 @@ def score_documents_lm(
         id_col,
         "n_tokens",
         (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("nll"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    by: str | None = None,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score documents against the
+    reference model (:func:`score_documents_lm`), then cut each ``by``
+    group into ``n_buckets`` equal-count perplexity bands — bucket 1 =
+    lowest ``nll`` (most reference-like). CCNet keeps *head+middle* and
+    drops *tail* per language; the per-group cut is the whole point (an
+    absolute nll threshold would empty low-resource domains).
+
+    Output ``(doc_id[, by], n_tokens, nll, bucket, band)`` — ``band``
+    names the 3-bucket case ``head``/``middle``/``tail``, and is the
+    bucket number as a string otherwise. Determinism: NTILE over the
+    total order ``(nll, doc_id)`` — both engines share the ANSI NTILE
+    fill rule (first ``rows % n`` buckets take the extra row).
+
+    The ``by`` columns ride along via a second NARROW scan of ``docs``
+    (id + group only — the token_budget_fill discipline: a projected
+    re-scan beats checkpointing something corpus-sized). Scale note: the
+    NTILE window sorts each group on one executor — fine for per-domain
+    corpora; at the 100 TB extreme, cut at quantile sketch boundaries
+    instead (``datapipe/analytics.py`` grouped quantile sketch) and
+    broadcast the ≤|groups|·n_buckets cutpoints.
+    """
+    if n_buckets < 2:
+        raise ValueError("perplexity_buckets: need n_buckets >= 2")
+    scored = score_documents_lm(docs, model, id_col, text_col)
+    group_cols: list[str] = []
+    if by is not None:
+        scored = scored.join(docs.select(id_col, by), id_col)
+        group_cols = [by]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("nll").asc(), F.col(id_col).asc()
+    )
+    bucket = F.ntile(n_buckets).over(w).cast("long")
+    if n_buckets == 3:
+        band = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        band = F.col("bucket").cast("string")
+    out_cols = [id_col, *group_cols, "n_tokens", "nll"]
+    return scored.withColumn("bucket", bucket).select(
+        *out_cols, "bucket", band.alias("band")
     )
 
 

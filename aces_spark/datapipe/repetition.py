@@ -113,3 +113,97 @@ def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text") -> DataF
     return duplicate_line_stats(df, text_col).join(
         top_ngram_stats(df, n, text_col), "doc_id"
     )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document boilerplate lines (the CCNet/RefinedWeb cleaning
+    signal the per-document Gopher stats above can't see): non-blank
+    lines appearing verbatim in ``>= min_docs`` DISTINCT documents —
+    nav menus, cookie banners, footers. Output ``(line, n_docs)``.
+
+    Scale shape: distinct ``(doc_id, line)`` then a count keyed on
+    ``line`` — both aggregates take map-side partials; a line repeated
+    inside one hot document collapses locally before the shuffle, so a
+    boilerplate storm never skews the exchange.
+    """
+    if min_docs < 2:
+        raise ValueError("boilerplate_line_stats: min_docs must be >= 2")
+    lines = df.select(
+        F.col(id_col), F.explode(_nonblank_lines(F.col(text_col))).alias("line")
+    ).distinct()
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document
+    (CCNet line-level cleanup): drop each non-blank line that appears in
+    ``>= min_docs`` distinct documents, reassemble the survivors in
+    original order. Output ``(doc_id, text_clean, n_lines_kept,
+    n_lines_dropped)`` — documents whose every line is boilerplate (or
+    that had no non-blank lines) survive with empty ``text_clean``,
+    never dropped, so the caller decides the fate of emptied docs.
+
+    ONE corpus-sized line relation feeds both the frequency branch and
+    the strip branch — lineage-truncated (the plan-hygiene rule) so the
+    explode isn't replayed per branch. The strip is a LEFT join with a
+    flag + a single per-doc aggregate counting kept and total together
+    (the contamination_fraction one-pass discipline), never a second
+    corpus read; reassembly sorts the surviving ``(pos, line)`` structs
+    per doc — positions are per-document, so the sort is row-local.
+    """
+    if min_docs < 2:
+        raise ValueError("strip_boilerplate_lines: min_docs must be >= 2")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(_nonblank_lines(F.col(text_col))).alias("pos", "line"),
+    ).localCheckpoint(eager=False)
+    bp = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line", F.lit(True).alias("__bp"))
+    )
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    agg = (
+        lines.join(bp, "line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_lines"),
+            F.count(F.when(F.col("__bp").isNull(), 1)).cast("long").alias(
+                "__n_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("__text_clean"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("__text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.coalesce("__n_lines", F.lit(0)) - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )

@@ -87,25 +87,36 @@ def sq8_encode(
 ) -> DataFrame:
     """Encode ``(id, vector)`` → ``(id, codes array<int>)`` with the
     bounds baked in as literals: MAP-ONLY, zero shuffle. The affine
-    floor is the IEEE-exact contract in the module docstring."""
+    floor is the IEEE-exact contract in the module docstring.
+
+    Hot-path shape: TWO ``zip_with`` passes (subtract lo, then scale by
+    the precomputed range) — O(d) per row. The obvious alternative, a
+    ``transform`` lambda indexing literal lo/hi arrays by position, is
+    O(d²) per row (each indexed access rebuilds the d-literal array in
+    codegen) — measured 2× slower at 2M×64 and catastrophically worse
+    on the query side of :func:`sq8_topk`."""
     if levels < 2:
         raise ValueError("sq8_encode: need levels >= 2")
-    lo_a, hi_a = _lit_arr(lo), _lit_arr(hi)
     top = levels - 1
-
-    def enc(x: Column, i: Column) -> Column:
-        l, h = F.get(lo_a, i), F.get(hi_a, i)
-        raw = F.floor((x - l) / (h - l) * float(top) + 0.5).cast("long")
-        return (
-            F.when(h == l, F.lit(0))
-            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(top)))
-            .cast("int")
-        )
-
-    return vectors.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col).cast("array<double>"), enc).alias("codes"),
+    rng = [h - l for l, h in zip(lo, hi)]  # IEEE-exact: same op the SQL does
+    sub = F.zip_with(
+        F.col(vec_col).cast("array<double>"), _lit_arr(lo), lambda x, l: x - l
     )
+    codes = F.zip_with(
+        sub,
+        _lit_arr(rng),
+        lambda d, r: F.when(r == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(d / r * float(top) + 0.5).cast("long"), F.lit(0)
+                ),
+                F.lit(top),
+            )
+        )
+        .cast("int"),
+    )
+    return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
 def sq8_dequantize(
@@ -117,15 +128,43 @@ def sq8_dequantize(
     levels: int = 256,
 ) -> DataFrame:
     """Map-only reconstruction ``xhat = lo + code/(levels-1)*(hi-lo)``:
-    endpoints reconstruct exactly; max error is half a cell width."""
-    lo_a, hi_a = _lit_arr(lo), _lit_arr(hi)
+    endpoints reconstruct exactly; max error is half a cell width.
+    Same O(d) two-``zip_with`` shape as :func:`sq8_encode`."""
     top = float(levels - 1)
+    rng = [h - l for l, h in zip(lo, hi)]
+    scaled = F.zip_with(
+        F.col(codes_col), _lit_arr(rng), lambda c, r: c.cast("double") / top * r
+    )
+    xhat = F.zip_with(scaled, _lit_arr(lo), lambda t, l: l + t)
+    return codes.withColumn(out_col, xhat)
 
-    def deq(c: Column, i: Column) -> Column:
-        l, h = F.get(lo_a, i), F.get(hi_a, i)
-        return l + c.cast("double") / top * (h - l)
 
-    return codes.withColumn(out_col, F.transform(F.col(codes_col), deq))
+def _adc_query_side(
+    queries: DataFrame,
+    lo: list[float],
+    scale: list[float],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC precomputation: ``(query_id, __qs_u, __kq_u)`` with
+    ``__qs_u[d] = floor(q_d·s_d·1e6 + 0.5)`` (long) and ``__kq_u`` the
+    micro-unit snap of the sequential-fold dot ``Σ q_d·lo_d``. All the
+    float work in the operator happens HERE, on the |queries| rows; from
+    this point the score is pure int64 arithmetic."""
+    qv = F.col(vec_col).cast("array<double>")
+    qs_u = F.zip_with(
+        qv,
+        _lit_arr(scale),
+        lambda x, s: F.floor(x * s * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    kq_u = F.floor(_dot(qv, _lit_arr(lo)) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        qs_u.alias("__qs_u"),
+        kq_u.alias("__kq_u"),
+    )
 
 
 def sq8_topk(
@@ -135,32 +174,149 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 256,
+    impl: str = "column",
 ) -> DataFrame:
     """Asymmetric-distance top-k over the SQ8-compressed corpus: queries
-    stay full-precision, the corpus is encoded then dequantized on the
-    fly (so the result is exactly what a stored-codes index would
-    return). Broadcast queries × map-only dequantized corpus → shared
-    ``rank_topk`` epilogue; score is the dot product at 6 dp (dot, not
-    cosine: SQ changes vector norms, so the honest comparable is the
-    inner product against the reconstruction)."""
+    stay full-precision, the corpus stays CODES — the dequantized dot is
+    computed in its factored ADC form
+    ``dot(q, xhat) = Σ_d q_d·lo_d + Σ_d (q_d·s_d)·code_d`` with
+    ``s_d = (hi_d−lo_d)/(levels−1)`` (the FAISS ADC table trick,
+    collapsed to the inner-product case). The per-query terms are
+    snapped to INTEGER micro-units first (``_adc_query_side``), so the
+    pair score ``kq_u + Σ qs_u[d]·code[d]`` is an exact int64 sum —
+    ORDER-FREE, hence bit-identical across the column path, the batched
+    numpy path, and the SQL oracle (the repo's micro-unit discipline;
+    a float fold here would have pinned evaluation order forever).
+    ``adc_dot`` is that integer over 1e6 — exact 6-dp semantics by
+    construction. Dot, not cosine: SQ changes norms, so the honest
+    comparable is the inner product against the reconstruction.
+
+    ``impl="column"`` (default, the oracle path): broadcast queries ×
+    codes with an unrolled integer multiply-add per pair. Fine at
+    bench scale; at 32M pairs the per-pair array reads above the BNLJ
+    evaluate outside whole-stage codegen (measured 92–157 s at 16
+    queries × 2M×64 — the naive dequantize-then-dot form was 210 s).
+
+    ``impl="batched"`` (the 100 TB path): ONE Arrow-batched int64
+    matmul per corpus batch against the collected query table (bounded
+    driver hop — queries are broadcast-small by contract, capped), with
+    per-batch top-k pruning under the same (score desc, id asc) rule —
+    the corpus-sized pair relation never exists; only ≤ |queries|·k
+    candidate rows per batch reach the shared ``rank_topk`` epilogue.
+    Exact int64 ⇒ result is BIT-IDENTICAL to the column path (pytest
+    parity-pinned), unlike the BLAS float paths that are honestly
+    bench-only elsewhere."""
+    if impl not in ("column", "batched"):
+        raise ValueError(f"sq8_topk: unknown impl {impl!r}")
+    top = float(levels - 1)
     bounds = sq8_bounds(corpus, vec_col)
     lo, hi = collect_sq8_bounds(bounds)
-    codes = sq8_encode(corpus, lo, hi, id_col, vec_col, levels)
-    deq = sq8_dequantize(codes, lo, hi, levels=levels).select(
-        F.col(id_col).alias("neighbor_id"), "xhat"
+    scale = [(h - l) / top for l, h in zip(lo, hi)]  # IEEE-exact per dim
+    codes = sq8_encode(corpus, lo, hi, id_col, vec_col, levels).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    sims = (
+    q = _adc_query_side(queries, lo, scale, id_col, vec_col)
+    if impl == "batched":
+        sims = _sq8_sims_batched(codes, q, k)
+    else:
+        sims = _sq8_sims_column(codes, q, len(lo))
+    return rank_topk(sims, k, "adc_dot")
+
+
+def _sq8_sims_column(codes: DataFrame, q: DataFrame, dim: int) -> DataFrame:
+    """Pure-Column pair scores: broadcast-BNLJ + unrolled int64
+    multiply-add (≤256 dims; the interpreted HOF fold beyond — measured
+    slower than the unroll in the rank path, faster under aggregates:
+    both are far from the batched path, which is why that exists)."""
+    if dim <= 256:
+        adc_u = F.lit(0).cast("long")
+        for i in range(1, dim + 1):
+            adc_u = adc_u + F.element_at("__qs_u", i) * F.element_at(
+                "codes", i
+            ).cast("long")
+    else:
+        adc_u = F.aggregate(
+            F.zip_with(
+                F.col("__qs_u"), F.col("codes"), lambda x, c: x * c.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    return (
         F.broadcast(q)
-        .crossJoin(deq)
+        .crossJoin(codes)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("__qv"), F.col("xhat")), 6).alias("adc_dot"),
+            ((F.col("__kq_u") + adc_u).cast("double") / 1000000.0).alias(
+                "adc_dot"
+            ),
         )
     )
-    return rank_topk(sims, k, "adc_dot")
+
+
+_BATCHED_MAX_QUERIES = 100_000
+
+
+def _sq8_sims_batched(codes: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched candidate generation: int64 matmul (exact — no
+    float-order caveat) + per-batch top-k prune. Emits ≤ |queries|·k
+    rows per batch, so the downstream rank window is candidate-sized
+    however big the corpus."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = q.collect()  # bounded: queries are broadcast-small by contract
+    if len(q_rows) > _BATCHED_MAX_QUERIES:
+        raise ValueError(
+            f"sq8_topk(impl='batched'): {len(q_rows)} queries exceed the "
+            f"{_BATCHED_MAX_QUERIES} broadcast-side cap — the query side "
+            "must be the small side; swap roles or shard the queries"
+        )
+    qids = [r["query_id"] for r in q_rows]
+    qmat = np.asarray([r["__qs_u"] for r in q_rows], dtype=np.int64)  # nq×d
+    kq = np.asarray([r["__kq_u"] for r in q_rows], dtype=np.int64)
+
+    id_field = codes.schema["neighbor_id"]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, id_field.nullable),
+            id_field,
+            T.StructField("adc_u", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # B×d
+            scores = cmat @ qmat.T + kq[None, :]  # B×nq, exact int64
+            out = []
+            for j, qid in enumerate(qids):
+                dfj = pd.DataFrame(
+                    {"neighbor_id": pdf["neighbor_id"], "adc_u": scores[:, j]}
+                )
+                dfj = dfj[dfj["neighbor_id"] != qid]
+                dfj = dfj.sort_values(
+                    ["adc_u", "neighbor_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+                dfj.insert(0, "query_id", qid)
+                out.append(dfj)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = codes.mapInPandas(run, out_schema)
+    return cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("adc_u").cast("double") / 1000000.0).alias("adc_dot"),
+    )

@@ -212,3 +212,58 @@ def test_score_lm_empty_model_raises(spark):
     docs = spark.createDataFrame([(2, "hello world")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty model"):
         score_documents_lm(docs, model)
+
+
+# ------------------------------------------- perplexity buckets (CCNet)
+
+
+def test_perplexity_buckets_per_group_ntile(spark, lm_model):
+    from aces_spark.datapipe.lm import perplexity_buckets, score_documents_lm
+
+    docs = spark.createDataFrame(
+        [
+            # domain a: 4 docs, increasingly unlike the reference corpus
+            (10, "the cat sat", "a"),
+            (11, "the cat ran", "a"),
+            (12, "a dog sat on the mat", "a"),
+            (13, "zebra quux flarp", "a"),
+            # domain b: 2 docs
+            (20, "the cat sat on the mat", "b"),
+            (21, "xyzzy gorp", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = perplexity_buckets(docs, lm_model, by="source").collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert set(rows) == {10, 11, 12, 13, 20, 21}
+    # per-group cut: within each source, buckets follow the nll order
+    # computed by the scorer itself
+    scored = {
+        r["doc_id"]: r["nll"]
+        for r in score_documents_lm(docs, lm_model).collect()
+    }
+    a_sorted = sorted([10, 11, 12, 13], key=lambda d: (scored[d], d))
+    # 4 rows, 3 buckets -> ANSI fill: first bucket gets 2 rows
+    assert [rows[d]["bucket"] for d in a_sorted] == [1, 1, 2, 3]
+    assert [rows[d]["band"] for d in a_sorted] == ["head", "head", "middle", "tail"]
+    b_sorted = sorted([20, 21], key=lambda d: (scored[d], d))
+    assert [rows[d]["bucket"] for d in b_sorted] == [1, 2]
+    # the gibberish docs land in the worst band of their group
+    assert rows[13]["band"] == "tail"
+    # nll/n_tokens ride through unchanged from the scorer
+    assert rows[20]["nll"] == scored[20]
+
+
+def test_perplexity_buckets_global_and_validation(spark, lm_model):
+    from aces_spark.datapipe.lm import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat" if i % 2 else "gorp flarp", "x") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    out = perplexity_buckets(docs, lm_model, by=None, n_buckets=2).collect()
+    assert {r["bucket"] for r in out} == {1, 2}
+    assert {r["band"] for r in out} == {"1", "2"}
+    assert "source" not in out[0].asDict()
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, lm_model, n_buckets=1)

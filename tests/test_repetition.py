@@ -53,3 +53,63 @@ def test_combined_one_row_per_doc(lined):
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_gram", "top_gram_cnt", "top_gram_char_frac",
     }
+
+
+# ------------------------------------------- cross-doc boilerplate
+
+
+BOILER_DOCS = [
+    (1, "menu\nunique one\nfooter"),
+    (2, "menu\nunique two\nfooter"),
+    (3, "menu\nunique three"),
+    (4, "menu\nmenu\nunique four"),  # within-doc repeat counts ONCE per doc
+    (5, ""),                          # no lines: kept with empty text
+    (6, "menu\nfooter"),              # everything boilerplate -> emptied
+]
+
+
+@pytest.fixture(scope="module")
+def boiler(spark):
+    return spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+
+
+def test_boilerplate_line_stats(boiler):
+    from aces_spark.datapipe.repetition import boilerplate_line_stats
+
+    got = {r["line"]: r["n_docs"] for r in
+           boilerplate_line_stats(boiler, min_docs=3).collect()}
+    assert got == {"menu": 5, "footer": 3}
+    with pytest.raises(ValueError):
+        boilerplate_line_stats(boiler, min_docs=1)
+
+
+def test_strip_boilerplate_lines(boiler):
+    from aces_spark.datapipe.repetition import strip_boilerplate_lines
+
+    rows = {r["doc_id"]: r for r in
+            strip_boilerplate_lines(boiler, min_docs=3).collect()}
+    assert len(rows) == 6  # every doc survives
+    assert rows[1]["text_clean"] == "unique one"
+    assert rows[1]["n_lines_kept"] == 1 and rows[1]["n_lines_dropped"] == 2
+    # within-doc repeated boilerplate drops every occurrence
+    assert rows[4]["text_clean"] == "unique four"
+    assert rows[4]["n_lines_dropped"] == 2
+    # no lines at all: zeros, never dropped
+    assert rows[5]["text_clean"] == "" and rows[5]["n_lines_kept"] == 0
+    # fully-boilerplate doc emptied but present
+    assert rows[6]["text_clean"] == "" and rows[6]["n_lines_dropped"] == 2
+
+
+def test_strip_preserves_order_and_non_boilerplate_dups(spark):
+    from aces_spark.datapipe.repetition import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "z last\nbp\na first\nz last"), (2, "bp\nmid"), (3, "bp")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            strip_boilerplate_lines(docs, min_docs=3).collect()}
+    # original order kept (not sorted alphabetically), dups of
+    # non-boilerplate lines kept
+    assert rows[1]["text_clean"] == "z last\na first\nz last"
+    assert rows[1]["n_lines_kept"] == 3

@@ -77,9 +77,49 @@ class TestSQ8:
         with pytest.raises(ValueError):
             sq8_encode(_vectors(spark, [(1, [0.0])]), [0.0], [1.0], levels=1)
 
-    def test_topk_matches_bruteforce_dot_on_coarse_data(self, spark):
-        """With values already on the 256-level grid, SQ8 is lossless, so
-        the ADC ranking must equal the exact dot-product ranking."""
+    @staticmethod
+    def _python_adc_topk(rows, query_ids, k):
+        """Pure-Python replica of the integer ADC contract: per-dim
+        bounds, affine codes, micro-unit qs/kq snaps, exact int score."""
+        dim = len(rows[0][1])
+        data = dict(rows)
+        lo = [min(v[d] for v in data.values()) for d in range(dim)]
+        hi = [max(v[d] for v in data.values()) for d in range(dim)]
+        scale = [(h - l) / 255.0 for l, h in zip(lo, hi)]
+
+        def codes(v):
+            out = []
+            for x, l, h in zip(v, lo, hi):
+                if h == l:
+                    out.append(0)
+                else:
+                    out.append(
+                        min(max(int(math.floor((x - l) / (h - l) * 255.0 + 0.5)), 0), 255)
+                    )
+            return out
+
+        want = {}
+        for qid in query_ids:
+            q = data[qid]
+            qs_u = [int(math.floor(x * s * 1000000.0 + 0.5)) for x, s in zip(q, scale)]
+            kq = 0.0
+            for x, l in zip(q, lo):
+                kq += x * l
+            kq_u = int(math.floor(kq * 1000000.0 + 0.5))
+            scored = []
+            for nid, v in data.items():
+                if nid == qid:
+                    continue
+                adc_u = kq_u + sum(u * c for u, c in zip(qs_u, codes(v)))
+                scored.append((-(adc_u / 1000000.0), nid))
+            scored.sort()
+            want[qid] = [(nid, -neg) for neg, nid in scored[:k]]
+        return want
+
+    def test_topk_matches_python_adc_differential(self, spark):
+        """Differential against a pure-Python replica of the integer ADC
+        contract — on the lossless 256-level grid the ranking also equals
+        the exact dot ranking (quantization moves each score < 4 µ)."""
         from aces_spark.datapipe.sq import sq8_topk
 
         rng = random.Random(13)
@@ -95,18 +135,44 @@ class TestSQ8:
         by_q = {}
         for r in got:
             by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc_dot"]))
+        want = self._python_adc_topk(rows, sorted(by_q), 4)
+        assert by_q == want
+        # lossless grid ⇒ the ADC ranking equals the exact-dot ranking
         data = dict(rows)
         for qid, neigh in by_q.items():
             exact = sorted(
-                (
-                    (round(sum(a * b for a, b in zip(data[qid], data[n])), 6), -n)
-                    for n in data
-                    if n != qid
-                ),
-                reverse=True,
+                ((-(sum(a * b for a, b in zip(data[qid], data[n]))), n)
+                 for n in data if n != qid),
             )[:4]
-            want = [(-nid, s) for s, nid in exact]
-            assert [(n, s) for n, s in neigh] == want
+            assert [n for n, _ in neigh] == [n for _, n in exact]
+
+    def test_topk_batched_parity(self, spark):
+        """impl='batched' (Arrow int64 matmul + per-batch prune) is
+        BIT-IDENTICAL to the column path — the point of the integer
+        score contract."""
+        from aces_spark.datapipe.sq import sq8_topk
+
+        rng = random.Random(29)
+        rows = [(i, [rng.uniform(-2, 2) for _ in range(7)]) for i in range(60)]
+        vecs = _vectors(spark, rows)
+        queries = vecs.filter(F.col("vec_id") < 4)
+        col = sorted(map(tuple, sq8_topk(vecs, queries, k=5).collect()))
+        bat = sorted(
+            map(tuple, sq8_topk(vecs, queries, k=5, impl="batched").collect())
+        )
+        assert col == bat and len(col) == 20
+
+    def test_topk_batched_query_cap(self, spark):
+        from aces_spark.datapipe import sq as sq_mod
+
+        vecs = _vectors(spark, [(i, [float(i), 1.0]) for i in range(5)])
+        old = sq_mod._BATCHED_MAX_QUERIES
+        sq_mod._BATCHED_MAX_QUERIES = 2
+        try:
+            with pytest.raises(ValueError, match="cap"):
+                sq_mod.sq8_topk(vecs, vecs, k=2, impl="batched").collect()
+        finally:
+            sq_mod._BATCHED_MAX_QUERIES = old
 
 
 # ------------------------------------------------- corpus_diversity

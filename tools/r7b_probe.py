@@ -1,0 +1,211 @@
+"""Scale probes for the round-7b debut operators (SQ8, pairless corpus
+diversity, n-gram novelty, MMR re-rank), driver-free synthetic inputs
+(spark.range + hash expressions — generation is never the bottleneck
+being measured). Prints one JSON line per probe.
+
+* ``sq8`` — bounds + encode + ADC top-k at N×64-dim vectors: encode is
+  the map-only claim (wall should scale with the scan), top-k with 16
+  queries is the broadcast-BNLJ claim.
+* ``diversity`` — corpus_diversity at N×64: the |Σu|²−Σ|u|² identity is
+  ONE pass; the probe pins that the O(n²) question costs O(n·d) wall.
+* ``novelty`` — ngram_novelty at N synthetic 30-token docs with a 25%
+  duplicate rate: two exchanges (shingle window + doc agg).
+* ``mmr`` — mmr_select over an N-vector corpus with 64 queries,
+  pool=50, k=5: candidate generation (one corpus pass) should dominate;
+  greedy rounds are |queries|·pool-sized.
+
+Usage: python tools/r7b_probe.py {sq8|diversity|novelty|mmr} [n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _spark(name: str):
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _vectors(spark, n: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.pmod(F.xxhash64(F.col("id"), d), F.lit(2000)) - 1000)
+            / 1000.0,
+        ).alias("embedding"),
+    )
+
+
+def _docs(spark, n: int, words: int = 30):
+    """Synthetic token docs; every 4th doc repeats its predecessor's
+    text (novelty 0 by construction for the copies)."""
+    from pyspark.sql import functions as F
+
+    src = F.when(F.pmod("id", 4) == 3, F.col("id") - 1).otherwise(F.col("id"))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words - 1)),
+                lambda w: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(src, w), F.lit(50_000)).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def probe_sq8(n: int) -> None:
+    from aces_spark.datapipe.sq import (
+        collect_sq8_bounds,
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    spark = _spark("sq8_probe")
+    vecs = _vectors(spark, n).localCheckpoint()  # materialize input first
+    t0 = time.time()
+    lo, hi = collect_sq8_bounds(sq8_bounds(vecs))
+    t_bounds = time.time() - t0
+    t0 = time.time()
+    n_codes = sq8_encode(vecs, lo, hi).count()
+    t_encode = time.time() - t0
+    t0 = time.time()
+    n_hits = sq8_topk(vecs, vecs.filter("vec_id < 16"), k=10).count()
+    t_topk = time.time() - t0
+    # batched is fast enough that host noise dominates a single rep —
+    # min-of-3 (the scale_probe discipline)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        n_hits_b = sq8_topk(
+            vecs, vecs.filter("vec_id < 16"), k=10, impl="batched"
+        ).count()
+        reps.append(time.time() - t0)
+    t_topk_b = min(reps)
+    print(
+        json.dumps(
+            {
+                "probe": "sq8",
+                "n_vectors": n,
+                "dim": 64,
+                "bounds_s": round(t_bounds, 1),
+                "encode_s": round(t_encode, 1),
+                "topk16_column_s": round(t_topk, 1),
+                "topk16_batched_s": round(t_topk_b, 1),
+                "n_codes": n_codes,
+                "n_hits": n_hits,
+                "n_hits_batched": n_hits_b,
+            }
+        )
+    )
+
+
+def probe_diversity(n: int) -> None:
+    from aces_spark.datapipe.similarity import corpus_diversity
+
+    spark = _spark("diversity_probe")
+    vecs = _vectors(spark, n).localCheckpoint()
+    t0 = time.time()
+    row = corpus_diversity(vecs).collect()[0]
+    print(
+        json.dumps(
+            {
+                "probe": "diversity",
+                "n_vectors": n,
+                "dim": 64,
+                "wall_s": round(time.time() - t0, 1),
+                "mean_pairwise_cosine": row["mean_pairwise_cosine"],
+            }
+        )
+    )
+
+
+def probe_novelty(n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from aces_spark.datapipe.dedup import ngram_novelty
+
+    spark = _spark("novelty_probe")
+    docs = _docs(spark, n).localCheckpoint()
+    t0 = time.time()
+    out = ngram_novelty(docs, n=5)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_shingles").alias("shingles"),
+        F.avg("novelty_bp").alias("mean_bp"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "probe": "novelty",
+                "n_docs": n,
+                "wall_s": round(time.time() - t0, 1),
+                "docs_out": agg["docs"],
+                "shingles": agg["shingles"],
+                "mean_novelty_bp": round(float(agg["mean_bp"]), 1),
+            }
+        )
+    )
+
+
+def probe_mmr(n: int) -> None:
+    from aces_spark.datapipe.selection import mmr_select
+
+    spark = _spark("mmr_probe")
+    vecs = _vectors(spark, n).localCheckpoint()
+    t0 = time.time()
+    got = mmr_select(vecs, vecs.filter("vec_id < 64"), k=5, pool=50).count()
+    print(
+        json.dumps(
+            {
+                "probe": "mmr",
+                "n_vectors": n,
+                "n_queries": 64,
+                "pool": 50,
+                "k": 5,
+                "wall_s": round(time.time() - t0, 1),
+                "rows": got,
+            }
+        )
+    )
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "sq8"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    {
+        "sq8": probe_sq8,
+        "diversity": probe_diversity,
+        "novelty": lambda k: probe_novelty(k if len(sys.argv) > 2 else 1_000_000),
+        "mmr": probe_mmr,
+    }[which](n)
+
+
+if __name__ == "__main__":
+    main()
