@@ -1117,6 +1117,56 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear classifier inference (functions.features
+    .linear_classifier_score): hashed-BoW dot against a 1024-bucket
+    md5-derived weight table — train-elsewhere/serve-here, exact int64
+    scores, broadcast model join + one per-doc aggregate."""
+    from aces_spark.functions.features import linear_classifier_score
+    from aces_spark.functions.hashing import md5_long60
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(1024).select(
+        F.col("id").cast("long").alias("bucket"),
+        (F.pmod(md5_long60(F.col("id")), F.lit(2001)) - 1000)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    return linear_classifier_score(docs, weights, n_buckets=1024)
+
+
+def q_zipf_corpus_stats(spark, sf_dir):
+    """Corpus Zipf diagnostics (datapipe.text.zipf_stats): OLS ln-ln fit
+    over the top-200 terms (TakeOrdered head, no global sort) + exact
+    type-token ratio, all from micro-unit integer sums."""
+    from aces_spark.datapipe.text import zipf_stats
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_stats(docs, top_n=200)
+
+
+def q_epoch_shard_plan(spark, sf_dir):
+    """Deterministic epoch-1 shuffle + 8-way sharding (datapipe.packing
+    .epoch_shards): portable md5 permutation, one exchange — the same
+    shuffle the shard writer needs anyway."""
+    from aces_spark.datapipe.packing import epoch_shards
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shards(docs, n_shards=8, epoch=1)
+
+
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard pairs (datapipe.dedup
+    .prefix_jaccard_pairs): same contract as ngram_jaccard_pairs but the
+    self-join touches only each doc's (1-t) rarest shingles — exact, no
+    boilerplate cap, verified row-locally via array_intersect."""
+    from aces_spark.datapipe.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.5
+    )
+
+
 def q_winnowing_fingerprints(spark, sf_dir):
     """Near-dup: rolling-hash (winnowing) fingerprints, 4-gram k, window 4."""
     docs = _read_table(spark, sf_dir, "documents")
@@ -2840,6 +2890,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
+    "quality_classifier": q_quality_classifier,
+    "zipf_corpus_stats": q_zipf_corpus_stats,
+    "epoch_shard_plan": q_epoch_shard_plan,
+    "prefix_jaccard": q_prefix_jaccard,
     "boilerplate_lines": q_boilerplate_lines,
     "boilerplate_strip": q_boilerplate_strip,
     "ppl_buckets": q_ppl_buckets,
@@ -2877,10 +2931,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
-    "pq_topk": q_pq_topk,
-    "doc_chunking": q_doc_chunking,
-    "rare_token_score": q_rare_token_score,
-    "asof_join_views": q_asof_join_views,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2892,6 +2942,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "pq_topk": q_pq_topk,
+    "doc_chunking": q_doc_chunking,
+    "rare_token_score": q_rare_token_score,
+    "asof_join_views": q_asof_join_views,
     "range_join_attrib": q_range_join_attrib,
     "time_rollup": q_time_rollup,
     "gapfill_locf": q_gapfill_locf,
@@ -4204,6 +4258,106 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
     / 10000.0 >= 0.2
+"""
+
+    # prefix_jaccard: the oracle needs no prefix filter — it verifies the
+    # SEMANTICS (exact set Jaccard >= t over distinct 3-gram shingles);
+    # the Spark side's candidate pruning is output-invariant by the
+    # All-Pairs pigeonhole, pinned by the pytest differential vs the
+    # inverted-index operator
+    sql["prefix_jaccard"] = f"""
+WITH docs_aug AS ({_DOCS_NEAR_DUPS_SQL}),
+toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
+    / 10000.0 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
+    / 10000.0 >= 0.5
+"""
+
+    # linear classifier inference: feature_hashing's exact bucket/sign
+    # recipe dotted with the md5-derived 1024-bucket weight table; LEFT
+    # join from documents keeps token-free docs at score = bias (0)
+    sql["quality_classifier"] = f"""
+WITH w AS (
+  SELECT b AS bucket,
+         (CAST(concat('0x', substring(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 2001) - 1000 AS weight_micro
+  FROM generate_series(0, 1023) AS t(b)),
+toks AS (SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS term FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE term <> ''),
+c AS (
+  SELECT s.doc_id,
+         (CASE WHEN (s.h & 576460752303423488) <> 0 THEN -1 ELSE 1 END)
+           * w.weight_micro AS contrib
+  FROM h s LEFT JOIN w ON (s.h % 1024) = w.bucket)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS score_micro,
+       COALESCE(SUM(contrib), 0) >= 0 AS label
+FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+GROUP BY d.doc_id
+"""
+
+    # zipf_stats: micro-unit ln sums in HUGEINT (exact), one IEEE division
+    sql["zipf_corpus_stats"] = f"""
+WITH toks AS (SELECT unnest({_DOC_TOKENS_SQL}) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE term <> '' GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_tokens FROM c),
+top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM c
+        QUALIFY rk <= 200),
+r AS (SELECT CAST(FLOOR(LN(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM top),
+ols AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+               CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+               COALESCE(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS sxy,
+               COALESCE(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS sxx
+        FROM r),
+fit AS (
+  SELECT CASE WHEN (n * sxx - sx * sx) > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS s_raw,
+         n, sx, sy
+  FROM ols)
+SELECT tot.n_terms, tot.n_tokens,
+  CASE WHEN tot.n_tokens > 0
+       THEN CAST((tot.n_terms * 10000) // tot.n_tokens AS BIGINT)
+       ELSE 0 END AS ttr_bp,
+  ROUND(s_raw, 6) AS zipf_slope,
+  ROUND((CAST(sy AS DOUBLE) - s_raw * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) / 1e6, 6) AS zipf_intercept
+FROM tot CROSS JOIN fit
+"""
+
+    # epoch_shards: md5('1|' || id) permutation, 8 shards, 0-based pos
+    sql["epoch_shard_plan"] = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('1|', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, h % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
 """
 
     # mirrors minhash_signatures: hash `seed` = 32-bit slice j of

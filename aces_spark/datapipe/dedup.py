@@ -842,3 +842,113 @@ def ngram_novelty(
             "long"
         ),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard via PREFIX FILTERING
+    (the All-Pairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): identical output contract to :func:`ngram_jaccard_pairs`
+    (``(doc_a, doc_b, jaccard)``, ``doc_a < doc_b``, basis-point-floored
+    ``jaccard ≥ threshold``) with a fundamentally smaller candidate
+    join, and EXACT — no boilerplate cap, no recall loss.
+
+    The filter: sort every document's shingle set by one global order
+    (document frequency ascending, hash ascending — rarest first); for
+    Jaccard ≥ t a document only needs its first ``s − ⌈t·s⌉ + 1``
+    shingles indexed, because two qualifying sets sorted by the same
+    order must collide inside those prefixes (pigeonhole). The self-join
+    therefore touches ~(1−t) of each document's shingles — and they are
+    by construction the RAREST ones, so the per-key fan-out that makes a
+    full inverted index quadratic on hot shingles never materializes.
+    The length filter ``t·s_b ≤ s_a`` (for ``s_a ≤ s_b``) prunes
+    mismatched sizes before the pair exists. Survivors are verified
+    exactly: one row-local ``array_intersect`` against the two full
+    sorted shingle arrays.
+
+    Exactness of the prefix length at any scale: ``⌈t·s⌉`` is computed
+    in integer basis points (``t_bp·s`` stays below 2^53 for any real
+    document, so the floor is engine-exact). Thresholds below 0.05 are
+    rejected — the prefix would be the whole document and the filter
+    pointless; use :func:`ngram_jaccard_pairs` there.
+
+    Scale shape: shingle relation (hashed, persisted — caller owns via
+    ``cache_registry``, same contract as :func:`ngram_jaccard_pairs`) →
+    one df-count aggregate → per-doc rank window → prefix self-join →
+    distinct pairs → two bounded joins against the per-doc arrays. The
+    full-array relation is corpus-sized but NARROW (one array per doc)
+    and feeds exactly two candidate-keyed joins.
+    """
+    t_bp = int(round(threshold * 10000))
+    if not 500 <= t_bp <= 10000:
+        raise ValueError("prefix_jaccard_pairs: threshold must be in [0.05, 1]")
+    sh = word_shingles(df, n, text_col).select(
+        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__p",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("__df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # ceil(t*s) in integer basis points; t_bp*s < 2^53 so the floor-div
+    # of exact-integer doubles is engine-exact
+    ceil_ts = F.floor((F.lit(t_bp) * F.col("__s") + 9999) / 10000).cast("long")
+    # feeds BOTH self-join sides: truncate so the df-count join + rank
+    # window don't replay per branch (the plan-hygiene rule)
+    prefix = (
+        ranked.filter(F.col("__p") <= F.col("__s") - ceil_ts + 1)
+        .select("doc_id", "shingle", "__s")
+        .localCheckpoint(eager=False)
+    )
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t needs t*max(s) <= min(s)
+            & (
+                F.lit(t_bp) * F.greatest(F.col("a.__s"), F.col("b.__s"))
+                <= F.lit(10000) * F.least(F.col("a.__s"), F.col("b.__s"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # feeds both verify-join sides: same truncation
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("__arr"))
+        .localCheckpoint(eager=False)
+    )
+    va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__aa"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__ab"))
+    common = F.size(F.array_intersect(F.col("__aa"), F.col("__ab"))).cast("long")
+    jac = common / (F.size("__aa") + F.size("__ab") - common)
+    jac_bp = F.floor(jac * 10000 + 0.5) / 10000
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", jac_bp.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -161,3 +161,48 @@ def leakage_safe_splits(
 
     clustered = dedup_clusters(docs, pairs, id_col=id_col, src=src, dst=dst)
     return assign_splits(clustered, splits, key_col="cluster_id", seed=seed)
+
+
+def epoch_shards(
+    df: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + sharding: the write-time
+    ordering a data loader consumes. Each row gets ``(shard, pos)`` —
+    ``shard`` from the portable md5 hash of ``epoch|id`` (so every epoch
+    is a DIFFERENT but fully reproducible permutation — the "reshuffle
+    each epoch" contract without any stored state), ``pos`` the 0-based
+    read order within the shard from the total order ``(hash, id)``.
+    Output ``(id_col, shard, pos)``.
+
+    Scale shape: one map-only hash pass + ONE exchange on ``shard`` for
+    the per-shard ``row_number`` — and that exchange IS the shuffle a
+    writer needs anyway (`.repartition("shard")` before
+    ``partitionBy("shard")``), so ordering costs nothing extra. Shards
+    are md5-balanced: every shard gets |corpus|/n_shards ± O(√) rows, no
+    planning pass. The in-shard sort is per-shard, never global; readers
+    stream each shard file in ``pos`` order and the concatenation across
+    shards is the epoch's permutation.
+    """
+    if n_shards < 1:
+        raise ValueError("epoch_shards: n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{epoch}|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = df.select(F.col(id_col), h.alias("__h"))
+    w = Window.partitionBy(F.pmod(F.col("__h"), F.lit(int(n_shards)))).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return rows.select(
+        id_col,
+        F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -570,3 +570,93 @@ def tokenizer_fertility(
         F.round(fert, 4).alias("fertility"),
         F.round(cpt, 4).alias("chars_per_token"),
     )
+
+
+def zipf_stats(
+    df: DataFrame, top_n: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level Zipf diagnostics in ONE row: OLS fit of
+    ``ln(freq) ~ ln(rank)`` over the ``top_n`` most frequent terms
+    (Zipf's law predicts slope ≈ −1; a corpus of boilerplate or
+    templated spam bends it), plus the type-token ratio. Output
+    ``(n_terms, n_tokens, ttr_bp, zipf_slope, zipf_intercept)``.
+
+    Engine-exactness: ranks come from the deterministic total order
+    ``(count DESC, term ASC)``; ``ln`` values snap to integer
+    micro-units (the ``distinctive_terms`` discipline) so the four OLS
+    sums are order-free integers in DECIMAL(38,0); slope/intercept are
+    then single IEEE divisions of those exact integers — deterministic,
+    rounded to 6 dp for display. ``ttr_bp`` is the exact integer
+    ``floor(n_terms * 10000 / n_tokens)``.
+
+    Scale shape: one (term) count aggregate over the corpus — the only
+    corpus-sized exchange — then ``orderBy().limit(top_n)`` which Spark
+    plans as TakeOrdered (per-partition partial top-n, no global sort
+    shuffle); the OLS window + aggregate run on the ≤``top_n``-row
+    relation. The term-count relation feeds both the top-n branch and
+    the totals branch, so it is lineage-truncated once (the
+    plan-hygiene rule). ``top_n`` is capped at 100_000 to keep the
+    single-partition rank window honest — the fit needs only the head.
+    """
+    if not 2 <= top_n <= 100_000:
+        raise ValueError("zipf_stats: top_n must be in [2, 100000]")
+    counts = (
+        df.select(F.explode(norm_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+    def _lnu(x: Column) -> Column:
+        return F.floor(F.log(x.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    ranked = top.select(
+        _lnu(
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        ).alias("__x"),
+        _lnu(F.col("cnt")).alias("__y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ols = ranked.agg(
+        d(F.count(F.lit(1))).alias("__n"),
+        d(F.sum("__x")).alias("__sx"),
+        d(F.sum("__y")).alias("__sy"),
+        F.sum(d(F.col("__x")) * d(F.col("__y"))).alias("__sxy"),
+        F.sum(d(F.col("__x")) * d(F.col("__x"))).alias("__sxx"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    # den = 0 when the head has < 2 distinct ranks (degenerate corpus):
+    # slope/intercept are NULL, not a division error — same CASE in SQL
+    slope = F.when(den > 0, num / den)
+    intercept = F.when(
+        den > 0,
+        (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+        / F.col("__n").cast("double")
+        / 1e6,
+    )
+    fit = ols.select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+    ttr = (
+        (F.col("n_terms") * 10000 - F.pmod(F.col("n_terms") * 10000, F.col("n_tokens")))
+        .cast("decimal(38,0)")
+        / F.col("n_tokens").cast("decimal(38,0)")
+    ).cast("long")
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_terms",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, ttr).otherwise(F.lit(0)).alias("ttr_bp"),
+        "zipf_slope",
+        "zipf_intercept",
+    )

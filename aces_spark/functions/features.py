@@ -285,3 +285,71 @@ def feature_hashing(
         toks.groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.sum(contrib).cast("long").alias("value"))
     )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 10,
+    bias_micro: int = 0,
+    signed: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE (Joulin et al.
+    2017's deployment half): score each document against an externally
+    trained hashed bag-of-words model. ``weights`` is the model —
+    ``(bucket: long, weight_micro: long)``, weights in integer
+    micro-units, sparse (missing buckets score 0). Output
+    ``(doc_id, score_micro, label)`` with ``score_micro = bias_micro +
+    Σ_token ±weight_micro[bucket(token)]`` and ``label = score >= 0``.
+
+    The feature recipe is :func:`feature_hashing`'s, bit for bit (60-bit
+    md5 → bucket = h mod n_buckets, sign = bit 59) — the whole point of
+    the hashing trick at deploy time: NO vocabulary ships with the
+    model, a term never seen in training hashes to the same bucket it
+    would have trained into, and the engine-portable hash means the
+    model can be trained on the sparse matrix `feature_hashing` exports
+    and served here with zero skew between the two. Scores are exact
+    int64 sums — order-free, bit-identical at any partition count.
+
+    Scale shape: map-only tokenize/hash → broadcast LEFT join against
+    the ≤``n_buckets``-row model → ONE per-doc aggregate. The corpus is
+    never shuffled except on ``doc_id`` for the final sum;
+    ``explode_outer`` keeps empty documents in the frame (they score
+    exactly ``bias_micro``) without a second corpus-sized join back.
+    """
+    from ..datapipe.text import norm_tokens
+    from .hashing import md5_long60
+
+    if n_buckets < 1:
+        raise ValueError("linear_classifier_score: n_buckets must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(norm_tokens(text_col)).alias("term"),
+    )
+    h = md5_long60(F.col("term"))
+    bucket = F.pmod(h, F.lit(int(n_buckets))).cast("long")
+    sign = F.when(h.bitwiseAND(F.lit(1 << 59)) != 0, F.lit(-1)).otherwise(F.lit(1))
+    scored = toks.select("doc_id", bucket.alias("__b"), sign.alias("__sign")).join(
+        F.broadcast(
+            weights.select(
+                F.col("bucket").cast("long").alias("__b"),
+                F.col("weight_micro").cast("long"),
+            )
+        ),
+        "__b",
+        "left",
+    )
+    per_tok = (F.col("__sign") if signed else F.lit(1)) * F.col("weight_micro")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (
+                F.coalesce(F.sum(per_tok), F.lit(0)) + F.lit(int(bias_micro))
+            )
+            .cast("long")
+            .alias("score_micro")
+        )
+        .withColumn("label", F.col("score_micro") >= 0)
+    )
