@@ -204,8 +204,165 @@ def main() -> None:
         "diversity": probe_diversity,
         "novelty": lambda k: probe_novelty(k if len(sys.argv) > 2 else 1_000_000),
         "mmr": probe_mmr,
+        "prefix": probe_prefix_jaccard,
+        "boilerplate": probe_boilerplate,
+        "classifier": probe_classifier,
     }[which](n)
 
+
+
+def _zipf_docs(spark, n: int, words: int = 30, vocab: int = 50_000):
+    """Zipf-ish token docs (u^3 head-skew: the top word appears in ~9% of
+    slots) + every-4th-doc exact copies — realistic shingle-frequency
+    skew, the regime where a capless inverted index goes quadratic on
+    hot shingles and prefix filtering is designed to win."""
+    from pyspark.sql import functions as F
+
+    src = F.when(F.pmod("doc_id", 4) == 3, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    u = (F.pmod(F.xxhash64(src, F.col("w")), F.lit(10_000)) + 0.5) / 10_000.0
+    word = F.concat(
+        F.lit("w"), F.floor(u * u * u * vocab).cast("int").cast("string")
+    )
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(words - 1))).alias("w"),
+        )
+        .select("doc_id", F.col("w"), word.alias("__word"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("w", "__word"))),
+                    lambda st: st["__word"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+
+
+def probe_prefix_jaccard(n: int) -> None:
+    """prefix_jaccard_pairs in the regime it exists for: a boilerplate
+    storm (every doc opens with the same 6-word banner → ~6 shingles
+    with df = n). The capless inverted index must enumerate ~6·n²/2
+    pairs — infeasible at any real n — so it only runs at a small
+    reference size, where prefix output is asserted EQUAL. The capped
+    index (the production ngram_jaccard_pairs path) runs at full n for
+    comparison: it stays linear by DROPPING the banner shingles, which
+    changes the computed Jaccard (set sizes shrink) — prefix keeps
+    exactness at the same linear scale.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aces_spark.datapipe.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    spark = _spark("prefix-jaccard-probe")
+    banner = "breaking news subscribe to our newsletter"
+    docs = (
+        _docs(spark, n)
+        .select("doc_id", F.concat(F.lit(banner + " "), F.col("text")).alias("text"))
+        .localCheckpoint()
+    )
+
+    t0 = time.time()
+    n_pj = prefix_jaccard_pairs(docs, n=3, threshold=0.8).count()
+    t_pj = time.time() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    n_cap = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_doc_freq=1000).count()
+    t_cap = time.time() - t0
+    spark.catalog.clearCache()
+
+    m = min(n, 10_000)
+    small = docs.filter(F.col("doc_id") < m).localCheckpoint()
+    t0 = time.time()
+    ref = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            small, n=3, threshold=0.8, max_doc_freq=None
+        ).collect()
+    )
+    t_ref = time.time() - t0
+    spark.catalog.clearCache()
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(small, n=3, threshold=0.8).collect()
+    )
+    spark.catalog.clearCache()
+
+    print(
+        f"prefix_jaccard @{n} (banner storm): prefix={n_pj} pairs in {t_pj:.1f}s"
+        f" | capped-index={n_cap} pairs in {t_cap:.1f}s (jaccard on CAPPED sets)"
+        f" | capless-index @{m}: {t_ref:.1f}s, exact-match={got == ref}"
+    )
+
+
+def probe_boilerplate(n: int) -> None:
+    """strip_boilerplate_lines at n docs with a planted 3-line banner."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aces_spark.datapipe.repetition import strip_boilerplate_lines
+
+    spark = _spark("boilerplate-probe")
+    base = _docs(spark, n, words=40)
+    docs = base.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter"),
+            F.lit("accept all cookies"),
+            F.col("text"),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    ).localCheckpoint()
+    t0 = time.time()
+    out = strip_boilerplate_lines(docs, min_docs=100)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_lines_dropped").alias("dropped"),
+        F.sum("n_lines_kept").alias("kept"),
+    ).collect()[0]
+    print(
+        f"boilerplate @{n}: {agg['docs']} docs, dropped={agg['dropped']} "
+        f"kept={agg['kept']} in {time.time() - t0:.1f}s "
+        f"(expect dropped = 3*n = {3 * n})"
+    )
+
+
+def probe_classifier(n: int) -> None:
+    """linear_classifier_score at n docs x 30 tokens, 4096-bucket model."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aces_spark.functions.features import linear_classifier_score
+    from aces_spark.functions.hashing import md5_long60
+
+    spark = _spark("classifier-probe")
+    docs = _docs(spark, n).localCheckpoint()
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(md5_long60(F.col("id")), F.lit(2001)) - 1000).alias("weight_micro"),
+    )
+    t0 = time.time()
+    out = linear_classifier_score(docs, weights, n_buckets=4096)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("label").cast("long")).alias("pos"),
+    ).collect()[0]
+    print(
+        f"classifier @{n}: {agg['docs']} docs, {agg['pos']} positive "
+        f"in {time.time() - t0:.1f}s"
+    )
 
 if __name__ == "__main__":
     main()
