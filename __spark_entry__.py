@@ -1117,6 +1117,18 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_lm_score_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (datapipe.lm.train_kn_lm +
+    score_documents_kn): D=3/4 absolute discount with continuation-count
+    backoff, every probability a ratio of exact integers. Train on even
+    docs, score odd docs (the lm_score split)."""
+    from aces_spark.datapipe.lm import score_documents_kn, train_kn_lm
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_kn_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_documents_kn(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear classifier inference (functions.features
     .linear_classifier_score): hashed-BoW dot against a 1024-bucket
@@ -2890,6 +2902,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
+    "lm_score_kn": q_lm_score_kn,
     "quality_classifier": q_quality_classifier,
     "zipf_corpus_stats": q_zipf_corpus_stats,
     "epoch_shard_plan": q_epoch_shard_plan,
@@ -2930,7 +2943,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
-    "pq_codes": q_pq_codes,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2942,6 +2954,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "doc_chunking": q_doc_chunking,
     "rare_token_score": q_rare_token_score,
@@ -4258,6 +4271,55 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
     / 10000.0 >= 0.2
+"""
+
+    # interpolated Kneser-Ney: D = 3/4 cleared to integers —
+    # num = max(4*c_bg - 3, 0)*(T+V) + 3*n_fol*(n_pre+1), den = 4*c_prev*(T+V)
+    # (unseen context: (n_pre+1)/(T+V)); nll = ln(den) - ln(num) in micro-units
+    sql["lm_score_kn"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS t
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+train_bg AS (
+  SELECT CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 0),
+bigrams AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS c_bg
+            FROM train_bg GROUP BY prev, word),
+contexts AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev,
+                    CAST(COUNT(*) AS BIGINT) AS n_fol
+             FROM bigrams GROUP BY prev),
+conts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pre
+          FROM bigrams GROUP BY word),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types,
+                  CAST(COUNT(DISTINCT word) AS BIGINT) AS v_size FROM bigrams),
+score_bg AS (
+  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 1),
+s AS (
+  SELECT sb.doc_id,
+    CAST(floor((ln(CAST(CASE WHEN ctx.c_prev IS NOT NULL
+                             THEN 4 * ctx.c_prev * (tt.t_types + tt.v_size)
+                             ELSE tt.t_types + tt.v_size END AS DOUBLE))
+                - ln(CAST(CASE WHEN ctx.c_prev IS NOT NULL
+                               THEN greatest(4 * COALESCE(b.c_bg, 0) - 3, 0)
+                                      * (tt.t_types + tt.v_size)
+                                    + 3 * ctx.n_fol * (COALESCE(cn.n_pre, 0) + 1)
+                               ELSE COALESCE(cn.n_pre, 0) + 1 END AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS nll_u
+  FROM score_bg sb
+  LEFT JOIN bigrams b USING (prev, word)
+  LEFT JOIN contexts ctx USING (prev)
+  LEFT JOIN conts cn USING (word)
+  CROSS JOIN totals tt),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll_u) AS BIGINT) AS su
+        FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+  floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        * 1000000 + 0.5) / 1000000.0 AS nll
+FROM per
 """
 
     # prefix_jaccard: the oracle needs no prefix filter — it verifies the

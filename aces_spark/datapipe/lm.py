@@ -9,10 +9,13 @@ relational — the "model" IS a DataFrame of counts, trainable on one
 corpus and applied to another (the cross-corpus shape: train on a clean
 reference, score a dirty crawl).
 
-Smoothing: add-one (Laplace) over the observed vocabulary —
-``p(w|v) = (c(v,w) + 1) / (c(v) + |V|)``. Deterministic, closed-form,
-and exactly mirrorable in SQL; heavier smoothing (Kneser-Ney) needs
-multi-pass discounting that buys little for a FILTERING signal.
+Smoothing, two tiers: add-one (Laplace) ``p(w|v) = (c(v,w) + 1) /
+(c(v) + |V|)`` as the cheap default, and interpolated KNESER-NEY
+(:func:`train_kn_lm` / :func:`score_documents_kn`) — the smoothing
+KenLM actually ships — with the discount fixed at the published
+D = 3/4 precisely so every probability clears to a ratio of exact
+integers (see that function's docstring). Both are deterministic,
+closed-form, and exactly mirrorable in SQL.
 
 Scale shape: training is two hash aggregates over exploded bigrams
 (uniform token keys, map-side partials). Scoring joins each document
@@ -32,7 +35,9 @@ from .text import norm_tokens
 
 __all__ = [
     "train_bigram_lm",
+    "train_kn_lm",
     "score_documents_lm",
+    "score_documents_kn",
     "perplexity_buckets",
     "collocations",
 ]
@@ -134,6 +139,131 @@ def score_documents_lm(
         F.sum(nll_u).cast("long").alias("__nll_u"),
     )
     mean = F.col("__nll_u").cast("double") / F.col("n_tokens").cast("double") / 1000000.0
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("nll"),
+    )
+
+
+def train_kn_lm(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """Fit an INTERPOLATED KNESER-NEY bigram model (Kneser & Ney 1995;
+    the smoothing KenLM itself ships, upgrading this module's add-one
+    default): absolute discount D = 3/4 with the freed mass routed to
+    the CONTINUATION distribution — "how many contexts does w complete"
+    rather than "how often does w occur", the fix for add-one's habit of
+    over-scoring frequent-but-bound words ("francisco" is frequent yet
+    follows almost nothing but "san").
+
+    Returns four frames, all Zipf-small after aggregation and derived
+    from ONE corpus tokenize: ``bigrams (prev, word, c_bg)``,
+    ``contexts (prev, c_prev, n_fol)`` with ``n_fol`` = distinct
+    continuations of the context (both from one aggregate over the
+    bigram relation), ``continuations (word, n_pre)`` = distinct
+    contexts completed by the word, and the 1-row
+    ``totals (t_types, v_size)`` (distinct bigram types / words).
+
+    D = 3/4 is deliberate: the published default AND an exact quarter,
+    so :func:`score_documents_kn` can clear denominators and score from
+    pure integers — engine-exact at any partition count.
+    """
+    bg = _bigrams(corpus, id_col, text_col)
+    bigrams = bg.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_bg")
+    )
+    if cache:
+        bigrams = bigrams.persist()
+    contexts = bigrams.groupBy("prev").agg(
+        F.sum("c_bg").cast("long").alias("c_prev"),
+        F.count(F.lit(1)).cast("long").alias("n_fol"),
+    )
+    continuations = bigrams.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre")
+    )
+    totals = bigrams.agg(
+        F.count(F.lit(1)).cast("long").alias("t_types"),
+        F.countDistinct("word").cast("long").alias("v_size"),
+    )
+    return {
+        "bigrams": bigrams,
+        "contexts": contexts,
+        "continuations": continuations,
+        "totals": totals,
+    }
+
+
+def score_documents_kn(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a :func:`train_kn_lm` model. Output
+    ``(doc_id, n_tokens, nll)`` — same contract as
+    :func:`score_documents_lm`, different (better-calibrated) smoothing:
+
+        p(w|v) = max(c(v,w) - 3/4, 0) / c(v)
+               + (3/4 · n_fol(v) / c(v)) · p_cont(w)
+        p_cont(w) = (n_pre(w) + 1) / (t_types + v_size)
+
+    The ``+1`` continuation floor is the OOV escape (an unseen word
+    still gets 1/(T+V) of the backoff mass, never p = 0 → nll = ∞);
+    over the OBSERVED vocabulary Σ(n_pre+1) = T + V, so p_cont is
+    exactly normalized there. A context never seen at all scores the
+    pure continuation probability.
+
+    Engine-exactness: with D = 3/4 everything clears to integers —
+        num = max(4·c_bg - 3, 0)·(T + V) + 3·n_fol·(n_pre + 1)
+        den = 4·c_prev·(T + V)
+    (unseen context: num = n_pre + 1, den = T + V), both DECIMAL-exact
+    at 100 TB counts; per-token nll = ln(den) - ln(num) of the
+    correctly-rounded doubles, snapped to integer micro-units before
+    the order-free per-doc sum — the module's standard discipline.
+
+    Scale shape: same as add-one scoring — LEFT joins against the
+    Zipf-small count frames (AQE broadcasts when they fit), one per-doc
+    aggregate; the extra continuation join is on the word key the plan
+    already carries.
+    """
+    t_row = model["totals"].first()
+    if t_row is None or not t_row["t_types"]:
+        raise ValueError(
+            "score_documents_kn: empty model (training corpus had no "
+            "tokens) — scores would be meaningless"
+        )
+    bg = _bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(model["bigrams"], ["prev", "word"], "left")
+        .join(model["contexts"], ["prev"], "left")
+        .join(model["continuations"], ["word"], "left")
+        .crossJoin(F.broadcast(model["totals"]))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tv = F.col("t_types") + F.col("v_size")
+    n_pre1 = F.coalesce(F.col("n_pre"), F.lit(0)) + 1
+    seen = F.col("c_prev").isNotNull()
+    num = F.when(
+        seen,
+        d(F.greatest(4 * F.coalesce(F.col("c_bg"), F.lit(0)) - 3, F.lit(0))) * d(tv)
+        + d(3 * F.coalesce(F.col("n_fol"), F.lit(0))) * d(n_pre1),
+    ).otherwise(d(n_pre1))
+    den = F.when(seen, d(4 * F.col("c_prev")) * d(tv)).otherwise(d(tv))
+    nll_u = F.floor(
+        (F.log(den.cast("double")) - F.log(num.cast("double"))) * 1000000
+        + 0.5
+    ).cast("long")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(nll_u).cast("long").alias("__nll_u"),
+    )
+    mean = (
+        F.col("__nll_u").cast("double") / F.col("n_tokens").cast("double") / 1000000.0
+    )
     return per_doc.select(
         id_col,
         "n_tokens",

@@ -267,3 +267,117 @@ def test_perplexity_buckets_global_and_validation(spark, lm_model):
     assert "source" not in out[0].asDict()
     with pytest.raises(ValueError):
         perplexity_buckets(docs, lm_model, n_buckets=1)
+
+
+# ------------------------------------------------------------- Kneser-Ney
+
+
+def _kn_reference(train_texts, score_docs):
+    """Pure-python interpolated-KN mirror of train_kn_lm/score_documents_kn."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    def toks(t):
+        n = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        return n.split(" ") if n else []
+
+    c_bg = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        for p, w in zip(["<s>"] + ws[:-1], ws):
+            c_bg[(p, w)] += 1
+    c_prev, n_fol, n_pre = Counter(), Counter(), Counter()
+    for (p, w), c in c_bg.items():
+        c_prev[p] += c
+        n_fol[p] += 1
+        n_pre[w] += 1
+    t_types = len(c_bg)
+    v_size = len({w for _, w in c_bg})
+    tv = t_types + v_size
+
+    out = {}
+    for doc_id, text in score_docs:
+        ws = toks(text)
+        if not ws:
+            continue
+        su = 0
+        for p, w in zip(["<s>"] + ws[:-1], ws):
+            np1 = n_pre.get(w, 0) + 1
+            if p in c_prev:
+                num = max(4 * c_bg.get((p, w), 0) - 3, 0) * tv + 3 * n_fol[p] * np1
+                den = 4 * c_prev[p] * tv
+            else:
+                num, den = np1, tv
+            su += math.floor((math.log(den) - math.log(num)) * 1e6 + 0.5)
+        mean = su / len(ws) / 1e6
+        out[doc_id] = (len(ws), math.floor(mean * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_kn_matches_python_reference(spark):
+    from aces_spark.datapipe.lm import score_documents_kn, train_kn_lm
+
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "san francisco is foggy",
+        "the fog in san francisco",
+    ]
+    score = [
+        (1, "the cat sat on the log"),   # fluent
+        (2, "francisco the the dog"),    # continuation test: bound word
+        (3, "completely unseen tokens"), # OOV floor
+        (4, "san francisco"),
+    ]
+    train_df = spark.createDataFrame(list(enumerate(train)), ["doc_id", "text"])
+    score_df = spark.createDataFrame(score, ["doc_id", "text"])
+    model = train_kn_lm(train_df)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in score_documents_kn(score_df, model).collect()
+    }
+    model["bigrams"].unpersist()
+    assert got == _kn_reference(train, score)
+
+
+def test_kn_prefers_true_continuations_over_bound_words(spark):
+    """The Kneser-Ney point: after an unseen context, a word that
+    completes MANY contexts ('the'-like) outscores an equally frequent
+    word that completes one ('francisco'-like)."""
+    from aces_spark.datapipe.lm import score_documents_kn, train_kn_lm
+
+    # 'end' follows 4 distinct contexts; 'bound' is as frequent but
+    # always follows 'fixed'
+    train = spark.createDataFrame(
+        [
+            (0, "alpha end"),
+            (1, "beta end"),
+            (2, "gamma end"),
+            (3, "delta end"),
+            (4, "fixed bound fixed bound fixed bound fixed bound"),
+        ],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(10, "zzz end"), (11, "zzz bound")], ["doc_id", "text"]
+    )
+    model = train_kn_lm(train)
+    nll = {
+        r["doc_id"]: r["nll"] for r in score_documents_kn(score, model).collect()
+    }
+    model["bigrams"].unpersist()
+    assert nll[10] < nll[11]
+
+
+def test_kn_empty_model_raises(spark):
+    from aces_spark.datapipe.lm import score_documents_kn, train_kn_lm
+
+    empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    model = train_kn_lm(empty, cache=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        score_documents_kn(docs, model)
