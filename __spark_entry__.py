@@ -1129,6 +1129,23 @@ def q_lm_score_kn(spark, sf_dir):
     return score_documents_kn(docs.filter(F.col("doc_id") % 2 == 1), model)
 
 
+def q_ngram_overlap(spark, sf_dir):
+    """ROUGE-2-style paired-text overlap (datapipe.text
+    .ngram_overlap_stats): each doc's full text vs its first-half
+    substring (the summary-vs-source proxy) — distinct-bigram precision/
+    recall/F1 in exact basis points, entirely row-local, zero shuffle."""
+    from aces_spark.datapipe.text import ngram_overlap_stats
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("a"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) / 2) as int))"
+        ).alias("b"),
+    )
+    return ngram_overlap_stats(docs, "a", "b", n=2)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear classifier inference (functions.features
     .linear_classifier_score): hashed-BoW dot against a 1024-bucket
@@ -2903,6 +2920,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
     "lm_score_kn": q_lm_score_kn,
+    "ngram_overlap": q_ngram_overlap,
     "quality_classifier": q_quality_classifier,
     "zipf_corpus_stats": q_zipf_corpus_stats,
     "epoch_shard_plan": q_epoch_shard_plan,
@@ -2942,7 +2960,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
-    "heavy_keys": q_heavy_keys,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2954,6 +2971,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "doc_chunking": q_doc_chunking,
@@ -4271,6 +4289,50 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
     / 10000.0 >= 0.2
+"""
+
+    # ngram_overlap: relational mirror of the row-local bigram-set
+    # precision/recall/F1 (LEFT join from documents keeps zero-gram docs)
+    sql["ngram_overlap"] = """
+WITH pair AS (
+  SELECT doc_id, text AS a,
+         substring(text, 1, CAST(floor(length(text) / 2) AS INT)) AS b
+  FROM documents),
+ta AS (SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(a), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       FROM pair),
+tb AS (SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(b), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       FROM pair),
+sa AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+       FROM ta, UNNEST(range(1, len(t))) AS u(i)
+       WHERE len(t) >= 2 AND t[1] <> ''),
+sb AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+       FROM tb, UNNEST(range(1, len(t))) AS u(i)
+       WHERE len(t) >= 2 AND t[1] <> ''),
+ca AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM sa GROUP BY doc_id),
+cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM sb GROUP BY doc_id),
+cc AS (SELECT sa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_c
+       FROM sa JOIN sb ON sa.doc_id = sb.doc_id AND sa.g = sb.g
+       GROUP BY sa.doc_id)
+SELECT d.doc_id,
+  COALESCE(ca.n_a, 0) AS n_grams_a,
+  COALESCE(cb.n_b, 0) AS n_grams_b,
+  COALESCE(cc.n_c, 0) AS n_common,
+  CASE WHEN COALESCE(ca.n_a, 0) > 0
+       THEN CAST(floor(COALESCE(cc.n_c, 0) * 10000 / ca.n_a) AS BIGINT)
+       ELSE 0 END AS precision_bp,
+  CASE WHEN COALESCE(cb.n_b, 0) > 0
+       THEN CAST(floor(COALESCE(cc.n_c, 0) * 10000 / cb.n_b) AS BIGINT)
+       ELSE 0 END AS recall_bp,
+  CASE WHEN COALESCE(ca.n_a, 0) + COALESCE(cb.n_b, 0) > 0
+       THEN CAST(floor(2 * COALESCE(cc.n_c, 0) * 10000
+                       / (COALESCE(ca.n_a, 0) + COALESCE(cb.n_b, 0))) AS BIGINT)
+       ELSE 0 END AS f1_bp
+FROM documents d
+LEFT JOIN ca ON d.doc_id = ca.doc_id
+LEFT JOIN cb ON d.doc_id = cb.doc_id
+LEFT JOIN cc ON d.doc_id = cc.doc_id
 """
 
     # interpolated Kneser-Ney: D = 3/4 cleared to integers —

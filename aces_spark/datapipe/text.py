@@ -660,3 +660,65 @@ def zipf_stats(
         "zipf_slope",
         "zipf_intercept",
     )
+
+
+def ngram_overlap_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-N-style set overlap between two text columns of the SAME
+    row — the paired-text QA signal (summary vs source, response vs
+    instruction, translation vs original): how much of one side's
+    n-gram vocabulary the other side reuses. Output ``(id, n_grams_a,
+    n_grams_b, n_common, precision_bp, recall_bp, f1_bp)`` over DISTINCT
+    word n-grams; precision = common/|A|, recall = common/|B| (B is the
+    reference side), and — because these are set counts — F1 collapses
+    to exactly ``2·common/(|A|+|B|)``. All three are basis-point floors
+    of integer ratios; empty sides score 0, never divide-by-zero.
+
+    Scale shape: everything is row-local Column arithmetic (shingle
+    arrays built per row, ``array_intersect`` for the overlap) — a pure
+    map with ZERO shuffle at any corpus size, unlike the corpus-keyed
+    shingle relations the cross-document dedup family needs.
+    """
+    if n < 1:
+        raise ValueError("ngram_overlap_stats: n must be >= 1")
+
+    def sh(col: str) -> Column:
+        toks = norm_tokens(col)
+        if n == 1:
+            return F.array_distinct(toks)
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    sa, sb = sh(col_a), sh(col_b)
+    rows = df.select(
+        F.col(id_col),
+        F.size(sa).cast("long").alias("n_grams_a"),
+        F.size(sb).cast("long").alias("n_grams_b"),
+        F.size(F.array_intersect(sa, sb)).cast("long").alias("n_common"),
+    )
+
+    def bp(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.floor(num * 10000 / den).cast("long")).otherwise(
+            F.lit(0)
+        )
+
+    return rows.select(
+        id_col,
+        "n_grams_a",
+        "n_grams_b",
+        "n_common",
+        bp(F.col("n_common"), F.col("n_grams_a")).alias("precision_bp"),
+        bp(F.col("n_common"), F.col("n_grams_b")).alias("recall_bp"),
+        bp(2 * F.col("n_common"), F.col("n_grams_a") + F.col("n_grams_b")).alias(
+            "f1_bp"
+        ),
+    )

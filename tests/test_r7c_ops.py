@@ -215,3 +215,48 @@ def test_prefix_jaccard_validation(spark):
     docs = _jac_corpus(spark)
     with pytest.raises(ValueError):
         prefix_jaccard_pairs(docs, threshold=0.01)
+
+
+# ----------------------------------------------------------- ngram overlap
+
+
+def test_ngram_overlap_hand_computed(spark):
+    from aces_spark.datapipe.text import ngram_overlap_stats
+
+    df = spark.createDataFrame(
+        [
+            # A bigrams: {a b, b c, c d}; B bigrams: {a b, b x}
+            (1, "a b c d", "a b x"),
+            (2, "hello", ""),        # empty reference side
+            (3, "", ""),             # both empty
+            (4, "x y", "x y"),       # identical
+        ],
+        ["doc_id", "a", "b"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams_a"], r["n_grams_b"], r["n_common"],
+            r["precision_bp"], r["recall_bp"], r["f1_bp"],
+        )
+        for r in ngram_overlap_stats(df, "a", "b", n=2).collect()
+    }
+    assert got[1] == (3, 2, 1, 10000 // 3, 5000, 2 * 10000 // 5)
+    assert got[2] == (0, 0, 0, 0, 0, 0)  # single token -> no bigram
+    assert got[3] == (0, 0, 0, 0, 0, 0)
+    assert got[4] == (1, 1, 1, 10000, 10000, 10000)
+
+
+def test_ngram_overlap_unigrams_and_dedup(spark):
+    from aces_spark.datapipe.text import ngram_overlap_stats
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat", "cat cat dog")], ["doc_id", "a", "b"]
+    )
+    (r,) = ngram_overlap_stats(df, "a", "b", n=1).collect()
+    # distinct sets: A={the,cat}, B={cat,dog}, common={cat}
+    assert (r["n_grams_a"], r["n_grams_b"], r["n_common"]) == (2, 2, 1)
+    assert r["f1_bp"] == 2 * 10000 // 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ngram_overlap_stats(df, "a", "b", n=0)
