@@ -1146,6 +1146,39 @@ def q_ngram_overlap(spark, sf_dir):
     return ngram_overlap_stats(docs, "a", "b", n=2)
 
 
+def q_encoding_artifacts(spark, sf_dir):
+    """Mojibake / encoding-damage report (datapipe.text
+    .encoding_artifacts) over a corpus with planted damage: by doc_id
+    mod 4, docs gain a double-encoding digraph, a U+FFFD + control
+    char, a zero-width pair, or stay clean — row-local regexp counts,
+    zero shuffle."""
+    from aces_spark.datapipe.text import encoding_artifacts
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafÃ© â€œquoteâ€"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit(" bad�"), F.expr("char(1)")))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" a​b﻿"))
+        .otherwise(F.lit(""))
+    )
+    damaged = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return encoding_artifacts(damaged)
+
+
+def q_vocab_divergence(spark, sf_dir):
+    """Cross-corpus unigram KL/JS divergence (datapipe.text
+    .vocab_divergence): even docs vs odd docs, add-one smoothed over the
+    union vocabulary, micro-nat integer sums — the drift report between
+    two crawls."""
+    from aces_spark.datapipe.text import vocab_divergence
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear classifier inference (functions.features
     .linear_classifier_score): hashed-BoW dot against a 1024-bucket
@@ -2921,6 +2954,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "lm_score_kn": q_lm_score_kn,
     "ngram_overlap": q_ngram_overlap,
+    "encoding_artifacts": q_encoding_artifacts,
+    "vocab_divergence": q_vocab_divergence,
     "quality_classifier": q_quality_classifier,
     "zipf_corpus_stats": q_zipf_corpus_stats,
     "epoch_shard_plan": q_epoch_shard_plan,
@@ -2958,8 +2993,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
     "doc_outlier_filter": q_doc_outlier_filter,
-    "corpus_mix_sample": q_corpus_mix_sample,
-    "key_skew_report": q_key_skew_report,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -2971,6 +3004,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "corpus_mix_sample": q_corpus_mix_sample,
+    "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
@@ -4289,6 +4324,102 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
     / 10000.0 >= 0.2
+"""
+
+    # encoding_artifacts: same planted suffixes (chr(1) = the control
+    # char), RE2 counts via len(regexp_extract_all)
+    sql["encoding_artifacts"] = """
+WITH damaged AS (
+  SELECT doc_id,
+    concat(text, CASE
+      WHEN doc_id % 4 = 0 THEN ' cafÃ© â€œquoteâ€'
+      WHEN doc_id % 4 = 1 THEN concat(' bad�', chr(1))
+      WHEN doc_id % 4 = 2 THEN ' a​b﻿'
+      ELSE '' END) AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+    CAST(len(regexp_extract_all(text,
+         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_control,
+    CAST(len(regexp_extract_all(text, '[ÃÂâ][\\x{0080}-\\x{00ff}]'))
+         AS BIGINT) AS n_mojibake,
+    CAST(len(regexp_extract_all(text, '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]'))
+         AS BIGINT) AS n_zero_width
+  FROM damaged)
+SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake, n_zero_width,
+  CASE WHEN n_chars > 0
+       THEN CAST(floor((n_replacement + n_control + n_mojibake + n_zero_width)
+                       * 10000 / n_chars) AS BIGINT)
+       ELSE 0 END AS artifact_bp,
+  CASE WHEN n_chars > 0
+       THEN floor((n_replacement + n_control + n_mojibake + n_zero_width)
+                  * 10000 / n_chars) > 0
+       ELSE FALSE END AS is_damaged
+FROM c
+"""
+
+    # vocab_divergence: add-one unigram KL/JS over the union vocabulary,
+    # micro-nat lnu snaps, HUGEINT numerator sums — even vs odd docs
+    sql["vocab_divergence"] = f"""
+WITH ca AS (
+  SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS c_a
+  FROM (SELECT unnest({_DOC_TOKENS_SQL}) AS term FROM documents
+        WHERE doc_id % 2 = 0)
+  WHERE term <> '' GROUP BY term),
+cb AS (
+  SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS c_b
+  FROM (SELECT unnest({_DOC_TOKENS_SQL}) AS term FROM documents
+        WHERE doc_id % 2 = 1)
+  WHERE term <> '' GROUP BY term),
+joint AS (
+  SELECT COALESCE(ca.word, cb.word) AS word,
+         COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(COALESCE(SUM(c_a), 0) AS BIGINT) AS t_a,
+               CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS t_b FROM joint),
+terms AS (
+  SELECT
+    CAST(c_a + 1 AS HUGEINT) AS na, CAST(c_b + 1 AS HUGEINT) AS nb,
+    CAST(floor(ln(CAST(c_a + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(t_a + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(c_b + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      + CAST(floor(ln(CAST(t_b + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      AS ln_ab,
+    CAST(floor(ln(CAST(c_a + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(t_a + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(CAST(c_a + 1 AS HUGEINT) * (t_b + v)
+                           + CAST(c_b + 1 AS HUGEINT) * (t_a + v) AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)
+      + CAST(floor(ln(CAST(2 * CAST(t_a + v AS HUGEINT) * (t_b + v) AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)
+      AS ln_am,
+    CAST(floor(ln(CAST(c_b + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(t_b + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(CAST(c_a + 1 AS HUGEINT) * (t_b + v)
+                           + CAST(c_b + 1 AS HUGEINT) * (t_a + v) AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)
+      + CAST(floor(ln(CAST(2 * CAST(t_a + v AS HUGEINT) * (t_b + v) AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)
+      AS ln_bm
+  FROM joint CROSS JOIN tot),
+sums AS (
+  SELECT SUM(na * ln_ab) AS kl_ab_num,
+         SUM(nb * -ln_ab) AS kl_ba_num,
+         SUM(na * ln_am) AS js_a_num,
+         SUM(nb * ln_bm) AS js_b_num
+  FROM terms)
+SELECT tot.v AS vocab_union, tot.t_a AS tokens_a, tot.t_b AS tokens_b,
+  ROUND(CAST(kl_ab_num AS DOUBLE) / CAST(tot.t_a + tot.v AS DOUBLE)
+        / 1000000.0, 6) AS kl_ab,
+  ROUND(CAST(kl_ba_num AS DOUBLE) / CAST(tot.t_b + tot.v AS DOUBLE)
+        / 1000000.0, 6) AS kl_ba,
+  ROUND((CAST(js_a_num AS DOUBLE) / CAST(tot.t_a + tot.v AS DOUBLE)
+         + CAST(js_b_num AS DOUBLE) / CAST(tot.t_b + tot.v AS DOUBLE))
+        / 2.0 / 1000000.0, 6) AS js
+FROM tot CROSS JOIN sums
 """
 
     # ngram_overlap: relational mirror of the row-local bigram-set

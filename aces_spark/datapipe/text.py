@@ -722,3 +722,141 @@ def ngram_overlap_stats(
             "f1_bp"
         ),
     )
+
+
+def encoding_artifacts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage detection — the cleaning signal a
+    crawled corpus needs before any tokenizer sees it: per document,
+    counts of (a) U+FFFD replacement characters (decode failures),
+    (b) C0 control characters other than tab/newline/CR (binary bleed),
+    (c) UTF-8-read-as-Latin-1 digraphs (``\u00c3\u00a9``-style: ``\u00c3``
+    / ``\u00c2`` / ``\u00e2`` followed by a Latin-1 continuation byte —
+    the classic double-encoding fingerprint), and (d) zero-width
+    characters (ZWSP/ZWNJ/ZWJ/BOM — invisible token-splitters). Output
+    ``(doc_id, n_chars, n_replacement, n_control, n_mojibake,
+    n_zero_width, artifact_bp, is_damaged)`` with ``artifact_bp`` the
+    basis-point floor of total artifacts over characters.
+
+    Row-local regexp counts — a pure map, zero shuffle; patterns are
+    RE2/Java-compatible literal classes so any engine counts the same.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    repl = F.regexp_count(t, F.lit("\ufffd")).cast("long")
+    ctrl = F.regexp_count(
+        t, F.lit("[\u0000-\u0008\u000b\u000c\u000e-\u001f]")
+    ).cast("long")
+    moji = F.regexp_count(
+        t, F.lit("[\u00c3\u00c2\u00e2][\u0080-\u00ff]")
+    ).cast("long")
+    zw = F.regexp_count(
+        t, F.lit("[\u200b\u200c\u200d\ufeff]")
+    ).cast("long")
+    total = repl + ctrl + moji + zw
+    bp = F.when(n_chars > 0, F.floor(total * 10000 / n_chars).cast("long")).otherwise(
+        F.lit(0)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        repl.alias("n_replacement"),
+        ctrl.alias("n_control"),
+        moji.alias("n_mojibake"),
+        zw.alias("n_zero_width"),
+        bp.alias("artifact_bp"),
+        (bp > 0).alias("is_damaged"),
+    )
+
+
+def vocab_divergence(
+    df_a: DataFrame, df_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-vs-corpus unigram divergence in ONE row: ``(vocab_union,
+    tokens_a, tokens_b, kl_ab, kl_ba, js)`` — the domain-shift /
+    drift-detection report (is this month's crawl distributionally the
+    same corpus? is the filtered set still representative?). KL and the
+    bounded symmetric Jensen-Shannon divergence are in nats, over
+    add-one-smoothed unigram distributions on the UNION vocabulary
+    (so neither side ever has a zero that blows KL up).
+
+    Engine-exactness: with V = |union vocab| and T = token count,
+    p(w) = (c(w)+1)/(T+V) is a ratio of exact integers; every log term
+    is ``ln`` of an exact-integer ratio snapped to micro-nats, each
+    KL/JS sum is Σ (c+1)·lnu / denominator with the numerator summed in
+    DECIMAL(38,0) — order-free, bit-identical at any partition count.
+    The midpoint m = (p_a+p_b)/2 clears to the exact integer numerator
+    ``(c_a+1)(T_b+V) + (c_b+1)(T_a+V)`` over ``2(T_a+V)(T_b+V)``.
+
+    Scale shape: one count aggregate per corpus (map-side partials),
+    a FULL OUTER join on the Zipf-small vocabularies, one global
+    aggregate; the 1-row totals frames broadcast. Nothing corpus-sized
+    survives past the first aggregates.
+    """
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.explode(norm_tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    # union vocab + both counts in one relation; feeds the totals AND the
+    # divergence scan -> lineage-truncated once
+    joint = (
+        ca.join(cb, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = joint.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c_a").cast("long").alias("t_a"),
+        F.sum("c_b").cast("long").alias("t_b"),
+    )
+
+    def lnu(x) -> Column:
+        return F.floor(F.log(x.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rows = joint.crossJoin(F.broadcast(totals))
+    na, nb = F.col("c_a") + 1, F.col("c_b") + 1
+    da, db = F.col("t_a") + F.col("v"), F.col("t_b") + F.col("v")
+    # ln p_a - ln p_b = ln na - ln da - ln nb + ln db (each term snapped)
+    ln_ab = lnu(na) - lnu(da) - lnu(nb) + lnu(db)
+    # midpoint numerator / denominator: m = mnum / (2 da db)
+    mnum = d(na) * d(db) + d(nb) * d(da)
+    ln_a_m = lnu(na) - lnu(da) - lnu(mnum) + lnu(d(F.lit(2)) * d(da) * d(db))
+    ln_b_m = lnu(nb) - lnu(db) - lnu(mnum) + lnu(d(F.lit(2)) * d(da) * d(db))
+    agg = rows.agg(
+        F.max("v").alias("v"),
+        F.max("t_a").alias("t_a"),
+        F.max("t_b").alias("t_b"),
+        F.sum(d(na) * d(ln_ab)).alias("__kl_ab_num"),
+        F.sum(d(nb) * d(-ln_ab)).alias("__kl_ba_num"),
+        F.sum(d(na) * d(ln_a_m)).alias("__js_a_num"),
+        F.sum(d(nb) * d(ln_b_m)).alias("__js_b_num"),
+    )
+    da2, db2 = F.col("t_a") + F.col("v"), F.col("t_b") + F.col("v")
+    def val(num, den) -> Column:
+        return F.round(
+            num.cast("double") / den.cast("double") / 1000000.0, 6
+        )
+    return agg.select(
+        F.coalesce("v", F.lit(0)).alias("vocab_union"),
+        F.coalesce("t_a", F.lit(0)).alias("tokens_a"),
+        F.coalesce("t_b", F.lit(0)).alias("tokens_b"),
+        val(F.col("__kl_ab_num"), da2).alias("kl_ab"),
+        val(F.col("__kl_ba_num"), db2).alias("kl_ba"),
+        F.round(
+            (
+                F.col("__js_a_num").cast("double") / da2.cast("double")
+                + F.col("__js_b_num").cast("double") / db2.cast("double")
+            )
+            / 2.0
+            / 1000000.0,
+            6,
+        ).alias("js"),
+    )
