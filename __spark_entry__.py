@@ -1146,6 +1146,16 @@ def q_ngram_overlap(spark, sf_dir):
     return ngram_overlap_stats(docs, "a", "b", n=2)
 
 
+def q_binary_hamming_topk(spark, sf_dir):
+    """Binary-quantized ANN baseline (datapipe.sq.binary_codes +
+    hamming_topk): sign-bit codes (32x compression), XOR+popcount
+    distance, shared deterministic tie rule; queries vec_id < 5, k=5."""
+    from aces_spark.datapipe.sq import hamming_topk
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
+
+
 def q_encoding_artifacts(spark, sf_dir):
     """Mojibake / encoding-damage report (datapipe.text
     .encoding_artifacts) over a corpus with planted damage: by doc_id
@@ -2954,6 +2964,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "lm_score_kn": q_lm_score_kn,
     "ngram_overlap": q_ngram_overlap,
+    "binary_hamming_topk": q_binary_hamming_topk,
     "encoding_artifacts": q_encoding_artifacts,
     "vocab_divergence": q_vocab_divergence,
     "quality_classifier": q_quality_classifier,
@@ -2992,7 +3003,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 2b (last green r4): head of the 44-entry r4 block ---
     "props_field_stats": q_props_field_stats,
     "event_type_pivot": q_event_type_pivot,
-    "doc_outlier_filter": q_doc_outlier_filter,
     # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -3004,6 +3014,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
     # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
     "heavy_keys": q_heavy_keys,
@@ -4324,6 +4335,29 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000 + 0.5)
     / 10000.0 >= 0.2
+"""
+
+    # binary hamming: one 64-bit word (dim=64); bit 63 is the min-long
+    # literal (1<<63 overflows a signed shift); bit_or builds the code
+    sql["binary_hamming_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         bit_or(CASE WHEN v[i + 1] > 0 THEN
+                  CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE (1::BIGINT << i) END
+                ELSE 0 END) AS c
+  FROM e, UNNEST(range(0, 64)) AS u(i) GROUP BY vec_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(bit_count(xor(n.c, q.c)) AS BIGINT) AS hamming
+  FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 5)
+SELECT query_id, neighbor_id, hamming FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rk
+  FROM pairs)
+WHERE rk <= 5
 """
 
     # encoding_artifacts: same planted suffixes (chr(1) = the control

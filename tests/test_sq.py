@@ -258,3 +258,80 @@ class TestNormOutliers:
         got = embedding_norm_outliers(_vectors(spark, rows)).collect()
         assert all(r["z"] is None for r in got)
         assert all(r["is_outlier"] is False for r in got)
+
+
+# ------------------------------------------------------------ binary codes
+
+
+def test_binary_codes_python_differential(spark):
+    import random
+
+    from aces_spark.datapipe.sq import binary_codes
+
+    rng = random.Random(7)
+    dim = 70  # 2 words; exercises bit 63 and the partial second word
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    rows.append((100, [0.0] * dim))          # zeros -> all bits clear
+    rows.append((101, [1.0] * dim))          # all set incl. bit 63
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["codes"] for r in binary_codes(df, dim=dim).collect()}
+
+    def ref(v):
+        out = []
+        for w in range((dim + 63) // 64):
+            word = 0
+            for i in range(64):
+                d = w * 64 + i
+                if d < dim and v[d] > 0:
+                    word |= 1 << i
+            if word >= 1 << 63:
+                word -= 1 << 64  # two's complement long
+            out.append(word)
+        return out
+
+    for vid, v in rows:
+        assert got[vid] == ref(v), f"vec {vid}"
+    assert got[100] == [0, 0]
+    assert got[101][0] == -1  # all 64 bits set == -1 in two's complement
+
+
+def test_hamming_topk_matches_brute_force(spark):
+    import random
+
+    from aces_spark.datapipe.sq import hamming_topk
+
+    rng = random.Random(11)
+    dim = 64
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter("vec_id < 3")
+    got = [
+        (r["query_id"], r["neighbor_id"], r["hamming"])
+        for r in hamming_topk(df, queries, k=4, dim=dim).collect()
+    ]
+
+    def bits(v):
+        return [x > 0 for x in v]
+
+    want = []
+    for qid in range(3):
+        qb = bits(rows[qid][1])
+        ds = sorted(
+            (sum(a != b for a, b in zip(bits(v), qb)), vid)
+            for vid, v in rows
+            if vid != qid
+        )[:4]
+        want += [(qid, vid, d) for d, vid in ds]
+    assert sorted(got) == sorted(want)
+
+
+def test_binary_codes_validation(spark):
+    from aces_spark.datapipe.sq import binary_codes, hamming_topk
+
+    df = spark.createDataFrame([(1, [0.1])], ["vec_id", "embedding"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        binary_codes(df, dim=0)
+    with _pytest.raises(ValueError):
+        hamming_topk(df, df, k=0, dim=1)

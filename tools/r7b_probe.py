@@ -207,6 +207,7 @@ def main() -> None:
         "prefix": probe_prefix_jaccard,
         "boilerplate": probe_boilerplate,
         "classifier": probe_classifier,
+        "hamming": probe_hamming,
     }[which](n)
 
 
@@ -363,6 +364,30 @@ def probe_classifier(n: int) -> None:
         f"classifier @{n}: {agg['docs']} docs, {agg['pos']} positive "
         f"in {time.time() - t0:.1f}s"
     )
+
+def probe_hamming(n: int) -> None:
+    """binary_codes + hamming_topk at n x 64-dim, 16 queries, k=10 —
+    the 32x-compressed counterpart of the sq8 probe."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aces_spark.datapipe.sq import binary_codes, hamming_topk
+
+    spark = _spark("hamming-probe")
+    vecs = _vectors(spark, n).localCheckpoint()
+    t0 = time.time()
+    binary_codes(vecs, dim=64).write.mode("overwrite").format("noop").save()
+    t_enc = time.time() - t0
+    t0 = time.time()
+    out = hamming_topk(vecs, vecs.filter(F.col("vec_id") < 16), k=10, dim=64)
+    n_rows = out.count()
+    t_q = time.time() - t0
+    print(
+        f"hamming @{n}x64: encode {t_enc:.1f}s | 16-query top-10 "
+        f"{t_q:.1f}s ({n_rows} rows)"
+    )
+
 
 if __name__ == "__main__":
     main()
