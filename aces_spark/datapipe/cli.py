@@ -24,6 +24,9 @@ parquet; report ops print ONE JSON line to stdout):
     score-lm  bigram-LM NLL scoring (--train corpus, scores --input)
     bm25      BM25 top-k search report → JSON (--terms a,b,c, --k)
     merge-scd2  SCD2 history merge (--history, --changes(--input), --key)
+    artifacts mojibake/encoding-damage report, or filter with --max-bp
+    classify  linear-classifier inference against a weights parquet
+              (--weights, --buckets, --bias-micro)
 
 The session knobs mirror the cohort CLI (``aces_spark.cli``): one
 SparkSession, parallelism from partitions. Every operation is the
@@ -188,6 +191,24 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="drop docs with overlap fraction above this; default: report only",
     )
+
+    sp = sub.add_parser("artifacts")
+    _io(sp)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument(
+        "--max-bp",
+        type=int,
+        default=None,
+        help="drop docs whose artifact basis points exceed this; "
+        "default: write the full report",
+    )
+
+    sp = sub.add_parser("classify")
+    _io(sp)
+    sp.add_argument("--weights", required=True, help="model parquet (bucket, weight_micro)")
+    sp.add_argument("--buckets", type=int, default=1024)
+    sp.add_argument("--bias-micro", type=int, default=0)
+    sp.add_argument("--text-col", default="text")
     return p
 
 
@@ -304,6 +325,32 @@ def main(argv: list[str] | None = None) -> int:
         df.join(winners.select(args.id_col), args.id_col).write.mode(
             "overwrite"
         ).parquet(args.output)
+    elif args.op == "artifacts":
+        from .text import encoding_artifacts
+
+        report = encoding_artifacts(
+            spark.read.parquet(args.input), text_col=args.text_col
+        )
+        if args.max_bp is not None:
+            docs = spark.read.parquet(args.input)
+            keep = report.filter(
+                (report["artifact_bp"] <= args.max_bp)
+            ).select("doc_id")
+            docs.join(keep, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(args.output)
+        else:
+            report.write.mode("overwrite").parquet(args.output)
+    elif args.op == "classify":
+        from ..functions.features import linear_classifier_score
+
+        linear_classifier_score(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.weights),
+            n_buckets=args.buckets,
+            bias_micro=args.bias_micro,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.output)
     elif args.op == "score-lm":
         from .lm import score_documents_lm, train_bigram_lm
 

@@ -222,3 +222,52 @@ def test_cli_decontam_report_and_filter(spark, docs_path, tmp_path):
     ]) == 0
     ids = sorted(r["doc_id"] for r in spark.read.parquet(clean).collect())
     assert ids == [3, 4]
+
+
+def test_cli_artifacts_report_and_filter(spark, tmp_path):
+    src = str(tmp_path / "moji")
+    spark.createDataFrame(
+        [
+            (1, "clean prose here"),
+            (2, "damaged cafÃ© â€œtextâ€ " * 5),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    rep = str(tmp_path / "report")
+    assert main(["artifacts", "--input", src, "--output", rep]) == 0
+    got = {r["doc_id"]: r["is_damaged"] for r in spark.read.parquet(rep).collect()}
+    assert got == {1: False, 2: True}
+
+    filt = str(tmp_path / "filtered")
+    assert main(
+        ["artifacts", "--input", src, "--output", filt, "--max-bp", "0"]
+    ) == 0
+    assert [r["doc_id"] for r in spark.read.parquet(filt).collect()] == [1]
+
+
+def test_cli_classify(spark, tmp_path):
+    src = str(tmp_path / "cdocs")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    wts = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [(b, 5) for b in range(16)], "bucket long, weight_micro long"
+    ).write.mode("overwrite").parquet(wts)
+
+    out = str(tmp_path / "scored")
+    assert main(
+        ["classify", "--input", src, "--output", out,
+         "--weights", wts, "--buckets", "16", "--bias-micro", "100"]
+    ) == 0
+    got = {r["doc_id"]: r["score_micro"] for r in spark.read.parquet(out).collect()}
+    # every bucket has weight 5: score = bias + 5 * sum of token signs
+    import hashlib
+
+    def sign(w):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        return -1 if h & (1 << 59) else 1
+
+    assert got[2] == 100  # empty doc scores exactly the bias
+    assert got[1] == 100 + 5 * (sign("alpha") + sign("beta"))
