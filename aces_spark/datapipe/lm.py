@@ -39,6 +39,8 @@ __all__ = [
     "score_documents_lm",
     "score_documents_kn",
     "perplexity_buckets",
+    "save_lm",
+    "load_lm",
     "collocations",
 ]
 
@@ -382,3 +384,36 @@ def collocations(
             F.col("pmi").desc(), F.col("prev").asc(), F.col("word").asc()
         ).limit(top_k)
     return out
+
+
+_LM_FRAMES = {
+    "addone": ("bigrams", "unigrams", "vocab"),
+    "kn": ("bigrams", "contexts", "continuations", "totals"),
+}
+
+
+def save_lm(model: dict[str, DataFrame], path: str) -> None:
+    """Persist a :func:`train_bigram_lm` or :func:`train_kn_lm` model as
+    one parquet directory per count frame — the train-once / score-many
+    deployment shape: the model is Zipf-small (observed-vocab-sized), so
+    writing it costs nothing next to the training scan, and a later
+    scoring job on ANY cluster reads it back without retraining. The
+    frame set on disk identifies the smoothing family, so
+    :func:`load_lm` needs no sidecar metadata."""
+    frames = _LM_FRAMES["kn" if "contexts" in model else "addone"]
+    for name in frames:
+        model[name].write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_lm(spark, path: str) -> dict[str, DataFrame]:
+    """Load a model written by :func:`save_lm`; the smoothing family is
+    detected from which frames exist. Returned frames are plain parquet
+    reads — feed them straight to :func:`score_documents_lm` /
+    :func:`score_documents_kn` (AQE broadcasts the small sides)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        kn = {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["kn"]}
+        return kn
+    except AnalysisException:
+        return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["addone"]}

@@ -381,3 +381,40 @@ def test_kn_empty_model_raises(spark):
 
     with _pytest.raises(ValueError):
         score_documents_kn(docs, model)
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    """Persisted model scores IDENTICALLY to the in-memory one, for both
+    smoothing families; load_lm detects the family from the frame set."""
+    from aces_spark.datapipe.lm import (
+        load_lm,
+        save_lm,
+        score_documents_kn,
+        score_documents_lm,
+        train_bigram_lm,
+        train_kn_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a dog sat on a log")],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame([(9, "the dog sat")], ["doc_id", "text"])
+
+    m1 = train_bigram_lm(train, cache=False)
+    save_lm(m1, str(tmp_path / "addone"))
+    l1 = load_lm(spark, str(tmp_path / "addone"))
+    assert set(l1) == {"bigrams", "unigrams", "vocab"}
+    assert (
+        score_documents_lm(score, l1).collect()
+        == score_documents_lm(score, m1).collect()
+    )
+
+    m2 = train_kn_lm(train, cache=False)
+    save_lm(m2, str(tmp_path / "kn"))
+    l2 = load_lm(spark, str(tmp_path / "kn"))
+    assert set(l2) == {"bigrams", "contexts", "continuations", "totals"}
+    assert (
+        score_documents_kn(score, l2).collect()
+        == score_documents_kn(score, m2).collect()
+    )
