@@ -856,7 +856,11 @@ def prefix_jaccard_pairs(
     WWW'08): identical output contract to :func:`ngram_jaccard_pairs`
     (``(doc_a, doc_b, jaccard)``, ``doc_a < doc_b``, basis-point-floored
     ``jaccard ≥ threshold``) with a fundamentally smaller candidate
-    join, and EXACT — no boilerplate cap, no recall loss.
+    join, and EXACT over the 64-bit hashed shingles — no boilerplate
+    cap, no recall loss from the prefix filter itself. (Like every
+    hashed-shingle miner in this module, shingles are reduced to
+    xxhash64 values first, so exactness is modulo 64-bit shingle-hash
+    collisions — vanishingly rare but not impossible.)
 
     The filter: sort every document's shingle set by one global order
     (document frequency ascending, hash ascending — rarest first); for

@@ -398,22 +398,36 @@ def save_lm(model: dict[str, DataFrame], path: str) -> None:
     deployment shape: the model is Zipf-small (observed-vocab-sized), so
     writing it costs nothing next to the training scan, and a later
     scoring job on ANY cluster reads it back without retraining. The
-    frame set on disk identifies the smoothing family, so
-    :func:`load_lm` needs no sidecar metadata."""
-    frames = _LM_FRAMES["kn" if "contexts" in model else "addone"]
+    frame set on disk identifies the smoothing family; a one-row
+    ``_family`` marker frame (written LAST, after every count frame
+    landed) makes the family explicit so re-saving a different-family
+    model to the SAME path can never produce a mixed read — the stale
+    other-family dirs may remain on disk, but :func:`load_lm` trusts the
+    marker and only opens the frames the marker's family owns."""
+    family = "kn" if "contexts" in model else "addone"
+    frames = _LM_FRAMES[family]
+    spark = model[frames[0]].sparkSession
     for name in frames:
         model[name].write.mode("overwrite").parquet(f"{path}/{name}")
+    spark.createDataFrame([(family,)], "family string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_family")
 
 
 def load_lm(spark, path: str) -> dict[str, DataFrame]:
-    """Load a model written by :func:`save_lm`; the smoothing family is
-    detected from which frames exist. Returned frames are plain parquet
+    """Load a model written by :func:`save_lm`; the smoothing family
+    comes from the ``_family`` marker (falling back to frame-presence
+    detection for pre-marker saves). Returned frames are plain parquet
     reads — feed them straight to :func:`score_documents_lm` /
     :func:`score_documents_kn` (AQE broadcasts the small sides)."""
     from pyspark.errors import AnalysisException
 
     try:
-        kn = {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["kn"]}
-        return kn
+        family = spark.read.parquet(f"{path}/_family").head()[0]
+        return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES[family]}
+    except AnalysisException:
+        pass
+    try:
+        return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["kn"]}
     except AnalysisException:
         return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["addone"]}

@@ -151,7 +151,8 @@ def leakage_safe_splits(
     silently inflates held-out metrics; the published dedup papers'
     motivating failure).
 
-    Output ``(doc_id, cluster_id, cluster_size, split)``. Plan: the
+    Output ``(id_col, cluster_id, cluster_size, split)`` — the id column
+    keeps the caller's name. Plan: the
     log-round star closure from clusters.connected_components, then a
     row-local bucket on ``cluster_id`` — the split itself adds ZERO
     shuffle on top of the clustering, and singleton docs (absent from
@@ -160,6 +161,10 @@ def leakage_safe_splits(
     from .clusters import dedup_clusters
 
     clustered = dedup_clusters(docs, pairs, id_col=id_col, src=src, dst=dst)
+    if id_col != "doc_id":
+        # dedup_clusters canonicalizes its id column to "doc_id"; hand the
+        # caller back the column name they passed in.
+        clustered = clustered.withColumnRenamed("doc_id", id_col)
     return assign_splits(clustered, splits, key_col="cluster_id", seed=seed)
 
 

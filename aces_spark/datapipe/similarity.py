@@ -1028,7 +1028,7 @@ def corpus_diversity(
     per_dim = d.groupBy("__dim").agg(
         F.count(F.lit(1)).cast("long").alias("__cnt"),
         F.sum("__u").cast("decimal(20,0)").alias("__s"),
-        F.sum(F.col("__u") * F.col("__u")).cast("decimal(38,0)").alias("__q"),
+        F.sum(F.col("__u").cast("decimal(19,0)") * F.col("__u")).alias("__q"),
     )
     agg = per_dim.agg(
         F.max("__cnt").cast("long").alias("n_vectors"),
