@@ -1207,6 +1207,26 @@ def q_quality_classifier(spark, sf_dir):
     return linear_classifier_score(docs, weights, n_buckets=1024)
 
 
+def q_classifier_train_score(spark, sf_dir):
+    """In-engine fastText-style classifier TRAINING + scoring
+    (functions.features.train_linear_classifier, r8): three integer-exact
+    full-batch gradient iterations over the hashed-BoW matrix — labels
+    planted as lang='en' — then linear_classifier_score serves the
+    trained (bucket, weight_micro) model back over the same corpus.
+    Training determinism (integer sums, table sigmoid, truncating
+    division) is what makes a train+score pipeline hash-exact against a
+    SQL engine; the oracle unrolls all three iterations as CTEs."""
+    from aces_spark.functions.features import (
+        linear_classifier_score,
+        train_linear_classifier,
+    )
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+    w = train_linear_classifier(labeled, n_buckets=1024, n_iters=3)
+    return linear_classifier_score(docs.select("doc_id", "text"), w, n_buckets=1024)
+
+
 def q_zipf_corpus_stats(spark, sf_dir):
     """Corpus Zipf diagnostics (datapipe.text.zipf_stats): OLS ln-ln fit
     over the top-200 terms (TakeOrdered head, no global sort) + exact
@@ -2959,6 +2979,8 @@ def q_adamic_adar(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- tier 0 (r8 debuts): lead for their first driver-green row ---
+    "classifier_train_score": q_classifier_train_score,
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
@@ -7308,5 +7330,84 @@ SELECT "group", n_docs, ws_tokens, bpe_tokens,
         THEN CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END, 4)
     AS chars_per_token
 FROM a
+"""
+
+    # classifier TRAINING unrolled: 3 full-batch integer-GD iterations
+    # (w0 = 0 → iteration-1 margins are literally 0), sigmoid as the same
+    # 256-entry integer table the Spark plan embeds (computed once in
+    # Python, interpolated into both engines — no in-plan exp), weight
+    # updates via DuckDB's truncating // (== the Python driver's tdiv),
+    # then the quality_classifier scoring recipe against the trained w3
+    from aces_spark.functions.features import sigmoid_table_micro
+
+    _sig = "[" + ", ".join(str(v) for v in sigmoid_table_micro()) + "]"
+    _cls_idx = (
+        "((LEAST(GREATEST(COALESCE({m}, 0), -8000000), 8000000)"
+        " + 8000000) * 255) // 16000000 + 1"
+    )
+    sql["classifier_train_score"] = f"""
+WITH labels AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS ym
+  FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM labels),
+toks AS (SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS term FROM documents),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE term <> ''),
+feats AS (
+  SELECT doc_id, h % 1024 AS bucket,
+         CAST(SUM(CASE WHEN (h & 576460752303423488) <> 0
+                       THEN -1 ELSE 1 END) AS BIGINT) AS value
+  FROM th GROUP BY doc_id, h % 1024),
+r1 AS (
+  SELECT doc_id, ym - ({_sig})[{_cls_idx.format(m="0")}] AS r FROM labels),
+g1 AS (
+  SELECT bucket, SUM(CAST(value AS HUGEINT) * r) AS g
+  FROM feats JOIN r1 USING (doc_id) GROUP BY bucket
+  HAVING SUM(CAST(value AS HUGEINT) * r) <> 0),
+w1 AS (
+  SELECT bucket, CAST((10000 * g) // (10000 * nn.n) AS BIGINT) AS w
+  FROM g1 CROSS JOIN nn),
+m2 AS (
+  SELECT f.doc_id, CAST(SUM(f.value * COALESCE(w1.w, 0)) AS BIGINT) AS m
+  FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
+r2 AS (
+  SELECT l.doc_id, l.ym - ({_sig})[{_cls_idx.format(m="m2.m")}] AS r
+  FROM labels l LEFT JOIN m2 USING (doc_id)),
+g2 AS (
+  SELECT bucket, SUM(CAST(value AS HUGEINT) * r) AS g
+  FROM feats JOIN r2 USING (doc_id) GROUP BY bucket
+  HAVING SUM(CAST(value AS HUGEINT) * r) <> 0),
+w2 AS (
+  SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
+         CAST(COALESCE(w1.w, 0)
+              + COALESCE((10000 * g2.g) // (10000 * nn.n), 0) AS BIGINT) AS w
+  FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nn),
+m3 AS (
+  SELECT f.doc_id, CAST(SUM(f.value * COALESCE(w2.w, 0)) AS BIGINT) AS m
+  FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id),
+r3 AS (
+  SELECT l.doc_id, l.ym - ({_sig})[{_cls_idx.format(m="m3.m")}] AS r
+  FROM labels l LEFT JOIN m3 USING (doc_id)),
+g3 AS (
+  SELECT bucket, SUM(CAST(value AS HUGEINT) * r) AS g
+  FROM feats JOIN r3 USING (doc_id) GROUP BY bucket
+  HAVING SUM(CAST(value AS HUGEINT) * r) <> 0),
+w3 AS (
+  SELECT COALESCE(w2.bucket, g3.bucket) AS bucket,
+         CAST(COALESCE(w2.w, 0)
+              + COALESCE((10000 * g3.g) // (10000 * nn.n), 0) AS BIGINT) AS w
+  FROM w2 FULL OUTER JOIN g3 ON w2.bucket = g3.bucket CROSS JOIN nn),
+sc AS (
+  SELECT th.doc_id,
+         (CASE WHEN (th.h & 576460752303423488) <> 0 THEN -1 ELSE 1 END)
+           * w3.w AS contrib
+  FROM th LEFT JOIN w3 ON (th.h % 1024) = w3.bucket)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS score_micro,
+       COALESCE(SUM(contrib), 0) >= 0 AS label
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+GROUP BY d.doc_id
 """
     return sql

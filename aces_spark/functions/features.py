@@ -353,3 +353,173 @@ def linear_classifier_score(
         )
         .withColumn("label", F.col("score_micro") >= 0)
     )
+
+
+_SIGMOID_TABLE_SIZE = 256
+_SIGMOID_RANGE = 8  # table covers margins in [-8, 8] (pre-micro units)
+
+
+def sigmoid_table_micro() -> list[int]:
+    """The fastText-style precomputed sigmoid lookup table (Joulin et al.
+    2017 ship a 512-entry table over [-8, 8]; we use 256): entry ``i`` is
+    ``round(sigmoid(-8 + 16·i/255) · 1e6)`` as an exact integer.
+
+    Training uses THIS table instead of calling ``exp`` inside the plan
+    so the trained model is bit-identical across engines: ``exp`` may
+    differ by an ulp between libm implementations, and one flipped
+    micro-unit in an early residual cascades through every later
+    iteration. The table is computed ONCE in driver-side Python and
+    embedded as integer literals in both the Spark plan and the DuckDB
+    oracle, so both engines look up the same integers."""
+    import math
+
+    n = _SIGMOID_TABLE_SIZE
+    out = []
+    for i in range(n):
+        x = -_SIGMOID_RANGE + 2.0 * _SIGMOID_RANGE * i / (n - 1)
+        out.append(math.floor(1.0 / (1.0 + math.exp(-x)) * 1_000_000 + 0.5))
+    return out
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the Spark ``div`` /
+    DuckDB ``//`` convention (Python's ``//`` floors, which differs for
+    negative numerators)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def train_linear_classifier(
+    labeled_docs: DataFrame,
+    n_buckets: int = 1 << 10,
+    n_iters: int = 3,
+    lr_bp: int = 10000,
+    signed: bool = True,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text-classifier TRAINING (the other half of
+    :func:`linear_classifier_score`; reference parity: the quality
+    classifiers CCNet / Gopher / LLaMA train over hashed bag-of-words
+    features): fixed-iteration full-batch logistic regression by
+    integer-exact gradient descent over :func:`feature_hashing`'s sparse
+    matrix. Returns the model as ``(bucket, weight_micro)`` — sparse,
+    zero-weight buckets dropped — the exact contract
+    :func:`linear_classifier_score` consumes, so train-here / serve-here
+    round-trips with zero feature skew.
+
+    Determinism (what makes a hash-exact cross-engine oracle possible):
+    every cross-row sum is an integer sum (order-free at any partition
+    count); the sigmoid is the precomputed integer lookup table
+    :func:`sigmoid_table_micro` (fastText's own trick — no in-plan
+    ``exp``); the weight update ``w += (lr_bp · grad) div (10000 · n)``
+    uses truncate-toward-zero division on exact Python ints. Two runs at
+    any parallelism produce bit-identical models.
+
+    Per iteration ``t``: margin_i = Σ_b x_ib·w_b (exact int64 micro);
+    p_i = table[clamp(margin)]; residual r_i = y_i·1e6 − p_i;
+    grad_b = Σ_i x_ib·r_i (DECIMAL-exact); w_b += lr·grad_b/n. This is
+    batch gradient ascent on the log-likelihood — 3 iterations from
+    w=0 separates any linearly separable planted corpus and is the
+    determinism-friendly stand-in for fastText's epoch loop.
+
+    Scale shape (the parameter-server pattern, driver as the server):
+    the CORPUS is never collected — each iteration is one broadcast join
+    of the ≤``n_buckets``-row model against the persisted sparse feature
+    relation, a per-doc integer aggregate, and a per-bucket integer
+    aggregate whose ≤``n_buckets``-row result is what travels to the
+    driver. Features are computed once and localCheckpoint-persisted
+    (the twice-per-iteration reuse discipline `tools/plan_audit.py`
+    enforces). At 100 TB: n_iters scans of a bucketed sparse matrix,
+    model I/O is KBs per iteration.
+    """
+    if n_buckets < 1:
+        raise ValueError("train_linear_classifier: n_buckets must be >= 1")
+    if n_iters < 1:
+        raise ValueError("train_linear_classifier: n_iters must be >= 1")
+    spark = labeled_docs.sparkSession
+
+    # repartition on doc_id BEFORE the checkpoint: every iteration both
+    # aggregates margins by doc_id and joins residuals by doc_id, so
+    # persisting the matrix already hashed on doc_id removes the
+    # per-iteration 2x reshuffle of the (corpus-sized) feature relation
+    feats = (
+        feature_hashing(
+            labeled_docs, n_buckets=n_buckets, signed=signed,
+            text_col=text_col, id_col=id_col,
+        )
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        labeled_docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(label_col).cast("boolean").cast("long") * 1_000_000)
+            .alias("__y_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "bucket long, weight_micro long")
+
+    table = sigmoid_table_micro()
+    tbl_arr = F.array([F.lit(v) for v in table])
+    rng_micro = _SIGMOID_RANGE * 1_000_000
+
+    weights: dict[int, int] = {}
+    denom = 10000 * n_docs
+    for _ in range(n_iters):
+        if weights:
+            wdf = spark.createDataFrame(
+                list(weights.items()), "bucket long, weight_micro long"
+            )
+        else:
+            wdf = spark.createDataFrame([], "bucket long, weight_micro long")
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("value") * F.coalesce(F.col("weight_micro"), F.lit(0)))
+                .cast("long")
+                .alias("__m")
+            )
+        )
+        m = F.coalesce(F.col("__m"), F.lit(0))
+        m_c = F.greatest(F.least(m, F.lit(rng_micro)), F.lit(-rng_micro))
+        idx = F.expr(
+            f"((__mc + {rng_micro}) * {_SIGMOID_TABLE_SIZE - 1})"
+            f" div {2 * rng_micro}"
+        )
+        resid = (
+            labels.join(margins, "doc_id", "left")
+            .withColumn("__mc", m_c)
+            .select(
+                "doc_id",
+                (
+                    F.col("__y_micro")
+                    - F.element_at(tbl_arr, (idx + 1).cast("int"))
+                ).alias("__r_micro"),
+            )
+        )
+        grads = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.col("value").cast("decimal(19,0)") * F.col("__r_micro")
+                ).alias("__g")
+            )
+            .collect()
+        )
+        for row in grads:
+            g = int(row["__g"])
+            if g:
+                b = int(row["bucket"])
+                weights[b] = weights.get(b, 0) + _tdiv(lr_bp * g, denom)
+
+    items = sorted((b, w) for b, w in weights.items() if w != 0)
+    if not items:
+        return spark.createDataFrame([], "bucket long, weight_micro long")
+    return spark.createDataFrame(items, "bucket long, weight_micro long")
