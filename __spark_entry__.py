@@ -1392,6 +1392,17 @@ def q_substring_dedup(spark, sf_dir):
     return substring_dup_spans(_docs_with_near_dups(spark, sf_dir), window=40, stride=20)
 
 
+def q_substring_strip(spark, sf_dir):
+    """Substring strip ACTION (datapipe.dedup.substring_strip, r8): flag
+    every 40-char/stride-20 window occurring >= 2x corpus-wide, merge
+    overlapping flagged windows into maximal spans (gaps-and-islands),
+    splice the spans out. Pure window-function + integer char arithmetic
+    — the whole strip is SQL-mirrorable, untouched docs byte-identical."""
+    from aces_spark.datapipe.dedup import substring_strip
+
+    return substring_strip(_docs_with_near_dups(spark, sf_dir), window=40, stride=20)
+
+
 def q_minhash_jaccard(spark, sf_dir):
     """Full MinHash pipeline: LSH candidates + signature-agreement Jaccard
     estimate, filtered at 0.3 (portable md5 hasher)."""
@@ -2981,6 +2992,7 @@ def q_adamic_adar(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (r8 debuts): lead for their first driver-green row ---
     "classifier_train_score": q_classifier_train_score,
+    "substring_strip": q_substring_strip,
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
@@ -4954,6 +4966,49 @@ SELECT doc_id,
     / COUNT(*) * 10000 + 0.5) / 10000 AS dup_win_frac
 FROM w JOIN occ USING (wfp)
 GROUP BY doc_id
+"""
+
+    # substring strip action: same window/occurrence flag as
+    # substring_dedup, gaps-and-islands span merge (two window functions),
+    # segment splice via string_agg ORDER BY — all integer char arithmetic
+    sql["substring_strip"] = f"""
+WITH aug AS ({_DOCS_NEAR_DUPS_SQL}),
+w AS (SELECT doc_id, CAST(i * 20 AS BIGINT) AS s, CAST(i * 20 + 40 AS BIGINT) AS e,
+             md5(substring(text, CAST(i * 20 + 1 AS INT), 40)) AS wfp
+      FROM aug, UNNEST(range(0, ((length(text) - 40) // 20) + 1)) AS u(i)
+      WHERE length(text) >= 40),
+occ AS (SELECT wfp FROM w GROUP BY wfp HAVING COUNT(*) >= 2),
+fl AS (SELECT doc_id, s, e FROM w JOIN occ USING (wfp)),
+isl AS (
+  SELECT doc_id, s, e,
+    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM fl)),
+spans AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+          FROM isl GROUP BY doc_id, island),
+segs AS (SELECT doc_id,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS a,
+           s AS b
+         FROM spans),
+hd AS (SELECT g.doc_id,
+         STRING_AGG(substring(d.text, CAST(g.a + 1 AS INT), CAST(g.b - g.a AS INT)),
+                    '' ORDER BY g.a) AS head
+       FROM segs g JOIN aug d USING (doc_id) GROUP BY g.doc_id),
+per AS (SELECT doc_id, MAX(e) AS tail_start, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS n_chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN per.n_spans IS NULL THEN d.text
+       ELSE COALESCE(hd.head, '')
+            || substring(d.text, CAST(per.tail_start + 1 AS INT))
+  END AS text_clean,
+  COALESCE(per.n_spans, 0) AS n_spans,
+  COALESCE(per.n_chars_removed, 0) AS n_chars_removed
+FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
 """
 
     # MinHash candidates + signature-agreement Jaccard estimate ≥ 0.3

@@ -278,6 +278,136 @@ def substring_dup_spans(
     )
 
 
+def substring_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """The ACTION half of :func:`substring_dup_spans` (Lee et al. 2022
+    actually *remove* the duplicated substrings, not just count them):
+    flag every stride-aligned ``window``-char window whose md5 occurs
+    ≥ 2 times corpus-wide (the exact flag the stats sibling reports —
+    ``n_docs > 1 OR n_occ > n_docs`` ⟺ ``n_occ >= 2``), merge
+    overlapping/touching flagged windows into maximal char spans, and
+    splice the spans out of the text. ALL copies are removed (the
+    conservative contract — a keep-one-canonical variant is
+    :func:`keep_best` composed over :func:`dedup_clusters`).
+
+    Output: one row per input document —
+    ``(doc_id, text_clean, n_spans, n_chars_removed)`` with
+    ``n_spans = 0`` and byte-identical ``text_clean`` for untouched docs
+    (including docs shorter than one window). By construction
+    ``length(text_clean) = length(text) − n_chars_removed`` and every
+    flagged window's char range is covered by a removed span.
+
+    Scale shape: window explode (narrow) → ONE exchange on the window
+    md5 for occurrence counts → flagged windows (the *duplicated* subset
+    only) go through the classic gaps-and-islands merge — two window
+    functions partitioned by doc_id, row-local after one doc-keyed
+    exchange — then segments splice back against the corpus with one
+    doc_id-keyed join + per-doc aggregate. The corpus text travels
+    through exactly one join; all span arithmetic is exact integer char
+    offsets, so the operator is engine-portable and SQL-mirrorable
+    (every step is a window function or aggregate — no UDFs).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("substring_strip: window and stride must be >= 1")
+    docs = df.select("doc_id", F.col(text_col).alias("text")).localCheckpoint(
+        eager=False
+    )
+    eligible = docs.filter(F.length("text") >= window)
+    n_win = F.expr(f"(length(text) - {int(window)}) div {int(stride)}") + 1
+    wins = eligible.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("__i"),
+        F.md5(
+            F.col("text").substr(
+                (F.col("__i") * stride + 1).cast("int"), F.lit(window)
+            )
+        ).alias("__wfp"),
+    ).localCheckpoint(eager=False)
+    occ = (
+        wins.groupBy("__wfp")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+        .filter(F.col("__n_occ") >= 2)
+        .select("__wfp")
+    )
+    flagged = wins.join(occ, "__wfp").select(
+        "doc_id",
+        (F.col("__i") * stride).alias("__s"),
+        (F.col("__i") * stride + window).alias("__e"),
+    )
+    # gaps-and-islands: a window starts a new span iff it begins past the
+    # running max end of everything before it (touching spans merge)
+    by_start = Window.partitionBy("doc_id").orderBy("__s")
+    prev_max = F.max("__e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0)
+        ).over(by_start.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "__isl").agg(
+        F.min("__s").alias("__s"), F.max("__e").alias("__e")
+    )
+    # kept segment BEFORE each span: [prev span end (or 0), span start)
+    by_span = Window.partitionBy("doc_id").orderBy("__s")
+    segs = spans.select(
+        "doc_id",
+        F.lag("__e", 1, 0).over(by_span).alias("__a"),
+        F.col("__s").alias("__b"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.max("__e").alias("__tail_start"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s")).cast("long").alias("n_chars_removed"),
+    )
+    head = (
+        segs.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "__a",
+            F.col("text").substr(
+                (F.col("__a") + 1).cast("int"), (F.col("__b") - F.col("__a")).cast("int")
+            ).alias("__seg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__a", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                "",
+            ).alias("__head")
+        )
+    )
+    out = (
+        docs.join(per_doc, "doc_id", "left")
+        .join(head, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_spans").isNull(), F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.coalesce(F.col("__head"), F.lit("")),
+                    F.col("text").substr(
+                        (F.col("__tail_start") + 1).cast("int"),
+                        (F.length("text") - F.col("__tail_start")).cast("int"),
+                    ),
+                )
+            )
+            .alias("text_clean"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_chars_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_chars_removed"),
+        )
+    )
+    return out
+
+
 def paragraph_dedup_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -5,11 +5,13 @@ typed metadata struct. The Spark-side contract — schema, partition-friendly
 batch shape, Arrow-batched ``mapInPandas`` transforms — is real and tested,
 and so are the image and audio cores: dependency-free decoders for
 raw-RGB (Netpbm PPM "P6"), 8-bit PNG (stdlib ``zlib`` inflate + numpy
-unfilter — greyscale/RGB/RGBA), and RIFF/WAVE integer PCM (8/16-bit,
-any channel count), plus a pure-numpy bilinear resampler, all run
-inside the existing ``mapInPandas`` batches. Codecs that genuinely need
-external libraries (JPEG/MP3/H.264, palette/interlaced PNG, float PCM)
-take the documented fallback paths
+unfilter — greyscale/RGB/RGBA), baseline-sequential JPEG (pure-Python
+huffman + numpy 8×8 IDCT + YCbCr→RGB, any sampling factors, restart
+intervals), and RIFF/WAVE integer PCM (8/16-bit, any channel count),
+plus a pure-numpy bilinear resampler, all run inside the existing
+``mapInPandas`` batches. Codecs that genuinely need external libraries
+(progressive JPEG, MP3/H.264, palette/interlaced PNG, float PCM) take
+the documented fallback paths
 below (byte-level features; resize skips with a null output) instead of
 failing the job — at 100 TB a poison payload must never kill the stage.
 """
@@ -213,13 +215,298 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _idct_basis() -> np.ndarray:
+    """The 8-point IDCT basis ``A`` with ``pixels = A.T @ F @ A``:
+    ``A[u, x] = C(u)/2 · cos((2x+1)uπ/16)`` — ITU-T T.81 Annex A.3.3
+    verbatim."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded segments (byte stuffing
+    already stripped, one segment per restart interval)."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg = 0
+        self.pos = 0
+        self.bit = 0
+
+    def next_segment(self) -> None:
+        self.seg += 1
+        self.pos = 0
+        self.bit = 0
+        if self.seg >= len(self.segments):
+            raise ValueError("JPEG scan ran out of restart segments")
+
+    def read_bit(self) -> int:
+        data = self.segments[self.seg]
+        if self.pos >= len(data):
+            raise ValueError("truncated JPEG entropy-coded segment")
+        b = (data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map the ``t``-bit magnitude to its signed
+    coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JFIF payload to ``(h, w, 3)`` uint8 —
+    dependency-free (pure-Python huffman + numpy 8×8 IDCT + YCbCr→RGB),
+    covering the profile ~all web JPEGs use: SOF0, 8-bit, 1 (greyscale)
+    or 3 (YCbCr) components, any sampling factors (4:4:4/4:2:2/4:2:0),
+    restart intervals. Progressive (SOF2), arithmetic coding,
+    hierarchical, 12-bit, and 4-component Adobe CMYK raise
+    :class:`DecodeNotAvailable`; truncated/corrupt streams raise
+    ``ValueError``.
+
+    Spec-parity notes (ITU-T T.81): huffman tables built straight from
+    BITS/HUFFVAL (C.2), DC prediction reset on restart markers (F.2.1.3),
+    EXTEND for signed magnitudes (F.2.2.1), dequantize → de-zigzag →
+    IDCT per A.3.3 with the IDCT batched over every block of a component
+    in ONE einsum, chroma planes upsampled by pixel replication (the
+    spec leaves upsampling to the decoder; replication keeps the output
+    deterministic and library-free), then the JFIF/CCIR-601 YCbCr→RGB
+    matrix with round-half-up and clamp."""
+    if payload is None or len(payload) < 3 or bytes(payload[:3]) != b"\xff\xd8\xff":
+        raise DecodeNotAvailable("not a JPEG payload")
+    buf = bytes(payload)
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # bare markers
+            continue
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG segment header")
+        ln = (buf[pos] << 8) | buf[pos + 1]
+        seg = buf[pos + 2 : pos + ln]
+        if len(seg) < ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise DecodeNotAvailable("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                vals = seg[p + 17 : p + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for bit_len in range(1, 17):
+                    for _ in range(counts[bit_len - 1]):
+                        table[(bit_len, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + sum(counts)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
+            if prec != 8:
+                raise DecodeNotAvailable(f"{prec}-bit JPEG")
+            if nc not in (1, 3):
+                raise DecodeNotAvailable(f"{nc}-component JPEG (CMYK?)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise DecodeNotAvailable(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            pos += ln
+            break  # entropy-coded data follows
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # split entropy-coded data into restart segments, stripping stuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(buf):
+        b = buf[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = buf[p + 1] if p + 1 < len(buf) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError(f"unexpected marker FF{nxt:02X} in JPEG scan")
+    segments.append(bytes(cur))
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    for sc in scan:
+        c = by_id.get(sc["cs"])
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+        c["blocks"] = []
+        c["pred"] = 0
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan before its quant table")
+
+    bits = _JpegBits(segments)
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.next_segment()
+            for c in comps:
+                c["pred"] = 0
+        for c in comps:
+            dc_tbl = huff.get((0, c["td"]))
+            ac_tbl = huff.get((1, c["ta"]))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG scan before its huffman tables")
+            q = qt[c["tq"]]
+            for _ in range(c["h"] * c["v"]):
+                coeffs = np.zeros(64, dtype=np.int32)
+                t = _huff_decode(bits, dc_tbl)
+                if t > 11:
+                    raise ValueError("bad JPEG DC magnitude class")
+                c["pred"] += _extend(bits.receive(t), t)
+                coeffs[0] = c["pred"]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(bits, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coeffs[k] = _extend(bits.receive(s), s)
+                    k += 1
+                c["blocks"].append(coeffs * q)
+
+    a = _idct_basis()
+    planes = []
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        fs = np.zeros((len(c["blocks"]), 8, 8))
+        packed = np.stack(c["blocks"]) if c["blocks"] else np.zeros((0, 64))
+        fs.reshape(len(c["blocks"]), 64)[:, _ZIGZAG] = packed
+        px = np.einsum("ux,nuv,vy->nxy", a, fs, a) + 128.0
+        px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
+                        i += 1
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[: frame["h"], : frame["w"]])
+
+    if len(planes) == 1:
+        return np.ascontiguousarray(np.repeat(planes[0][:, :, None], 3, axis=2))
+    y, cb, cr = (pl.astype(np.float64) for pl in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Codec dispatch by magic bytes: PPM "P6" (:func:`decode_rgb`) or
-    PNG (:func:`decode_png`) to ``(h, w, 3)`` uint8; anything else
-    raises :class:`DecodeNotAvailable` (JPEG/H.264 need external libs
-    absent in this environment)."""
+    """Codec dispatch by magic bytes: PPM "P6" (:func:`decode_rgb`),
+    PNG (:func:`decode_png`), or baseline JFIF (:func:`decode_jpeg`) to
+    ``(h, w, 3)`` uint8; anything else raises
+    :class:`DecodeNotAvailable` (H.264 etc. need external libs absent in
+    this environment)."""
     if payload is not None and len(payload) >= 8 and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload is not None and len(payload) >= 3 and bytes(payload[:3]) == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     return decode_rgb(payload)
 
 

@@ -1,0 +1,180 @@
+"""Baseline JPEG decode (datapipe/multimodal.py:decode_jpeg) — pinned
+fixture bytes + exact uint8 golden, spec-derived roundtrips against the
+independent test-local reference encoder (tests/jpeg_ref.py — shares no
+code with the decoder), unsupported-profile / corrupt-stream contracts,
+and the distributed feature path picking JPEG payloads up.
+
+VERDICT r7 ask #2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from aces_spark.datapipe.multimodal import (
+    DecodeNotAvailable,
+    decode_image,
+    decode_jpeg,
+)
+from jpeg_ref import encode_jpeg
+
+# 16x16 smooth RGB gradient, quant=4, 4:2:0 subsampling, restart every
+# MCU — generated once by tests/jpeg_ref.py and checked in byte-for-byte
+FIXTURE_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb004300040404040404040404"
+    "04040404040404040404040404040404040404040404040404040404040404040404"
+    "040404040404040404040404040404040404040404ffc000110800100010030122000"
+    "21100031100ffc400160000000300000000000000000000000000050607ffc4001710"
+    "0000040000000000000000000000000000042131ffc400150100020000000000000000"
+    "0000000000000507ffc4001d110000000a00000000000000000000000000030506223"
+    "2415162a1ffdd00040001ffda000c03010002110311003f001a2a6d94188a9b6509a9"
+    "536ca0c454db28022cde8240b12313d445cc0fffd9"
+)
+GOLDEN_MD5 = "82f380dce75287813466b1c5df2ed73f"
+
+
+def _src_rgb():
+    yy, xx = np.mgrid[0:16, 0:16]
+    return np.stack([40 + 6 * xx, 210 - 5 * yy, 60 + 3 * xx + 4 * yy], axis=2).astype(
+        np.uint8
+    )
+
+
+def test_pinned_fixture_exact_golden():
+    payload = bytes.fromhex(FIXTURE_HEX)
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    assert hashlib.md5(out.tobytes()).hexdigest() == GOLDEN_MD5
+    # spot pixels pinned exactly (readable failure if the md5 trips)
+    assert out[0, 0].tolist() == [42, 208, 66]
+    assert out[15, 15].tolist() == [127, 138, 160]
+    assert out[7, 8].tolist() == [89, 175, 110]
+    # lossy-but-faithful: within quantization error of the source
+    assert np.abs(out.astype(int) - _src_rgb().astype(int)).max() <= 6
+
+
+def test_solid_gray_analytic_exact():
+    # constant block: F(0,0) = 8*(v-128); quant 16 -> DC=1 for v=130;
+    # decode: 16/8 + 128 = 130 exactly — the DC path with hand math
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=16))
+    assert out.shape == (8, 8, 3)
+    assert np.unique(out).tolist() == [130]
+
+
+def test_greyscale_gradient_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = ((yy * 2 + xx * 3) % 200 + 20).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=2))
+    assert out.shape == (32, 48, 3)
+    # greyscale replicates into 3 identical channels
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 3
+
+
+def test_color_444_and_420_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:48]
+    rgb = np.stack(
+        [np.clip(100 + yy * 2, 0, 255), np.clip(50 + xx, 0, 255), np.full_like(xx, 90)],
+        axis=2,
+    ).astype(np.uint8)
+    out444 = decode_jpeg(encode_jpeg(rgb, quant=2))
+    assert np.abs(out444.astype(int) - rgb.astype(int)).max() <= 3
+    out420 = decode_jpeg(encode_jpeg(rgb, quant=2, subsample=True))
+    assert out420.shape == rgb.shape
+    assert np.abs(out420.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_restart_markers_equal_no_restart():
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = ((yy * 2 + xx * 3) % 200 + 20).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quant=2))
+    b = decode_jpeg(encode_jpeg(img, quant=2, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_odd_dimensions_cropped_exactly():
+    yy, xx = np.mgrid[0:19, 0:21]
+    img = ((yy * 3 + xx * 2) % 230).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=2))
+    assert out.shape == (19, 21, 3)
+
+
+def test_nonuniform_quant_table():
+    # a real (non-flat) table exercises per-coefficient dequantization
+    q = np.arange(1, 65, dtype=np.int32)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = ((yy * 5 + xx * 7) % 220 + 10).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=q))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 40
+
+
+def test_unsupported_profiles_raise_decode_not_available():
+    payload = bytearray(bytes.fromhex(FIXTURE_HEX))
+    # progressive: patch SOF0 -> SOF2
+    i = bytes(payload).find(b"\xff\xc0")
+    prog = payload.copy()
+    prog[i + 1] = 0xC2
+    with pytest.raises(DecodeNotAvailable):
+        decode_jpeg(bytes(prog))
+    # 16-bit quant table: set DQT precision nibble
+    j = bytes(payload).find(b"\xff\xdb")
+    deep = payload.copy()
+    deep[j + 4] = 0x10
+    with pytest.raises(DecodeNotAvailable):
+        decode_jpeg(bytes(deep))
+    # not a JPEG at all
+    with pytest.raises(DecodeNotAvailable):
+        decode_jpeg(b"GIF89a strip")
+    with pytest.raises(DecodeNotAvailable):
+        decode_jpeg(None)
+
+
+def test_four_component_raises_decode_not_available():
+    # hand-patch the SOF to claim 4 components (Adobe CMYK profile)
+    payload = bytearray(bytes.fromhex(FIXTURE_HEX))
+    i = bytes(payload).find(b"\xff\xc0")
+    # SOF layout: FF C0 len(2) prec h(2) w(2) ncomp
+    payload[i + 9] = 4
+    payload[i + 3] = payload[i + 3] + 3  # keep segment length consistent
+    with pytest.raises(DecodeNotAvailable):
+        decode_jpeg(bytes(payload))
+
+
+def test_truncated_stream_raises_value_error():
+    payload = bytes.fromhex(FIXTURE_HEX)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) - 30])
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:40])
+
+
+def test_decode_image_dispatches_jpeg():
+    payload = bytes.fromhex(FIXTURE_HEX)
+    out = decode_image(payload)
+    assert hashlib.md5(out.tobytes()).hexdigest() == GOLDEN_MD5
+
+
+def test_feature_path_picks_up_jpeg(spark):
+    from aces_spark.datapipe.multimodal import encode_rgb, extract_features
+
+    jpeg = bytes.fromhex(FIXTURE_HEX)
+    ppm = encode_rgb(_src_rgb())
+    rows = [
+        (1, jpeg, "image", None),
+        (2, ppm, "image", None),
+        (3, b"not media", "image", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, meta struct<width:int,height:int,duration_ms:long,codec:string>"
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 3
+    # decoded JPEG and PPM of the same scene produce CLOSE pixel features
+    f1, f2 = feats[1]["feature"], feats[2]["feature"]
+    assert f1 is not None and f2 is not None
+    assert abs(f1[0] - f2[0]) < 4  # mean channel intensity within quant error

@@ -157,8 +157,12 @@ def test_decode_image_dispatch():
     assert np.array_equal(decode_image(encode_png(img, [0, 2, 4])), img)
     assert np.array_equal(decode_image(encode_rgb(img)), img)
     assert np.array_equal(decode_rgb(encode_rgb(img)), img)
-    with pytest.raises(DecodeNotAvailable):
+    # JPEG magic now dispatches to the real baseline decoder (r8): a
+    # truncated jpeg-ish blob is CORRUPT (ValueError), not unsupported
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(DecodeNotAvailable):
+        decode_image(b"GIF89a not supported")
 
 
 def test_extract_features_decodes_png(spark):
