@@ -1129,6 +1129,19 @@ def q_lm_score_kn(spark, sf_dir):
     return score_documents_kn(docs.filter(F.col("doc_id") % 2 == 1), model)
 
 
+def q_lm_score_kn3(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM scoring (datapipe.lm.train_kn3_lm
+    + score_documents_kn3, r8): raw counts at order 3, continuation type
+    counts at orders 2 and 1 (the textbook recursive backoff), D=3/4 so
+    every probability clears to exact integers. Train on even docs,
+    score odd docs (the lm_score split)."""
+    from aces_spark.datapipe.lm import score_documents_kn3, train_kn3_lm
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_kn3_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_documents_kn3(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
 def q_ngram_overlap(spark, sf_dir):
     """ROUGE-2-style paired-text overlap (datapipe.text
     .ngram_overlap_stats): each doc's full text vs its first-half
@@ -2993,6 +3006,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (r8 debuts): lead for their first driver-green row ---
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
+    "lm_score_kn3": q_lm_score_kn3,
     # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
     "sq8_codes": q_sq8_codes,
     "sq8_topk": q_sq8_topk,
@@ -4574,6 +4588,81 @@ s AS (
   LEFT JOIN contexts ctx USING (prev)
   LEFT JOIN conts cn USING (word)
   CROSS JOIN totals tt),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll_u) AS BIGINT) AS su
+        FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+  floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        * 1000000 + 0.5) / 1000000.0 AS nll
+FROM per
+"""
+
+    # KN order-3: same split and integer-clearing discipline as
+    # lm_score_kn, one backoff level deeper (raw trigram counts on top,
+    # continuation TYPE counts at orders 2/1); HUGEINT keeps the
+    # three-factor products exact at any corpus scale
+    sql["lm_score_kn3"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS t
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+train_tg AS (
+  SELECT CASE WHEN i <= 2 THEN '<s>' ELSE t[i-2] END AS u,
+         CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS v,
+         t[i] AS w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS x(i)
+  WHERE doc_id % 2 = 0),
+trigrams AS (SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c_tg
+             FROM train_tg GROUP BY u, v, w),
+tctx AS (SELECT u, v, CAST(SUM(c_tg) AS BIGINT) AS c_ctx,
+                CAST(COUNT(*) AS BIGINT) AS n_fol
+         FROM trigrams GROUP BY u, v),
+mid AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS m_vw
+        FROM trigrams GROUP BY v, w),
+mctx AS (SELECT v, CAST(SUM(m_vw) AS BIGINT) AS m_v,
+                CAST(COUNT(*) AS BIGINT) AS nf2
+         FROM mid GROUP BY v),
+conts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pre FROM mid GROUP BY w),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types,
+                  CAST(COUNT(DISTINCT w) AS BIGINT) AS v_size FROM mid),
+score_tg AS (
+  SELECT doc_id,
+         CASE WHEN i <= 2 THEN '<s>' ELSE t[i-2] END AS u,
+         CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS v,
+         t[i] AS w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS x(i)
+  WHERE doc_id % 2 = 1),
+j AS (
+  SELECT st.doc_id, tg.c_tg, tc.c_ctx, tc.n_fol, md.m_vw, mc.m_v, mc.nf2,
+         COALESCE(cn.n_pre, 0) + 1 AS np1,
+         tt.t_types + tt.v_size AS tv
+  FROM score_tg st
+  LEFT JOIN trigrams tg USING (u, v, w)
+  LEFT JOIN tctx tc USING (u, v)
+  LEFT JOIN mid md USING (v, w)
+  LEFT JOIN mctx mc USING (v)
+  LEFT JOIN conts cn USING (w)
+  CROSS JOIN totals tt),
+p2 AS (
+  SELECT doc_id, c_tg, c_ctx, n_fol,
+    CASE WHEN m_v IS NOT NULL
+         THEN CAST(greatest(4 * COALESCE(m_vw, 0) - 3, 0) AS HUGEINT) * tv
+              + CAST(3 * nf2 AS HUGEINT) * np1
+         ELSE CAST(np1 AS HUGEINT) END AS pc2n,
+    CASE WHEN m_v IS NOT NULL THEN CAST(4 * m_v AS HUGEINT) * tv
+         ELSE CAST(tv AS HUGEINT) END AS pc2d
+  FROM j),
+s AS (
+  SELECT doc_id,
+    CAST(floor((ln(CAST(CASE WHEN c_ctx IS NOT NULL
+                             THEN CAST(4 * c_ctx AS HUGEINT) * pc2d
+                             ELSE pc2d END AS DOUBLE))
+                - ln(CAST(CASE WHEN c_ctx IS NOT NULL
+                               THEN CAST(greatest(4 * COALESCE(c_tg, 0) - 3, 0)
+                                         AS HUGEINT) * pc2d
+                                    + CAST(3 * n_fol AS HUGEINT) * pc2n
+                               ELSE pc2n END AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS nll_u
+  FROM p2),
 per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST(SUM(nll_u) AS BIGINT) AS su
         FROM s GROUP BY doc_id)

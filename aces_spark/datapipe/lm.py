@@ -36,8 +36,10 @@ from .text import norm_tokens
 __all__ = [
     "train_bigram_lm",
     "train_kn_lm",
+    "train_kn3_lm",
     "score_documents_lm",
     "score_documents_kn",
+    "score_documents_kn3",
     "perplexity_buckets",
     "save_lm",
     "load_lm",
@@ -273,6 +275,189 @@ def score_documents_kn(
     )
 
 
+def _trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, u, v, w) for every token with its two-back context; the two
+    leading positions pad with the ``<s>`` sentinel (double-padded, so
+    every token is scored exactly once — the order-3 analog of
+    :func:`_bigrams`)."""
+    toks = df.select(
+        F.col(id_col), norm_tokens(text_col).alias("__t")
+    ).filter(F.size("__t") > 0)
+    shifted = F.concat(F.array(F.lit("<s>"), F.lit("<s>")), F.col("__t"))
+    n = F.size("__t")
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(shifted, 1, n),
+                    F.slice(shifted, 2, n),
+                    lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+                ),
+                F.col("__t"),
+                lambda uv, w: F.struct(
+                    uv["u"].alias("u"), uv["v"].alias("v"), w.alias("w")
+                ),
+            )
+        ).alias("__tg"),
+    ).select(
+        id_col,
+        F.col("__tg.u").alias("u"),
+        F.col("__tg.v").alias("v"),
+        F.col("__tg.w").alias("w"),
+    )
+
+
+def train_kn3_lm(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """Fit an interpolated Kneser-Ney TRIGRAM model — the order-3
+    extension of :func:`train_kn_lm` with the same integer-exact
+    D = 3/4 discipline and the textbook recursive continuation backoff
+    (Chen & Goodman 1998 §2.7: raw counts at the highest order,
+    *continuation type counts* at every lower order).
+
+    Six frames, ALL derived from ONE corpus tokenize (the double-padded
+    trigram relation — even the bigram-level continuation counts fall
+    out of trigram types, because each padded trigram's ``(v, w)`` tail
+    enumerates exactly the padded bigrams):
+
+    - ``trigrams  (u, v, w, c_tg)``   — raw trigram counts
+    - ``tri_contexts (u, v, c_ctx, n_fol)`` — context totals + distinct
+      continuations (one aggregate over ``trigrams``)
+    - ``mid (v, w, m_vw)``            — N1+(·vw): distinct u preceding
+    - ``mid_contexts (v, m_v, nf2)``  — N1+(·v·) + distinct w (one
+      aggregate over ``mid``)
+    - ``continuations (word, n_pre)`` — N1+(·w) from bigram types
+    - ``totals (t_types, v_size)``    — distinct bigram types / words
+
+    The bigram path (:func:`train_kn_lm`) stays the default: order 3
+    costs a wider explode and two extra Zipf-small joins at scoring
+    time — pay it when the corpus is large enough that trigram contexts
+    are dense (the classic order-vs-sparsity trade).
+    """
+    tg = _trigrams(corpus, id_col, text_col)
+    trigrams = tg.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tg")
+    )
+    if cache:
+        trigrams = trigrams.persist()
+    tri_contexts = trigrams.groupBy("u", "v").agg(
+        F.sum("c_tg").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n_fol"),
+    )
+    mid = trigrams.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("m_vw")
+    )
+    if cache:
+        mid = mid.persist()
+    mid_contexts = mid.groupBy("v").agg(
+        F.sum("m_vw").cast("long").alias("m_v"),
+        F.count(F.lit(1)).cast("long").alias("nf2"),
+    )
+    continuations = mid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre")
+    ).withColumnRenamed("w", "word")
+    totals = mid.agg(
+        F.count(F.lit(1)).cast("long").alias("t_types"),
+        F.countDistinct("w").cast("long").alias("v_size"),
+    )
+    return {
+        "trigrams": trigrams,
+        "tri_contexts": tri_contexts,
+        "mid": mid,
+        "mid_contexts": mid_contexts,
+        "continuations": continuations,
+        "totals": totals,
+    }
+
+
+def score_documents_kn3(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a :func:`train_kn3_lm` model. Output
+    ``(doc_id, n_tokens, nll)`` — same contract as the order-2 scorers.
+
+        p(w|u,v) = max(c(uvw) − D, 0)/c(uv) + D·n_fol(uv)/c(uv) · pc2(w|v)
+        pc2(w|v) = max(m(vw) − D, 0)/m(v) + D·nf2(v)/m(v) · pc1(w)
+        pc1(w)   = (n_pre(w) + 1) / (T + V)          (the OOV floor)
+
+    with D = 3/4 so everything clears to integers (the order-2
+    docstring's discipline, one level deeper):
+
+        pc2_num = max(4·m_vw − 3, 0)·(T+V) + 3·nf2·(n_pre+1)
+        pc2_den = 4·m_v·(T+V)
+        num     = max(4·c_tg − 3, 0)·pc2_den + 3·n_fol·pc2_num
+        den     = 4·c_ctx·pc2_den = 16·c_ctx·m_v·(T+V)
+
+    Unseen (u,v) context → pure pc2; unseen middle v → pure pc1. The
+    worst-case integer is 16·c·m·(T+V) ≤ 1.6e37 at 1e12-scale counts —
+    inside DECIMAL(38,0) and DuckDB's HUGEINT alike, so scores stay
+    engine-exact at any partition count up to genuinely 100 TB corpora.
+
+    Scale shape: five LEFT joins against Zipf-small count frames (AQE
+    broadcasts them), one per-doc aggregate — two more joins than
+    order 2, on keys the plan already carries.
+    """
+    t_row = model["totals"].first()
+    if t_row is None or not t_row["t_types"]:
+        raise ValueError(
+            "score_documents_kn3: empty model (training corpus had no "
+            "tokens) — scores would be meaningless"
+        )
+    tg = _trigrams(docs, id_col, text_col)
+    scored = (
+        tg.join(model["trigrams"], ["u", "v", "w"], "left")
+        .join(model["tri_contexts"], ["u", "v"], "left")
+        .join(model["mid"], ["v", "w"], "left")
+        .join(model["mid_contexts"], ["v"], "left")
+        .join(
+            model["continuations"].withColumnRenamed("word", "w"), ["w"], "left"
+        )
+        .crossJoin(F.broadcast(model["totals"]))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tv = F.col("t_types") + F.col("v_size")
+    n_pre1 = F.coalesce(F.col("n_pre"), F.lit(0)) + 1
+    seen_mid = F.col("m_v").isNotNull()
+    seen_ctx = F.col("c_ctx").isNotNull()
+    pc2_num = F.when(
+        seen_mid,
+        d(F.greatest(4 * F.coalesce(F.col("m_vw"), F.lit(0)) - 3, F.lit(0))) * d(tv)
+        + d(3 * F.col("nf2")) * d(n_pre1),
+    ).otherwise(d(n_pre1))
+    pc2_den = F.when(seen_mid, d(4 * F.col("m_v")) * d(tv)).otherwise(d(tv))
+    num = F.when(
+        seen_ctx,
+        d(F.greatest(4 * F.coalesce(F.col("c_tg"), F.lit(0)) - 3, F.lit(0)))
+        * pc2_den
+        + d(3 * F.col("n_fol")) * pc2_num,
+    ).otherwise(pc2_num)
+    den = F.when(seen_ctx, d(4 * F.col("c_ctx")) * pc2_den).otherwise(pc2_den)
+    nll_u = F.floor(
+        (F.log(den.cast("double")) - F.log(num.cast("double"))) * 1000000
+        + 0.5
+    ).cast("long")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(nll_u).cast("long").alias("__nll_u"),
+    )
+    mean = (
+        F.col("__nll_u").cast("double") / F.col("n_tokens").cast("double") / 1000000.0
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        (F.floor(mean * 1000000 + 0.5).cast("double") / 1000000.0).alias("nll"),
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     model: dict[str, DataFrame],
@@ -389,6 +574,14 @@ def collocations(
 _LM_FRAMES = {
     "addone": ("bigrams", "unigrams", "vocab"),
     "kn": ("bigrams", "contexts", "continuations", "totals"),
+    "kn3": (
+        "trigrams",
+        "tri_contexts",
+        "mid",
+        "mid_contexts",
+        "continuations",
+        "totals",
+    ),
 }
 
 
@@ -404,7 +597,12 @@ def save_lm(model: dict[str, DataFrame], path: str) -> None:
     model to the SAME path can never produce a mixed read — the stale
     other-family dirs may remain on disk, but :func:`load_lm` trusts the
     marker and only opens the frames the marker's family owns."""
-    family = "kn" if "contexts" in model else "addone"
+    if "trigrams" in model:
+        family = "kn3"
+    elif "contexts" in model:
+        family = "kn"
+    else:
+        family = "addone"
     frames = _LM_FRAMES[family]
     spark = model[frames[0]].sparkSession
     for name in frames:
@@ -427,7 +625,9 @@ def load_lm(spark, path: str) -> dict[str, DataFrame]:
         return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES[family]}
     except AnalysisException:
         pass
-    try:
-        return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["kn"]}
-    except AnalysisException:
-        return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["addone"]}
+    for family in ("kn3", "kn"):
+        try:
+            return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES[family]}
+        except AnalysisException:
+            continue
+    return {n: spark.read.parquet(f"{path}/{n}") for n in _LM_FRAMES["addone"]}

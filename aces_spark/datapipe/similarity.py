@@ -447,6 +447,117 @@ def append_ivf_index(
     ).parquet(f"{path}/cells")
 
 
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Mark vectors deleted in a persisted IVF index WITHOUT touching the
+    cell data — the tombstone half of LSM-style maintenance (FAISS's
+    ``remove_ids`` analog for a parquet-backed index). Appends
+    ``(vec_id, cell_id)`` rows to ``{path}/tombstones``;
+    :func:`ivf_topk_indexed` anti-joins them (broadcast — tombstones are
+    the small delta by construction) and :func:`compact_ivf_index`
+    physically reclaims them later.
+
+    The ids' cells are looked up with ONE column-pruned scan of the
+    index (vec_id + the directory-derived cell_id only — <2% of the
+    corpus bytes at realistic dims), pinned at delete time so compaction
+    can rewrite ONLY the dirty cell directories without re-scanning.
+    Ids absent from the index are ignored (idempotent re-delete).
+    Returns the number of tombstones written.
+
+    Contract note: tombstones are id-keyed. Re-appending a tombstoned id
+    via :func:`append_ivf_index` stays invisible until
+    :func:`compact_ivf_index` clears the tombstone — run compaction
+    before id reuse (the same discipline every LSM store documents).
+    """
+    ids = delete_ids.select(F.col(id_col).alias("vec_id")).distinct()
+    cells = spark.read.parquet(f"{path}/cells").select("vec_id", "cell_id")
+    tomb = cells.join(F.broadcast(ids), "vec_id")
+    # tiny by construction (|delete batch| rows); one file keeps the
+    # query-side broadcast read cheap
+    tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+    return tomb.count()
+
+
+def _read_ivf_tombstones(spark, path: str):
+    """The index's tombstone relation, or None if nothing was deleted."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException:
+        return None
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Physically reclaim tombstoned vectors: rewrite ONLY the dirty cell
+    directories (dynamic partition overwrite — clean cells' files are
+    never opened, never rewritten), drop cells left empty, then clear
+    the tombstone relation. Returns
+    ``{"n_cells_rewritten", "n_cells_dropped", "n_rows_removed"}``.
+
+    Scale shape: the tombstones carry their cell ids from delete time,
+    so the dirty-cell set is a tiny distinct over the tombstone relation
+    — compaction reads and rewrites exactly the dirty cells' rows (a
+    static ``IN`` partition filter, like the query path's probe
+    pruning), one cell-keyed repartition before the partitioned write
+    (the build's small-file discipline). Cost is proportional to the
+    DELETED FRACTION of the corpus, not the corpus."""
+    from pyspark.errors import AnalysisException
+
+    tomb = _read_ivf_tombstones(spark, path)
+    if tomb is None:
+        return {"n_cells_rewritten": 0, "n_cells_dropped": 0, "n_rows_removed": 0}
+    tomb = tomb.localCheckpoint(eager=True)
+    dirty = [r["cell_id"] for r in tomb.select("cell_id").distinct().collect()]
+    if not dirty:
+        _delete_path(spark, f"{path}/tombstones")
+        return {"n_cells_rewritten": 0, "n_cells_dropped": 0, "n_rows_removed": 0}
+
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(dirty))
+    surviving = cells.join(
+        F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the source dirs
+    n_before = cells.count()
+    n_after = surviving.count()
+    kept_cells = {r["cell_id"] for r in surviving.select("cell_id").distinct().collect()}
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        if n_after:
+            surviving.repartition("cell_id").write.mode("overwrite").partitionBy(
+                "cell_id"
+            ).parquet(f"{path}/cells")
+    finally:
+        spark.conf.set(conf_key, prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame; cells whose every vector died need their dirs dropped by hand
+    dropped = [c for c in dirty if c not in kept_cells]
+    for c in dropped:
+        _delete_path(spark, f"{path}/cells/cell_id={c}")
+    _delete_path(spark, f"{path}/tombstones")
+    return {
+        "n_cells_rewritten": len(kept_cells),
+        "n_cells_dropped": len(dropped),
+        "n_rows_removed": n_before - n_after,
+    }
+
+
+def _delete_path(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works on any
+    scheme the session can write — local, HDFS, object stores)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -460,7 +571,10 @@ def ivf_topk_indexed(
     cell ids (``|queries| × n_probes`` distinct values — tiny by
     construction) are collected driver-side and pushed into the scan as an
     ``IN`` partition filter, so only the probed cell directories are read.
-    Same output shape and semantics as :func:`ivf_topk`."""
+    Same output shape and semantics as :func:`ivf_topk`. Vectors
+    tombstoned by :func:`delete_from_ivf_index` are excluded with a
+    broadcast anti-join restricted to the probed cells; a clean index
+    (no tombstone relation) keeps the exact pre-delete plan."""
     cents = spark.read.parquet(f"{path}/centroids")
     query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
         "vec_id", "query_id"
@@ -469,6 +583,15 @@ def ivf_topk_indexed(
     # probe set bounds at n_queries × n_probes values
     probe_ids = [r["cell_id"] for r in query_cells.select("cell_id").distinct().collect()]
     cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probe_ids))
+    tomb = _read_ivf_tombstones(spark, path)
+    if tomb is not None:
+        cells = cells.join(
+            F.broadcast(
+                tomb.filter(F.col("cell_id").isin(probe_ids)).select("vec_id")
+            ),
+            "vec_id",
+            "left_anti",
+        )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).join(
         query_cells, "query_id"
