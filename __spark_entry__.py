@@ -3003,65 +3003,11 @@ def q_adamic_adar(spark, sf_dir):
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (r8 debuts): lead for their first driver-green row ---
+    # --- tier 1 (r8 debuts): first driver-green rows ---
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
-    # --- tier 1 (r7 new): debuts lead for their first driver-green row ---
-    "sq8_codes": q_sq8_codes,
-    "sq8_topk": q_sq8_topk,
-    "lm_score_kn": q_lm_score_kn,
-    "ngram_overlap": q_ngram_overlap,
-    "binary_hamming_topk": q_binary_hamming_topk,
-    "encoding_artifacts": q_encoding_artifacts,
-    "vocab_divergence": q_vocab_divergence,
-    "quality_classifier": q_quality_classifier,
-    "zipf_corpus_stats": q_zipf_corpus_stats,
-    "epoch_shard_plan": q_epoch_shard_plan,
-    "prefix_jaccard": q_prefix_jaccard,
-    "boilerplate_lines": q_boilerplate_lines,
-    "boilerplate_strip": q_boilerplate_strip,
-    "ppl_buckets": q_ppl_buckets,
-    "corpus_diversity": q_corpus_diversity,
-    "embedding_outliers": q_embedding_outliers,
-    "hist_by_group": q_hist_by_group,
-    "sentence_stats": q_sentence_stats,
-    "leakage_safe_split": q_leakage_safe_split,
-    "mmr_select": q_mmr_select,
-    "ngram_novelty": q_ngram_novelty,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "adamic_adar_links": q_adamic_adar,
-    "tfidf_cosine_dups": q_tfidf_cosine,
-    "user_active_coverage": q_user_active_coverage,
-    "feature_hashing": q_feature_hashing,
-    "decayed_engagement": q_decayed_engagement,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "contamination_fraction": q_contamination_fraction,
-    "token_budget_fill": q_token_budget_fill,
-    # --- tier 2a (last green r3, 4 rounds stale): the displaced TPC-H classics rotate up first ---
-    "lineitem_pricing_summary": q_lineitem_pricing_summary,
-    "revenue_join": q_revenue_join,
-    "region_rollup": q_region_rollup,
-    "brand_revenue": q_brand_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "html_extract": q_html_extract,
-    "token_counts": q_token_counts,
-    "doc_fingerprint": q_doc_fingerprint,
-    # --- tier 2b (last green r4): head of the 44-entry r4 block ---
-    "props_field_stats": q_props_field_stats,
-    "event_type_pivot": q_event_type_pivot,
-    # --- tier 3 (pinned core): flagship + 8 kernels stay inside the driver's top-50 window ---
-    "cohort_flagship": q_cohort_flagship,
-    "temporal_window_fwd": q_temporal_window_fwd,
-    "temporal_window_chunked": q_temporal_window_chunked,
-    "temporal_window_bwd": q_temporal_window_bwd,
-    "temporal_window_offset": q_temporal_window_offset,
-    "event_bound_fwd": q_event_bound_fwd,
-    "event_bound_chunked": q_event_bound_chunked,
-    "event_bound_bwd": q_event_bound_bwd,
-    "event_bound_record_end": q_event_bound_record_end,
-    # --- tier 4a (last green r4, remainder): leads tier 2 in r8 ---
+    # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
     "key_skew_report": q_key_skew_report,
@@ -3100,11 +3046,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_features": q_multimodal_features,
+    # --- tier 3 (pinned core): flagship + 8 kernels, always in the top 50 ---
+    "cohort_flagship": q_cohort_flagship,
+    "temporal_window_fwd": q_temporal_window_fwd,
+    "temporal_window_chunked": q_temporal_window_chunked,
+    "temporal_window_bwd": q_temporal_window_bwd,
+    "temporal_window_offset": q_temporal_window_offset,
+    "event_bound_fwd": q_event_bound_fwd,
+    "event_bound_chunked": q_event_bound_chunked,
+    "event_bound_bwd": q_event_bound_bwd,
+    "event_bound_record_end": q_event_bound_record_end,
+    # --- r4 overflow: lead tier 2 in r9 ---
     "cohort_feature_vectors": q_cohort_feature_vectors,
     "predicates_meds_scan": q_predicates_meds_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
-    # --- tier 4b (last green r5) ---
+    # --- r5-greens ---
     "pagerank_items": q_pagerank_items,
     "ppr_items": q_ppr_items,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
@@ -3145,7 +3102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_and_or": q_derived_and_or,
     "text_quality": q_text_quality,
     "stratified_sample": q_stratified_sample,
-    # --- tier 4c (last green r6, freshest last) ---
+    # --- r6-greens ---
     "dsir_selection": q_dsir_selection,
     "kmeans_clusters": q_kmeans_clusters,
     "entity_resolution": q_entity_resolution,
@@ -3187,6 +3144,49 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
+    # --- r7-refreshed classics + r4 head ---
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "revenue_join": q_revenue_join,
+    "region_rollup": q_region_rollup,
+    "brand_revenue": q_brand_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "html_extract": q_html_extract,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "props_field_stats": q_props_field_stats,
+    "event_type_pivot": q_event_type_pivot,
+    # --- r7 debuts (freshest last) ---
+    "sq8_codes": q_sq8_codes,
+    "sq8_topk": q_sq8_topk,
+    "lm_score_kn": q_lm_score_kn,
+    "ngram_overlap": q_ngram_overlap,
+    "binary_hamming_topk": q_binary_hamming_topk,
+    "encoding_artifacts": q_encoding_artifacts,
+    "vocab_divergence": q_vocab_divergence,
+    "quality_classifier": q_quality_classifier,
+    "zipf_corpus_stats": q_zipf_corpus_stats,
+    "epoch_shard_plan": q_epoch_shard_plan,
+    "prefix_jaccard": q_prefix_jaccard,
+    "boilerplate_lines": q_boilerplate_lines,
+    "boilerplate_strip": q_boilerplate_strip,
+    "ppl_buckets": q_ppl_buckets,
+    "corpus_diversity": q_corpus_diversity,
+    "embedding_outliers": q_embedding_outliers,
+    "hist_by_group": q_hist_by_group,
+    "sentence_stats": q_sentence_stats,
+    "leakage_safe_split": q_leakage_safe_split,
+    "mmr_select": q_mmr_select,
+    "ngram_novelty": q_ngram_novelty,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "adamic_adar_links": q_adamic_adar,
+    "tfidf_cosine_dups": q_tfidf_cosine,
+    "user_active_coverage": q_user_active_coverage,
+    "feature_hashing": q_feature_hashing,
+    "decayed_engagement": q_decayed_engagement,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "contamination_fraction": q_contamination_fraction,
+    "token_budget_fill": q_token_budget_fill,
 }
 
 

@@ -4,7 +4,8 @@ Reimplements the reference's output coercion (``src/aces/run.py:22-118``,
 ``:146-167``): the cohort result is renamed/cast to the public MEDS label
 schema — mandatory ``subject_id: long``; optional ``prediction_time:
 timestamp``, ``boolean_value: boolean``, ``integer_value: long``,
-``float_value: double``, ``categorical_value: string`` — with extra columns
+``float_value: float`` (float32, as the reference's final arrow align
+emits), ``categorical_value: string`` — with extra columns
 (the window structs) dropped, or optionally persisted separately as the
 "window stats" output.
 """
