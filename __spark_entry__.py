@@ -1129,6 +1129,31 @@ def q_lm_score_kn(spark, sf_dir):
     return score_documents_kn(docs.filter(F.col("doc_id") % 2 == 1), model)
 
 
+def q_hamming_near_pairs(spark, sf_dir):
+    """64-bit Hamming near-pair miner (datapipe.multimodal
+    .phash_near_pairs, r8 — the block-rotation pigeonhole generalized to
+    any int64 signature, here serving the pHash image-dedup family):
+    planted signatures — family base hash (doc_id div 5) XOR up to three
+    md5-positioned bit flips — so within-family Hamming is small and
+    cross-family ~32. The oracle brute-forces all pairs, so the driver
+    row verifies the pigeonhole's recall-1.0 claim exactly."""
+    from aces_spark.datapipe.multimodal import phash_near_pairs
+    from aces_spark.functions.hashing import md5_long60
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
+    base = md5_long60(F.expr("doc_id div 5"))
+    h = base
+    for j in range(3):
+        flip = F.expr(
+            "shiftleft(cast(1 as bigint), cast("
+            f"cast(conv(substring(md5(concat('b{j}|', cast(doc_id as string))),"
+            " 1, 15), 16, 10) as bigint) % 60 as int))"
+        )
+        h = F.when(F.col("doc_id") % 4 >= j + 1, h.bitwiseXOR(flip)).otherwise(h)
+    hashes = docs.select(F.col("doc_id").alias("media_id"), h.alias("phash"))
+    return phash_near_pairs(hashes, k=10)
+
+
 def q_lm_score_kn3(spark, sf_dir):
     """Interpolated Kneser-Ney TRIGRAM scoring (datapipe.lm.train_kn3_lm
     + score_documents_kn3, r8): raw counts at order 3, continuation type
@@ -3007,6 +3032,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
+    "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
     "doc_outlier_filter": q_doc_outlier_filter,
     "corpus_mix_sample": q_corpus_mix_sample,
@@ -4595,6 +4621,39 @@ SELECT doc_id, n_tokens,
   floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
         * 1000000 + 0.5) / 1000000.0 AS nll
 FROM per
+"""
+
+    # Hamming near-pair miner: same planted signatures (family base XOR
+    # md5-positioned flips), then BRUTE-FORCE all pairs at bit_count(xor)
+    # <= 10 — verifying the Spark side's pigeonhole block join finds
+    # exactly the full distance-ball (recall 1.0, no false positives)
+    _HNP_HASH = """
+  SELECT doc_id,
+    xor(xor(xor(
+      CAST(concat('0x', substring(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 15))
+           AS BIGINT),
+      CASE WHEN doc_id % 4 >= 1
+           THEN CAST(1 AS BIGINT) << CAST(
+             CAST(concat('0x', substring(md5(concat('b0|', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 60 AS INT)
+           ELSE 0 END),
+      CASE WHEN doc_id % 4 >= 2
+           THEN CAST(1 AS BIGINT) << CAST(
+             CAST(concat('0x', substring(md5(concat('b1|', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 60 AS INT)
+           ELSE 0 END),
+      CASE WHEN doc_id % 4 >= 3
+           THEN CAST(1 AS BIGINT) << CAST(
+             CAST(concat('0x', substring(md5(concat('b2|', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 60 AS INT)
+           ELSE 0 END) AS h
+  FROM documents"""
+    sql["hamming_near_pairs"] = f"""
+WITH hs AS ({_HNP_HASH})
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 10
 """
 
     # KN order-3: same split and integer-clearing discipline as

@@ -626,6 +626,135 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (the classic pHash recipe): bilinear-resize
+    to 32×32, rec-601 luma, 32-point 2D DCT-II, keep the top-left 8×8
+    low-frequency block, threshold each coefficient against the MEDIAN of
+    the 64 (DC replaced by the median itself, so it never votes) — robust
+    to resizing/re-encoding/brightness, which is exactly what byte digests
+    miss: the same photo saved twice through JPEG hashes identically here
+    and differently in md5.
+
+    Deterministic: pure numpy float64 arithmetic on the decoded pixels,
+    identical on every executor. Returns a Python int in [0, 2^64)."""
+    small = bilinear_resize(np.asarray(img, dtype=np.uint8), 32, 32).astype(np.float64)
+    luma = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
+    n = 32
+    a = np.zeros((n, n))
+    for u in range(n):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(n):
+            a[u, x] = np.sqrt(2.0 / n) * cu * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    dct = a @ luma @ a.T
+    block = dct[:8, :8].copy()
+    med = float(np.median(block.flatten()[1:]))
+    block[0, 0] = med  # DC never votes
+    bits = (block.flatten() > med).astype(np.uint64)
+    h = 0
+    for i, b in enumerate(bits):
+        h |= int(b) << i
+    return h
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """Per-payload pHash via Arrow-batched ``mapInPandas`` — null for
+    payloads no decoder covers (the poison-payload discipline: a corrupt
+    image yields a null hash, never a dead stage). Output
+    ``(media_id, phash)`` with the hash stored as int64 (the sign bit is
+    bit 63 — downstream XOR/bit_count treat it as a raw 64-bit pattern,
+    so two's-complement storage is harmless)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            if payload is None:
+                return None
+            try:
+                h = phash64(decode_image(payload))
+            except (DecodeNotAvailable, ValueError):
+                return None
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    k: int = 10,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs within Hamming distance ``k`` of the
+    64-bit pHash — the block-rotation pigeonhole from
+    ``dedup.simhash_near_pairs`` applied to image space: split 64 bits
+    into ``k + 1`` blocks, bucket-join on (block, value), verify with
+    one codegen'd ``bit_count(a ^ b)``. Recall 1.0 within ``k`` by the
+    pigeonhole; null hashes (undecodable payloads) are excluded. Output
+    distinct ``(media_a, media_b, hamming)`` with ``media_a < media_b``.
+
+    Scale shape: k+1 rows per image into a bucket equi-join — never
+    all-pairs; the whole miner is JVM-side (the Python UDF boundary ends
+    at hash computation)."""
+    if not 0 <= k < 64:
+        raise ValueError("phash_near_pairs: need 0 <= k < 64")
+    n_blocks = k + 1
+    sig = hashes.select(
+        F.col(id_col).alias("media_id"), F.col(hash_col).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    bounds = [64 * b // n_blocks for b in range(n_blocks + 1)]
+    block_structs = []
+    for blk in range(n_blocks):
+        lo, width = bounds[blk], bounds[blk + 1] - bounds[blk]
+        mask = (1 << width) - 1
+        block_structs.append(
+            F.struct(
+                F.lit(blk).alias("block"),
+                F.shiftrightunsigned(F.col("__h"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    blocks = sig.select(
+        "media_id", "__h", F.explode(F.array(*block_structs)).alias("bb")
+    ).select(
+        "media_id",
+        "__h",
+        F.col("bb.block").alias("block"),
+        F.col("bb.val").alias("val"),
+    )
+    a = blocks.alias("a")
+    b2 = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    return (
+        a.join(b2, on=["block", "val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """JVM-only metadata pass (no decode): sizes and digests straight from
     Column expressions — the fast path for corpus accounting."""

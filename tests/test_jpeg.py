@@ -178,3 +178,96 @@ def test_feature_path_picks_up_jpeg(spark):
     f1, f2 = feats[1]["feature"], feats[2]["feature"]
     assert f1 is not None and f2 is not None
     assert abs(f1[0] - f2[0]) < 4  # mean channel intensity within quant error
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + Hamming near-pair miner
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+from aces_spark.datapipe.multimodal import (
+    encode_rgb,
+    perceptual_hashes,
+    phash64,
+    phash_near_pairs,
+)
+
+
+def _structured_rgb(seed=3, n=128):
+    rng = np.random.RandomState(seed)
+    base = np.kron((rng.rand(16, 16) * 255).astype(np.uint8), np.ones((n // 16, n // 16), dtype=np.uint8))
+    return np.stack([base, np.roll(base, 3, 0), np.roll(base, 5, 1)], axis=2)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_invariances_and_discrimination():
+    img = _structured_rgb(3)
+    h0 = phash64(img)
+    # re-encode through lossy JPEG (4:2:0): perceptually identical
+    h_jpeg = phash64(decode_jpeg(encode_jpeg(img, quant=8, subsample=True)))
+    assert _ham(h0, h_jpeg) <= 4
+    # brightness shift: DCT AC coefficients unchanged
+    h_bright = phash64(np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8))
+    assert _ham(h0, h_bright) <= 4
+    # downscale 2x: pHash normalizes size away
+    h_small = phash64(img[::2, ::2])
+    assert _ham(h0, h_small) <= 10
+    # a different image is FAR
+    assert _ham(h0, phash64(_structured_rgb(9))) >= 20
+
+
+def test_perceptual_hashes_null_for_undecodable(spark):
+    img = _structured_rgb(5)
+    rows = [
+        (1, bytearray(encode_rgb(img))),
+        (2, bytearray(encode_jpeg(img, quant=8))),
+        (3, bytearray(b"corrupt payload")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["phash"] for r in perceptual_hashes(media).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] is not None and got[2] is not None
+    # PPM and its lossless-ish JPEG re-encode collide within threshold
+    assert _ham(got[1] & ((1 << 64) - 1), got[2] & ((1 << 64) - 1)) <= 4
+
+
+def test_phash_near_pairs_brute_force_differential(spark):
+    # planted hash families: the block-rotation pigeonhole must find the
+    # EXACT distance ball a brute-force python scan finds
+    rng = _random.Random(77)
+    rows = []
+    for fam in range(40):
+        base = rng.getrandbits(63)
+        for m in range(rng.randint(1, 4)):
+            h = base
+            for _ in range(rng.randint(0, 6)):
+                h ^= 1 << rng.randrange(60)
+            rows.append((fam * 100 + m, h))
+    hashes = {i: h for i, h in rows}
+    want = set()
+    ids = sorted(hashes)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 10:
+                want.add((a, b, d))
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_near_pairs(df, k=10).collect()
+    }
+    assert got == want and want
+
+
+def test_phash_near_pairs_validation(spark):
+    df = spark.createDataFrame([(1, 0)], "media_id long, phash long")
+    with pytest.raises(ValueError):
+        phash_near_pairs(df, k=64)
+    with pytest.raises(ValueError):
+        phash_near_pairs(df, k=-1)
