@@ -3027,8 +3027,75 @@ def q_adamic_adar(spark, sf_dir):
 #            always inside the top 50 (they guard the §2 heart).
 #   Tier 4 — remaining green queries, freshest-green LAST (the tail past
 #            position 50 is always the most recently re-verified set).
+def q_pii_density_filter(spark, sf_dir):
+    """PII density gate (datapipe.pii.pii_density_filter, r8): keep docs
+    at ≤ 5 matches per kchar (integer tenths, exact truncating div) with
+    their redacted text — the drop-the-address-book ACTION half of the
+    scrub whose report half is ``pii_scrub``. Same planted corpus and
+    Java∩RE2 patterns; map-only, zero exchanges."""
+    from aces_spark.datapipe.pii import pii_density_filter
+
+    return pii_density_filter(_docs_with_pii(spark, sf_dir), max_per_kchar=5.0)
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference fitting (datapipe.preference
+    .bradley_terry_scores, r8): pairwise judgments derived from adjacent
+    doc pairs (winner = longer text, players = sources), 3 MM iterations
+    in integer micro-units — the RLHF reward-data aggregation op; the
+    oracle unrolls all three iterations as CTEs."""
+    from aces_spark.datapipe.preference import bradley_terry_scores
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    comp = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(
+            (F.col("a.n_chars") != F.col("b.n_chars"))
+            & (F.col("a.source") != F.col("b.source"))
+        )
+        .select(
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_scores(comp, n_iters=3)
+
+
+def q_fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy (MinHash-LSH) benchmark decontamination (datapipe.decontam
+    .fuzzy_decontaminate, r8): corpus docs whose signature shares a band
+    bucket with a benchmark doc — the paraphrase-leak sibling of the
+    exact n-gram rule. Benchmark = 90%-prefix copies of every 23rd doc
+    (a paraphrase-ish leak with high-but-not-1.0 Jaccard); broadcast
+    benchmark bands, zero corpus self-join."""
+    from aces_spark.datapipe.decontam import fuzzy_decontaminate
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    return fuzzy_decontaminate(docs, bench, n=3, num_hashes=8, bands=4)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1 (r8 debuts): first driver-green rows ---
+    "pii_density_filter": q_pii_density_filter,
+    "bradley_terry": q_bradley_terry,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
@@ -7612,5 +7679,134 @@ SELECT d.doc_id,
        COALESCE(SUM(contrib), 0) >= 0 AS label
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 GROUP BY d.doc_id
+"""
+
+    # PII density gate: same planted corpus + patterns as pii_scrub
+    # (single-sourced from datapipe.pii), one more CTE for the integer
+    # density and the keep filter
+    sql["pii_density_filter"] = (
+        """
+WITH pii_docs AS (@DOCS@),
+red AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '@EMAIL@', '<EMAIL>', 'g'),
+      '@IPV4@', '<IP>', 'g'),
+      '@PHONE@', '<PHONE>', 'g') AS clean_text,
+    CAST(len(regexp_extract_all(text, '@EMAIL@'))
+       + len(regexp_extract_all(text, '@IPV4@'))
+       + len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_pii,
+    CAST(length(text) AS BIGINT) AS lc
+  FROM pii_docs)
+SELECT doc_id, clean_text, n_pii,
+       CAST((n_pii * 10000) // GREATEST(lc, 1) AS BIGINT)
+         AS pii_per_kchar_tenths
+FROM red
+WHERE (n_pii * 10000) // GREATEST(lc, 1) <= 50
+""".replace("@DOCS@", _DOCS_PII_SQL)
+        .replace("@EMAIL@", EMAIL_RE)
+        .replace("@IPV4@", IPV4_RE)
+        .replace("@PHONE@", PHONE_RE)
+    )
+
+    # Bradley-Terry: 3 MM iterations unrolled, HUGEINT sums, floor
+    # division on non-negative operands (== Spark's truncating div)
+    _bt_iter = """
+t{k} AS (
+  SELECT g.i,
+         (CAST(g.n_ij AS HUGEINT) * 1000000 * 1000000)
+           // (CAST(wi.u AS HUGEINT) + CAST(wj.u AS HUGEINT)) AS t
+  FROM games g
+  JOIN w{p} wi ON wi.player = g.i
+  JOIN w{p} wj ON wj.player = g.j),
+d{k} AS (SELECT i, SUM(t) AS denom FROM t{k} GROUP BY i),
+u{k} AS (
+  SELECT w.player, w.wins,
+         (CAST(w.wins AS HUGEINT) * 1000000 * 1000000)
+           // GREATEST(d.denom, 1) AS u_raw
+  FROM wins w LEFT JOIN d{k} d ON d.i = w.player),
+s{k} AS (SELECT SUM(u_raw) AS s_all FROM u{k}),
+w{k} AS (
+  SELECT player,
+         GREATEST(CAST((u_raw * np.target) // GREATEST(s_all, 1) AS BIGINT),
+                  1) AS u
+  FROM u{k} CROSS JOIN s{k} CROSS JOIN np)"""
+    sql["bradley_terry"] = (
+        """
+WITH comp AS (
+  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END
+           AS winner,
+         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END
+           AS loser
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.n_chars <> b.n_chars AND a.source <> b.source),
+directed AS (
+  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp WHERE winner <> loser GROUP BY winner, loser),
+sym AS (
+  SELECT winner AS i, loser AS j, n FROM directed
+  UNION ALL
+  SELECT loser AS i, winner AS j, n FROM directed),
+games AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM sym GROUP BY i, j),
+players AS (SELECT DISTINCT i AS player FROM games),
+np AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS target FROM players),
+wins AS (
+  SELECT p.player, CAST(COALESCE(dw.w, 0) AS BIGINT) AS wins
+  FROM players p LEFT JOIN (
+    SELECT winner, SUM(n) AS w FROM directed GROUP BY winner) dw
+    ON dw.winner = p.player),
+totals AS (
+  SELECT p.player, CAST(COALESCE(gt.g, 0) AS BIGINT) AS games
+  FROM players p LEFT JOIN (
+    SELECT i, SUM(n_ij) AS g FROM games GROUP BY i) gt ON gt.i = p.player),
+w0 AS (SELECT player, CAST(1000000 AS BIGINT) AS u FROM players),"""
+        + _bt_iter.format(k=1, p=0)
+        + ","
+        + _bt_iter.format(k=2, p=1)
+        + ","
+        + _bt_iter.format(k=3, p=2)
+        + """
+SELECT w3.player, w3.u AS strength_micro, wins.wins, totals.games
+FROM w3 JOIN wins ON wins.player = w3.player
+JOIN totals ON totals.player = w3.player
+"""
+    )
+
+    # fuzzy decontamination: corpus bands vs benchmark bands (benchmark =
+    # 90%-prefix copies of every 23rd doc); same 8-hash/4-band md5
+    # signature recipe as minhash_lsh_pairs
+    _fd_bands_c = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '_' || ".join(f"CAST(h{b * 2 + i} AS VARCHAR)" for i in range(2))
+        + ") AS bucket FROM csig"
+        for b in range(4)
+    )
+    _fd_bands_b = "\nUNION ALL\n".join(
+        f"SELECT bench_id, {b} AS band, md5("
+        + " || '_' || ".join(f"CAST(h{b * 2 + i} AS VARCHAR)" for i in range(2))
+        + ") AS bucket FROM bsig"
+        for b in range(4)
+    )
+    sql["fuzzy_decontamination"] = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         substring(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+  FROM documents WHERE doc_id % 23 = 0),
+ctoks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM documents),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM ctoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+csig AS (SELECT doc_id, {minhash_cols} FROM csh GROUP BY doc_id),
+btoks AS (SELECT bench_id, {_DOC_TOKENS_SQL} AS t FROM bench),
+bsh AS (
+  SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM btoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+bsig AS (SELECT bench_id, {minhash_cols} FROM bsh GROUP BY bench_id),
+cb AS ({_fd_bands_c}),
+bb AS ({_fd_bands_b})
+SELECT DISTINCT c.doc_id, b.bench_id
+FROM cb c JOIN bb b ON c.band = b.band AND c.bucket = b.bucket
 """
     return sql

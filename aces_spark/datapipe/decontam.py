@@ -111,3 +111,68 @@ def contamination_fraction(
         / 10000.0
     )
     return per.select("doc_id", "n_shingles", "n_overlap", frac.alias("frac"))
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: corpus documents whose
+    MinHash signature collides with a benchmark document's in at least
+    one LSH band — the fuzzy sibling of :func:`decontaminate`, catching
+    the paraphrased / lightly-edited eval leak the exact n-gram rule
+    misses (whitespace tweaks, reordered sentences, trailing additions).
+    The public decontamination appendices (Llama, GPT-4) describe
+    exactly this two-tier scheme: exact n-gram PLUS a fuzzy pass.
+
+    Output: distinct ``(doc_id, bench_id)`` candidate contamination
+    pairs (band collision at these parameters ~ Jaccard >= ~(1/bands)
+    ^ (bands/num_hashes); verify downstream if precision matters — for
+    decontamination, recall is what counts and dropping a candidate
+    costs one training doc).
+
+    Scale shape: the benchmark is small by definition, so its banded
+    signatures BROADCAST — the corpus side is one signature aggregate
+    (its only exchange, keyed by unique doc_id) and a map-side probe
+    join; no corpus self-join, no corpus-vs-corpus shuffle. Signatures
+    use the engine-portable md5 hasher so the operator is oracle-
+    differentiable bit-for-bit.
+    """
+    from .dedup import minhash_signatures
+
+    def banded(sig: DataFrame, id_col: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        if rows_per_band * bands != num_hashes:
+            raise ValueError("num_hashes must be divisible by bands")
+        band_exprs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)
+            ]
+            band_exprs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+                )
+            )
+        return sig.select(
+            F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    corpus_b = banded(
+        minhash_signatures(corpus, n, num_hashes, text_col), "doc_id"
+    )
+    bench_sig = minhash_signatures(
+        benchmark.withColumnRenamed(bench_id_col, "doc_id"), n, num_hashes, text_col
+    ).withColumnRenamed("doc_id", bench_id_col)
+    bench_b = banded(bench_sig, bench_id_col)
+    return (
+        corpus_b.join(F.broadcast(bench_b), ["band", "bucket"])
+        .select("doc_id", bench_id_col)
+        .distinct()
+    )

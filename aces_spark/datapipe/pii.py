@@ -67,3 +67,38 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_digest"),
     )
+
+
+def pii_density_filter(
+    df: DataFrame,
+    max_per_kchar: float = 5.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION half of the scrub (r8): keep documents whose PII
+    density (matches per 1000 chars) is at or under ``max_per_kchar``
+    and emit their redacted text; PII-dense documents (address books,
+    scraped directories, paste dumps) are dropped entirely rather than
+    turned into placeholder soup.
+
+    Output: ``(id_col, clean_text, n_pii, pii_per_kchar_tenths)``.
+    Density is an integer in tenths-per-kchar via truncating ``div``
+    (non-negative operands, so Spark's ``div`` and DuckDB's ``//``
+    agree exactly); empty text keeps (density 0). Same map-only,
+    zero-exchange shape as :func:`pii_scrub`."""
+    text = F.col(text_col)
+    counts = pii_count_exprs(text)
+    n_pii = None
+    for c in counts.values():
+        n_pii = c if n_pii is None else n_pii + c
+    staged = df.select(
+        F.col(id_col),
+        pii_redact_expr(text).alias("clean_text"),
+        n_pii.cast("long").alias("n_pii"),
+        F.length(text).cast("long").alias("__len"),
+    )
+    dens = F.expr("(n_pii * 10000) div greatest(__len, 1)").cast("long")
+    thresh = int(round(max_per_kchar * 10))
+    return staged.filter(dens <= F.lit(thresh)).select(
+        id_col, "clean_text", "n_pii", dens.alias("pii_per_kchar_tenths")
+    )

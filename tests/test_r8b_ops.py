@@ -1,0 +1,173 @@
+"""Round-8 second-wave operator tests: PII density gate, Bradley-Terry
+preference fitting, fuzzy (MinHash-LSH) decontamination."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from aces_spark.datapipe.pii import pii_density_filter
+from aces_spark.datapipe.preference import SCALE, bradley_terry_scores
+from aces_spark.datapipe.decontam import fuzzy_decontaminate
+
+
+# ---------------------------------------------------------------- pii
+
+def test_pii_density_filter_drops_dense_keeps_light(spark):
+    light = "a perfectly ordinary paragraph " * 40 + "mail me at bob@x.org ok"
+    dense = " ".join(f"u{i}@corp.example.com 555-123-{1000 + i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, light), (2, dense), (3, ""), (4, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    out = pii_density_filter(df, max_per_kchar=5.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3, 4}  # dense address-book doc dropped
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert rows[1]["n_pii"] == 1
+    assert rows[3]["n_pii"] == 0 and rows[3]["pii_per_kchar_tenths"] == 0
+    assert rows[4]["clean_text"] == "no pii here at all"
+
+
+def test_pii_density_filter_boundary_exact(spark):
+    # 2 matches in exactly 400 chars -> 2*10000 div 400 = 50 tenths = 5.0
+    # per kchar: AT the threshold keeps; truncating div stays at 50 down
+    # to 393 chars (20000 div 393 = 50), so drop needs <= 392
+    body = "x" * (400 - len("a@b.co") * 2 - 2) + " "
+    text_at = body + "a@b.co " + "a@b.co"
+    assert len(text_at) == 400
+    df = spark.createDataFrame(
+        [(1, text_at), (2, text_at[8:])], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pii_density_filter(df, 5.0).collect()}
+    assert 1 in out and out[1]["pii_per_kchar_tenths"] == 50
+    assert 2 not in out
+
+
+# ---------------------------------------------------------- bradley-terry
+
+def _bt_reference(comparisons, n_iters):
+    """Pure-python mirror of the integer MM discipline."""
+    directed = {}
+    for w, l in comparisons:
+        if w != l:
+            directed[(w, l)] = directed.get((w, l), 0) + 1
+    games = {}
+    for (w, l), n in directed.items():
+        games[(w, l)] = games.get((w, l), 0) + n
+        games[(l, w)] = games.get((l, w), 0) + n
+    players = sorted({i for i, _ in games})
+    wins = {p: 0 for p in players}
+    for (w, _), n in directed.items():
+        wins[w] += n
+    target = len(players) * SCALE
+    u = {p: SCALE for p in players}
+    for _ in range(n_iters):
+        denom = {p: 0 for p in players}
+        for (i, j), n in games.items():
+            denom[i] += (n * SCALE * SCALE) // (u[i] + u[j])
+        raw = {
+            p: (wins[p] * SCALE * SCALE) // max(denom[p], 1) for p in players
+        }
+        s = max(sum(raw.values()), 1)
+        u = {p: max((raw[p] * target) // s, 1) for p in players}
+    return u, wins
+
+
+def test_bradley_terry_matches_python_reference(spark):
+    # deterministic synthetic tournament: strength ladder a > b > c > d,
+    # winner decided by a fixed schedule with some upsets
+    comps = []
+    ladder = ["a", "b", "c", "d"]
+    k = 0
+    for rep in range(12):
+        for x in range(4):
+            for y in range(x + 1, 4):
+                k += 1
+                # upset every 5th game
+                if k % 5 == 0:
+                    comps.append((ladder[y], ladder[x]))
+                else:
+                    comps.append((ladder[x], ladder[y]))
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    got = {
+        r["player"]: (r["strength_micro"], r["wins"], r["games"])
+        for r in bradley_terry_scores(df, n_iters=3).collect()
+    }
+    exp_u, exp_wins = _bt_reference(comps, 3)
+    assert {p: v[0] for p, v in got.items()} == exp_u
+    assert {p: v[1] for p, v in got.items()} == exp_wins
+    # ladder order survives the upsets
+    assert got["a"][0] > got["b"][0] > got["c"][0] > got["d"][0]
+    # normalization: strengths sum to ~n_players * SCALE (floor slack)
+    assert abs(sum(v[0] for v in got.values()) - 4 * SCALE) <= 4
+
+
+def test_bradley_terry_partition_invariance(spark):
+    comps = [("a", "b")] * 7 + [("b", "a")] * 3 + [("b", "c")] * 5 + [("c", "a")] * 2
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    one = {
+        (r["player"], r["strength_micro"])
+        for r in bradley_terry_scores(df.coalesce(1), n_iters=3).collect()
+    }
+    many = {
+        (r["player"], r["strength_micro"])
+        for r in bradley_terry_scores(df.repartition(13), n_iters=3).collect()
+    }
+    assert one == many
+
+
+def test_bradley_terry_self_pairs_ignored_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "b")], "winner string, loser string"
+    )
+    rows = {r["player"]: r for r in bradley_terry_scores(df, n_iters=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["wins"] == 2 and rows["b"]["wins"] == 0
+    assert rows["a"]["strength_micro"] > rows["b"]["strength_micro"]
+    assert rows["b"]["strength_micro"] >= 1  # floor, not zero
+    with pytest.raises(ValueError):
+        bradley_terry_scores(df, n_iters=0)
+
+
+# ------------------------------------------------------- fuzzy decontam
+
+def test_fuzzy_decontaminate_catches_paraphrase_misses_unrelated(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "jackdaws observe quietly from the old stone wall nearby today"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),  # near-identical to benchmark doc 100
+            (2, base.replace("today", "tomorrow morning")),  # light edit
+            (3, "completely different text about spark shuffle partitions "
+                "and adaptive query execution at terabyte scale"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base)], "bench_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"])
+        for r in fuzzy_decontaminate(corpus, bench, n=3, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 100) in got
+    assert (2, 100) in got  # the paraphrase the exact rule would keep
+    assert all(d != 3 for d, _ in got)
+
+
+def test_fuzzy_decontaminate_benchmark_broadcast_plan(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with words {i % 7} {i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "doc number 0 with words 0 0")], "bench_id long, text string"
+    )
+    out = fuzzy_decontaminate(corpus, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(corpus, bench, num_hashes=8, bands=3)

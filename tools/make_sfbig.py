@@ -20,7 +20,14 @@ Both Spark and the DuckDB oracle read the SAME generated parquet, so
 generation only needs determinism, not an SQL mirror. Output goes under
 the repo (gitignored): the harness testdata is read-only.
 
-Usage: python tools/make_sfbig.py [src_dir] [dst_dir] [copies]
+Usage: python tools/make_sfbig.py [src_dir] [dst_dir] [copies] [doc_mode]
+
+``doc_mode`` (documents only): ``tail`` (default — replicas are
+near-dups of each other, the sf1 sweep shape) or ``spread`` (every 4th
+token replaced per-replica — same-family replicas share <50% of their
+shingles, keeping the near-dup rate realistic at copies=100 where the
+tail mode degenerates into 100-member duplicate storms whose Θ(family²)
+true-pair mass no engine can avoid materializing).
 """
 
 from __future__ import annotations
@@ -38,6 +45,9 @@ def main() -> int:
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scaledata/sf1")
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    doc_mode = sys.argv[4] if len(sys.argv) > 4 else "tail"
+    if doc_mode not in ("tail", "spread"):
+        raise SystemExit("doc_mode must be 'tail' or 'spread'")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -82,17 +92,36 @@ def main() -> int:
         },
     ).coalesce(8).write.mode("overwrite").parquet(str(dst / "events.parquet"))
 
+    def doc_text(c):
+        if c == 0:
+            return F.col("text")
+        if doc_mode == "tail":
+            return F.concat(F.col("text"), F.lit(f" rep{c}"))
+        # "spread": replace every 4th token (offset c % 4) with a
+        # replica-unique token — same-family replicas then share < 50%
+        # of their 3-gram shingles, so the near-dup structure stays the
+        # ~20% the registry's aug step plants instead of a 100-member
+        # everything-duplicates storm (whose Θ(family²) TRUE pair mass
+        # at copies=100 is a property of the data, not of any plan —
+        # ~3.5e7 output pairs and a 400 GB candidate shuffle that a
+        # cluster absorbs but a single host's disk does not)
+        return F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda tok, i: F.when(
+                    (i + c) % 4 == 0, F.lit(f"r{c}")
+                ).otherwise(tok),
+            ),
+            " ",
+        )
+
     docs = spark.read.parquet(str(src / "documents.parquet"))
     replicate(
         docs,
         lambda c: {
             "doc_id": F.col("doc_id") + F.lit(c * 10_000_000),
-            "text": F.col("text")
-            if c == 0
-            else F.concat(F.col("text"), F.lit(f" rep{c}")),
-            "n_chars": F.length(
-                F.col("text") if c == 0 else F.concat(F.col("text"), F.lit(f" rep{c}"))
-            ).cast("long"),
+            "text": doc_text(c),
+            "n_chars": F.length(doc_text(c)).cast("long"),
         },
     ).coalesce(8).write.mode("overwrite").parquet(str(dst / "documents.parquet"))
 
