@@ -83,8 +83,13 @@ def bradley_terry_scores(
         )
     )
     games = sym.groupBy("i", "j").agg(F.sum("n").cast("long").alias("n_ij"))
+    # games feeds every iteration and players feeds wins/totals/w0:
+    # truncate both (Zipf-small relations) so no branch replays the
+    # corpus aggregation
+    games = games.localCheckpoint(eager=True)
 
     players = games.select(F.col("i").alias("player")).distinct()
+    players = players.localCheckpoint(eager=True)
     wins = players.join(
         directed.groupBy("winner").agg(F.sum("n").cast("long").alias("wins")),
         players.player == F.col("winner"),
@@ -95,6 +100,8 @@ def bradley_terry_scores(
         players.player == F.col("i"),
         "left",
     ).select("player", F.coalesce("games", F.lit(0)).cast("long").alias("games"))
+    # wins is re-joined every iteration: truncate it too
+    wins = wins.localCheckpoint(eager=True)
 
     n_players = players.count()  # sanctioned scalar: sizes the normalizer
     target_sum = int(n_players) * SCALE
