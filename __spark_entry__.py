@@ -3072,6 +3072,19 @@ def q_bradley_terry(spark, sf_dir):
     return bradley_terry_scores(comp, n_iters=3)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Exact integer covariance moments of the embedding matrix
+    (datapipe.pca.embedding_covariance, r8): micro-unit fixed point,
+    int64 partial Gram blocks per Arrow batch, DECIMAL-exact combine —
+    the PCA/whitening front half whose float eigen half is pytest-pinned
+    (``pca_whiten``). One (i, j)-keyed exchange of batches × d²/2 tiny
+    partial rows at any corpus size."""
+    from aces_spark.datapipe.pca import embedding_covariance
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_covariance(emb)
+
+
 def q_fuzzy_decontamination(spark, sf_dir):
     """Fuzzy (MinHash-LSH) benchmark decontamination (datapipe.decontam
     .fuzzy_decontaminate, r8): corpus docs whose signature shares a band
@@ -3096,6 +3109,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
     "fuzzy_decontamination": q_fuzzy_decontamination,
+    "embedding_covariance": q_embedding_covariance,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
@@ -7808,5 +7822,27 @@ cb AS ({_fd_bands_c}),
 bb AS ({_fd_bands_b})
 SELECT DISTINCT c.doc_id, b.bench_id
 FROM cb c JOIN bb b ON c.band = b.band AND c.bucket = b.bucket
+"""
+
+    # exact integer covariance: micro fixed point (floor half-up — the
+    # numpy/Spark/DuckDB-identical rounding), HUGEINT moments, and
+    # truncating division (DuckDB // truncates toward zero exactly like
+    # Spark's div, negative numerators included)
+    sql["embedding_covariance"] = """
+WITH u AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS u
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+SELECT a.i, b.i AS j,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(a.u) AS BIGINT) AS sum_ui,
+  CAST(SUM(b.u) AS BIGINT) AS sum_uj,
+  CAST(SUM(CAST(a.u AS HUGEINT) * b.u) AS BIGINT) AS sum_uiuj,
+  CAST((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(a.u AS HUGEINT) * b.u)
+        - SUM(CAST(a.u AS HUGEINT)) * SUM(CAST(b.u AS HUGEINT)))
+       // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT) AS cov_q
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
 """
     return sql

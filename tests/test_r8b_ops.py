@@ -171,3 +171,89 @@ def test_fuzzy_decontaminate_benchmark_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     with pytest.raises(ValueError):
         fuzzy_decontaminate(corpus, bench, num_hashes=8, bands=3)
+
+
+# ------------------------------------------------------------- pca
+
+def _cov_reference(vecs):
+    import numpy as np
+
+    u = np.floor(np.asarray(vecs, dtype=np.float64) * 1_000_000 + 0.5).astype(object)
+    n, d = u.shape
+    out = {}
+    for i in range(d):
+        for j in range(i, d):
+            si = int(sum(u[:, i]))
+            sj = int(sum(u[:, j]))
+            sij = int(sum(int(a) * int(b) for a, b in zip(u[:, i], u[:, j])))
+            num = n * sij - si * sj
+            q = abs(num) // (n * n)
+            out[(i + 1, j + 1)] = (n, si, sj, sij, q if num >= 0 else -q)
+    return out
+
+
+def test_embedding_covariance_matches_integer_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(5)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # reference must see the SAME float32-rounded coordinates Spark reads
+    import numpy as np
+
+    vecs32 = np.asarray(vecs, dtype=np.float32)
+    from aces_spark.datapipe.pca import embedding_covariance
+
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sum_ui"], r["sum_uj"], r["sum_uiuj"], r["cov_q"])
+        for r in embedding_covariance(df).collect()
+    }
+    assert got == _cov_reference(vecs32)
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [float(rng.uniform(-2, 2)) for _ in range(4)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from aces_spark.datapipe.pca import embedding_covariance
+
+    one = sorted(map(tuple, embedding_covariance(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, embedding_covariance(df.repartition(17)).collect()))
+    assert one == many
+
+
+def test_pca_whiten_identity_covariance_and_validation(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    # correlated 3-dim data embedded in 6 dims
+    base = rng.normal(size=(500, 3))
+    mix = np.array(
+        [[1.0, 0.5, 0.0, 0.2, 0.0, 0.1],
+         [0.0, 1.0, 0.7, 0.0, 0.3, 0.0],
+         [0.2, 0.0, 0.1, 1.0, 0.0, 0.6]]
+    )
+    data = (base @ mix).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    from aces_spark.datapipe.pca import pca_whiten, embedding_covariance
+
+    out = pca_whiten(df, n_components=3)
+    w = np.stack([np.array(r["whitened"]) for r in out.collect()])
+    assert w.shape == (500, 3)
+    cov = np.cov(w.T, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=0.05)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        embedding_covariance(empty)

@@ -30,6 +30,10 @@ the registry's near-dup augmentation adds +1e6 to a perturbed copy's id
 with ``m = id % 1e7`` (base ids are < 1e6 at any sf this tool targets).
 
 Usage: python tools/sf10_probe.py [sf10_dir] [slice_dir] [pct] [query ...]
+
+Run ONE query per invocation when probing the heavy tail — shuffle
+spill from a 1e8+-candidate query lives until the JVM exits, and two
+heavy queries' spill in one process can exceed the host's scratch disk.
 """
 
 from __future__ import annotations
@@ -116,6 +120,9 @@ def main() -> int:
         if only and name not in only:
             continue
         df = queries[name](spark, sf10)
+        # persist the (small) RESULT so the sampled-key filter below
+        # reads the cache instead of replaying the corpus-sized shuffle
+        df = df.persist()
         t0 = time.monotonic()
         n_full = df.count()
         wall = time.monotonic() - t0
@@ -128,6 +135,7 @@ def main() -> int:
                 f"{keep_sql(ca, pct)} AND {keep_sql(cb, pct)}"
             ).collect()
         ]
+        df.unpersist()
         rel = con.sql(oracles[name])
         dcols = [d[0] for d in rel.description]
         drows = rel.fetchall()
