@@ -3085,6 +3085,19 @@ def q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(emb)
 
 
+def q_dim_ablation_recall(spark, sf_dir):
+    """Matryoshka dimension-ablation evaluation (datapipe.similarity
+    .dim_ablation_recall, r8): exact cosine top-10 over 8/16/32-dim
+    prefixes, recall vs the full-dim ground truth in integer basis
+    points — the store-fewer-dims decision measurement."""
+    from aces_spark.datapipe.similarity import dim_ablation_recall
+
+    emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return dim_ablation_recall(
+        emb, emb.filter(F.col("vec_id") < 8), dims=[8, 16, 32], k=10
+    )
+
+
 def q_fuzzy_decontamination(spark, sf_dir):
     """Fuzzy (MinHash-LSH) benchmark decontamination (datapipe.decontam
     .fuzzy_decontaminate, r8): corpus docs whose signature shares a band
@@ -3110,6 +3123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bradley_terry": q_bradley_terry,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "embedding_covariance": q_embedding_covariance,
+    "dim_ablation_recall": q_dim_ablation_recall,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
@@ -7845,4 +7859,52 @@ SELECT a.i, b.i AS j,
 FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
 """
+
+    # matryoshka ablation: per-dim truncated top-10 vs full-dim ground
+    # truth, recall in basis points (integer div both engines)
+    _abl = []
+    for _d in (8, 16, 32):
+        _abl.append(
+            f"""s{_d} AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(qv[1:{_d}], e.v[1:{_d}])
+          / (sqrt(list_dot_product(qv[1:{_d}], qv[1:{_d}]))
+             * sqrt(list_dot_product(e.v[1:{_d}], e.v[1:{_d}]))), 6) AS cs
+  FROM q, e WHERE query_id <> e.vec_id),
+r{_d} AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neighbor_id ASC) AS rk
+  FROM s{_d}),
+h{_d} AS (
+  SELECT CAST({_d} AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM r{_d} WHERE rk <= 10) t
+  JOIN gt USING (query_id, neighbor_id))"""
+        )
+    sql["dim_ablation_recall"] = (
+        """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+sf AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(qv, e.v)
+          / (sqrt(list_dot_product(qv, qv))
+             * sqrt(list_dot_product(e.v, e.v))), 6) AS cs
+  FROM q, e WHERE query_id <> e.vec_id),
+rf AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neighbor_id ASC) AS rk
+  FROM sf),
+gt AS (SELECT query_id, neighbor_id FROM rf WHERE rk <= 10),
+nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM gt),
+"""
+        + ",\n".join(_abl)
+        + """
+SELECT dim, nq.n_queries, n_hits,
+       CAST((n_hits * 10000) // (nq.n_queries * 10) AS BIGINT) AS recall_bp
+FROM (SELECT * FROM h8 UNION ALL SELECT * FROM h16
+      UNION ALL SELECT * FROM h32) u CROSS JOIN nq
+"""
+    )
     return sql

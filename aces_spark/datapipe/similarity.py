@@ -1216,3 +1216,74 @@ def embedding_norm_outliers(
             F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
         )
     )
+
+
+def dim_ablation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-ablation evaluation (r8): for each
+    prefix length in ``dims``, exact cosine top-``k`` over the TRUNCATED
+    embeddings, scored as recall against the full-dimension top-``k``
+    ground truth — the measurement behind "can we store/search 16 of the
+    64 dims" decisions (Kusupati et al. 2022's MRL evaluation, and the
+    ablation FAISS users run before picking an OPQ/PCA output size).
+
+    Output, one row per ablation: ``(dim, n_queries, n_hits,
+    recall_bp)`` with ``recall_bp = trunc(n_hits·10000 / (n_queries·k))``
+    — integer arithmetic end-to-end on top of the established
+    round-6-decimal cosine contract, so the whole evaluation is
+    engine-exact.
+
+    Scale shape: an EVAL op — queries are a broadcast-sized sample by
+    contract; each ablation is one broadcast-join pass over the corpus
+    (|dims| + 1 passes total) feeding per-query top-k windows; the
+    ground-truth relation is computed once and lineage-truncated. A
+    full-corpus production ablation would swap the brute-force arm for
+    the persisted IVF index per dim; this is the exact baseline that
+    validates it.
+    """
+    if not dims:
+        raise ValueError("dim_ablation_recall: dims must be non-empty")
+    if any(d < 1 for d in dims):
+        raise ValueError("dim_ablation_recall: dims must be >= 1")
+    full = (
+        brute_force_topk(corpus, queries, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # feeds every ablation join
+    )
+    base = full.groupBy().agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    parts = []
+    for d in sorted(dims):
+        tc = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        hits = (
+            brute_force_topk(tc, tq, k, id_col, vec_col)
+            .select("query_id", "neighbor_id")
+            .join(full, ["query_id", "neighbor_id"])
+            .groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(d).cast("long").alias("dim"), "n_hits")
+        )
+        parts.append(hits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(base)).select(
+        "dim",
+        "n_queries",
+        "n_hits",
+        F.expr(f"(n_hits * 10000) div (n_queries * {k})")
+        .cast("long")
+        .alias("recall_bp"),
+    )

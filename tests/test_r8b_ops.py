@@ -257,3 +257,39 @@ def test_pca_whiten_identity_covariance_and_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         embedding_covariance(empty)
+
+
+# ---------------------------------------------------- dim ablation
+
+def test_dim_ablation_full_dim_is_perfect_recall(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(12)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from aces_spark.datapipe.similarity import dim_ablation_recall
+
+    out = {
+        r["dim"]: r
+        for r in dim_ablation_recall(
+            df, df.filter(F.col("vec_id") < 4), dims=[4, 12], k=5
+        ).collect()
+    }
+    assert out[12]["recall_bp"] == 10000  # truncating at full dim = ground truth
+    assert out[12]["n_hits"] == out[12]["n_queries"] * 5
+    assert 0 <= out[4]["recall_bp"] <= 10000
+    assert out[4]["n_queries"] == 4
+
+
+def test_dim_ablation_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    from aces_spark.datapipe.similarity import dim_ablation_recall
+
+    with pytest.raises(ValueError):
+        dim_ablation_recall(df, df, dims=[])
+    with pytest.raises(ValueError):
+        dim_ablation_recall(df, df, dims=[0, 2])
