@@ -1047,12 +1047,27 @@ def prefix_jaccard_pairs(
     # window don't replay per branch (the plan-hygiene rule)
     prefix = (
         ranked.filter(F.col("__p") <= F.col("__s") - ceil_ts + 1)
-        .select("doc_id", "shingle", "__s")
+        .select("doc_id", "shingle", "__s", "__p")
         .localCheckpoint(eager=False)
     )
 
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2): at a prefix
+    # collision at ranks (p_a, p_b), the pair's attainable overlap is at
+    # most 1 + min(s_a−p_a, s_b−p_b); J ≥ t needs overlap ≥ α =
+    # ceil(t(s_a+s_b)/(1+t)). A true pair keeps every collision row
+    # (the bound is an upper bound on its real overlap), so the prune is
+    # output-invariant — it only drops candidates whose collision sits
+    # too deep to ever reach α, BEFORE they hit the distinct's shuffle
+    # (the disk-pressure stage in the storm regime).
+    alpha = F.floor(
+        (
+            F.lit(t_bp) * (F.col("a.__s") + F.col("b.__s"))
+            + F.lit(10000 + t_bp - 1)
+        )
+        / F.lit(10000 + t_bp)
+    ).cast("long")
     cands = (
         a.join(b, "shingle")
         .filter(
@@ -1061,6 +1076,14 @@ def prefix_jaccard_pairs(
             & (
                 F.lit(t_bp) * F.greatest(F.col("a.__s"), F.col("b.__s"))
                 <= F.lit(10000) * F.least(F.col("a.__s"), F.col("b.__s"))
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.__s") - F.col("a.__p"),
+                    F.col("b.__s") - F.col("b.__p"),
+                )
+                >= alpha
             )
         )
         .select(
