@@ -3085,6 +3085,26 @@ def q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(emb)
 
 
+def q_ab_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test (datapipe.analytics
+    .ab_welch_ttest, r8): purchase values split by the user-id parity
+    experiment assignment — exact DECIMAL moments, closed-form t/ν in
+    single IEEE ops both engines round identically."""
+    from aces_spark.datapipe.analytics import ab_welch_ttest
+
+    ev = _read_events(spark, sf_dir)
+    assigned = ev.filter(
+        F.expr("array_contains(split(event_type, '&'), 'purchase')")
+        & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        "value",
+    )
+    return ab_welch_ttest(assigned)
+
+
 def q_dim_ablation_recall(spark, sf_dir):
     """Matryoshka dimension-ablation evaluation (datapipe.similarity
     .dim_ablation_recall, r8): exact cosine top-10 over 8/16/32-dim
@@ -3124,6 +3144,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "embedding_covariance": q_embedding_covariance,
     "dim_ablation_recall": q_dim_ablation_recall,
+    "ab_welch_ttest": q_ab_welch,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
@@ -7907,4 +7928,36 @@ FROM (SELECT * FROM h8 UNION ALL SELECT * FROM h16
       UNION ALL SELECT * FROM h32) u CROSS JOIN nq
 """
     )
+
+    # Welch t-test: exact HUGEINT moments, then the closed form in the
+    # SAME left-associated IEEE division order as the Spark expression
+    sql["ab_welch_ttest"] = """
+WITH vals AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS v,
+         CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS u
+  FROM events
+  WHERE list_contains(string_split(event_type, '&'), 'purchase')
+    AND value IS NOT NULL),
+m AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n, SUM(u) AS s1, SUM(u * u) AS s2
+  FROM vals GROUP BY v),
+p AS (
+  SELECT a.v AS variant_a, b.v AS variant_b, a.n AS n_a, b.n AS n_b,
+         CAST(a.s1 AS DOUBLE) AS s1a, CAST(b.s1 AS DOUBLE) AS s1b,
+         CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE) AS va_num,
+         CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE) AS vb_num
+  FROM m a JOIN m b ON a.v < b.v),
+c AS (
+  SELECT *,
+    s1a / n_a / 1e6 AS ma, s1b / n_b / 1e6 AS mb,
+    va_num / n_a / (n_a - 1) / 1e12 / n_a AS se2a,
+    vb_num / n_b / (n_b - 1) / 1e12 / n_b AS se2b
+  FROM p)
+SELECT variant_a, variant_b, n_a, n_b,
+  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+  ROUND((ma - mb) / sqrt(se2a + se2b), 4) AS t_stat,
+  ROUND((se2a + se2b) * (se2a + se2b)
+        / (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)), 2) AS welch_df
+FROM c
+"""
     return sql

@@ -627,3 +627,83 @@ def winsorized_stats(
         (F.col("__hi").cast("double") / 1000000.0).alias("hi_bound"),
         (mean_u.cast("double") / 1000000.0).alias("win_mean"),
     )
+
+
+def ab_welch_ttest(
+    df: DataFrame,
+    variant_col: str = "variant",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the two variants of an
+    A/B experiment (r8) — the read-out step after experiment assignment,
+    run over per-user metric rows. Exactly two distinct variants are
+    expected; output is ONE row:
+
+    ``(variant_a, variant_b, n_a, n_b, mean_a, mean_b, t_stat,
+    welch_df)`` — variants in lexicographic order; means rounded to 6
+    decimals, ``t_stat`` to 4, the Satterthwaite degrees of freedom to
+    2.
+
+    Determinism discipline: metric values are fixed-pointed to
+    micro-units (floor half-up — the engine-identical rounding), the
+    three moments (n, Σu, Σu²) accumulate EXACTLY in DECIMAL(38,0) —
+    order-free — and only the finished moments are cast to double for
+    the closed-form t and ν, all single IEEE operations that every
+    engine rounds identically. Sample variance uses the n−1 form:
+    ``s² = (n·Σu² − (Σu)²) / (n·(n−1))`` in micro².
+
+    Scale shape: one hash aggregate keyed by the 2-value variant column
+    (map-side partials collapse everything), then a 2-row pivot on the
+    driver-free plan — no collect, no join against the corpus.
+    """
+    dec = "decimal(38,0)"
+    u = F.expr(f"cast(floor({value_col} * 1000000 + 0.5) as {dec})")
+    moments = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("__v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(u).cast(dec).alias("s1"),
+            F.sum(u * u).cast(dec).alias("s2"),
+        )
+    )
+    # the |variants|-row moment table feeds both pairwise-join sides:
+    # truncate so the corpus aggregate never replays per branch
+    moments = moments.localCheckpoint(eager=False)
+    a = moments.alias("a")
+    b = moments.alias("b")
+    pair = a.join(b, F.col("a.__v") < F.col("b.__v")).select(
+        F.col("a.__v").alias("variant_a"),
+        F.col("b.__v").alias("variant_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.s1").cast("double").alias("s1a"),
+        F.col("b.s1").cast("double").alias("s1b"),
+        # exact-integer variance numerators, cast once
+        (
+            F.col("a.n") * F.col("a.s2") - F.col("a.s1") * F.col("a.s1")
+        ).cast("double").alias("va_num"),
+        (
+            F.col("b.n") * F.col("b.s2") - F.col("b.s1") * F.col("b.s1")
+        ).cast("double").alias("vb_num"),
+    )
+    mean_a = F.col("s1a") / F.col("n_a") / 1e6
+    mean_b = F.col("s1b") / F.col("n_b") / 1e6
+    var_a = F.col("va_num") / F.col("n_a") / (F.col("n_a") - 1) / 1e12
+    var_b = F.col("vb_num") / F.col("n_b") / (F.col("n_b") - 1) / 1e12
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    nu = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)
+    )
+    return pair.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(nu, 2).alias("welch_df"),
+    )

@@ -293,3 +293,60 @@ def test_dim_ablation_validation(spark):
         dim_ablation_recall(df, df, dims=[])
     with pytest.raises(ValueError):
         dim_ablation_recall(df, df, dims=[0, 2])
+
+
+# ------------------------------------------------------ welch t-test
+
+def _welch_reference(xs, ys):
+    import math
+
+    def mom(v):
+        u = [math.floor(x * 1_000_000 + 0.5) for x in v]
+        return len(u), float(sum(u)), float(
+            len(u) * sum(a * a for a in u) - sum(u) ** 2
+        )
+
+    na, s1a, va_num = mom(xs)
+    nb, s1b, vb_num = mom(ys)
+    ma, mb = s1a / na / 1e6, s1b / nb / 1e6
+    se2a = va_num / na / (na - 1) / 1e12 / na
+    se2b = vb_num / nb / (nb - 1) / 1e12 / nb
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    nu = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
+    return round(ma, 6), round(mb, 6), round(t, 4), round(nu, 2)
+
+
+def test_ab_welch_matches_reference_and_direction(spark):
+    from aces_spark.datapipe.analytics import ab_welch_ttest
+
+    xs = [10.0 + 0.1 * i for i in range(30)]       # control, higher mean
+    ys = [9.0 + 0.05 * i for i in range(50)]       # treatment
+    rows = [("a", float(x)) for x in xs] + [("b", float(y)) for y in ys]
+    df = spark.createDataFrame(rows, "variant string, value double")
+    r = ab_welch_ttest(df).collect()
+    assert len(r) == 1
+    row = r[0]
+    ma, mb, t, nu = _welch_reference(xs, ys)
+    assert (row["variant_a"], row["variant_b"]) == ("a", "b")
+    assert (row["n_a"], row["n_b"]) == (30, 50)
+    assert float(row["mean_a"]) == ma and float(row["mean_b"]) == mb
+    assert float(row["t_stat"]) == t
+    assert float(row["welch_df"]) == nu
+    assert row["t_stat"] > 0  # a's mean is higher
+
+
+def test_ab_welch_multi_variant_pairwise_and_nulls(spark):
+    from aces_spark.datapipe.analytics import ab_welch_ttest
+
+    rows = (
+        [("a", float(i)) for i in range(10)]
+        + [("b", float(i * 2)) for i in range(10)]
+        + [("c", float(i * 3)) for i in range(10)]
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "variant string, value double")
+    got = {
+        (r["variant_a"], r["variant_b"]): r for r in ab_welch_ttest(df).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")]["n_a"] == 10  # null metric row excluded
