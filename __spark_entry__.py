@@ -3181,13 +3181,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "knn_classify": q_knn_classify,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_label_stats": q_embedding_label_stats,
-    "multimodal_frame_plan": q_multimodal_frame_plan,
-    "multimodal_payload_stats": q_multimodal_payload_stats,
-    "multimodal_features": q_multimodal_features,
     # --- tier 3 (pinned core): flagship + 8 kernels, always in the top 50 ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -3198,6 +3191,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_chunked": q_event_bound_chunked,
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
+    # --- r4 overflow (displaced by the 6 late-r8 debuts): lead tier 2 in r9 ---
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "knn_classify": q_knn_classify,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "multimodal_payload_stats": q_multimodal_payload_stats,
+    "multimodal_features": q_multimodal_features,
     # --- r4 overflow: lead tier 2 in r9 ---
     "cohort_feature_vectors": q_cohort_feature_vectors,
     "predicates_meds_scan": q_predicates_meds_scan,
