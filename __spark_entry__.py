@@ -7924,7 +7924,8 @@ nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM gt),
         + ",\n".join(_abl)
         + """
 SELECT dim, nq.n_queries, n_hits,
-       CAST((n_hits * 10000) // (nq.n_queries * 10) AS BIGINT) AS recall_bp
+       CAST((n_hits * 10000) // GREATEST(nq.n_queries * 10, 1) AS BIGINT)
+         AS recall_bp
 FROM (SELECT * FROM h8 UNION ALL SELECT * FROM h16
       UNION ALL SELECT * FROM h32) u CROSS JOIN nq
 """

@@ -1283,7 +1283,9 @@ def dim_ablation_recall(
         "dim",
         "n_queries",
         "n_hits",
-        F.expr(f"(n_hits * 10000) div (n_queries * {k})")
+        # greatest(,1): an empty query sample (every query filtered out
+        # upstream) reports recall 0 instead of dividing by zero
+        F.expr(f"(n_hits * 10000) div greatest(n_queries * {k}, 1)")
         .cast("long")
         .alias("recall_bp"),
     )
