@@ -6672,11 +6672,15 @@ FROM per_doc
 
     # k-core peeling: the three passes unrolled — per pass a degree agg
     # (dK), the keep set (nK: deg >= 3), and the edge filter (eK+1)
+    # e{j} AS MATERIALIZED: each pass references its predecessor three
+    # times and DuckDB inlines CTEs by default — without materialization
+    # the corpus-sized upstream re-evaluates 3^rounds times (found as an
+    # 80 GB spill at the 10M-event sf10s sweep)
     _kc_pass = """
 d{i} AS (SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY node),
 n{i} AS (SELECT node FROM d{i} WHERE deg >= 3),
-e{j} AS (SELECT u, v FROM e{i}
+e{j} AS MATERIALIZED (SELECT u, v FROM e{i}
          WHERE u IN (SELECT node FROM n{i})
            AND v IN (SELECT node FROM n{i}))"""
     sql["kcore_items"] = (
@@ -6692,7 +6696,7 @@ capped AS (
                          ORDER BY c DESC, item ASC) AS rk
     FROM ki)
   WHERE rk <= 20),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT a.item AS u, b.item AS v
   FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY a.item, b.item
