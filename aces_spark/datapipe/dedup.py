@@ -351,6 +351,11 @@ def substring_strip(
     spans = islands.groupBy("doc_id", "__isl").agg(
         F.min("__s").alias("__s"), F.max("__e").alias("__e")
     )
+    # spans feeds BOTH the kept-segment branch and the per-doc stats
+    # branch: eager truncation (one merged-span row per doc — small)
+    # keeps the corpus-wide window-fingerprint chain from replaying per
+    # branch
+    spans = spans.localCheckpoint(eager=True)
     # kept segment BEFORE each span: [prev span end (or 0), span start)
     by_span = Window.partitionBy("doc_id").orderBy("__s")
     segs = spans.select(

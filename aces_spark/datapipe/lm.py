@@ -344,7 +344,11 @@ def train_kn3_lm(
         F.count(F.lit(1)).cast("long").alias("c_tg")
     )
     if cache:
-        trigrams = trigrams.persist()
+        # eager checkpoint, not persist: trigrams feeds four frames and
+        # the scorer — truncation keeps every downstream branch (and the
+        # plan audit) reading a materialized leaf instead of replaying
+        # the corpus tokenize per reference
+        trigrams = trigrams.localCheckpoint(eager=True)
     tri_contexts = trigrams.groupBy("u", "v").agg(
         F.sum("c_tg").cast("long").alias("c_ctx"),
         F.count(F.lit(1)).cast("long").alias("n_fol"),
@@ -353,7 +357,7 @@ def train_kn3_lm(
         F.count(F.lit(1)).cast("long").alias("m_vw")
     )
     if cache:
-        mid = mid.persist()
+        mid = mid.localCheckpoint(eager=True)
     mid_contexts = mid.groupBy("v").agg(
         F.sum("m_vw").cast("long").alias("m_v"),
         F.count(F.lit(1)).cast("long").alias("nf2"),
