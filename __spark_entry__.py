@@ -66,6 +66,7 @@ from aces_spark.datapipe.text import (
     char_stats,
     fingerprint,
     lang_id,
+    norm_tokens,
     quality_score,
     token_count,
 )
@@ -3085,6 +3086,23 @@ def q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(emb)
 
 
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage check (datapipe.text.oov_rate, r8): OOV
+    basis-point rate of odd docs against the even docs' vocabulary —
+    the commit-to-a-tokenizer coverage measurement; broadcast vocab,
+    one uniform doc-keyed exchange."""
+    from aces_spark.datapipe.text import oov_rate
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(norm_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return oov_rate(docs.filter(F.col("doc_id") % 2 == 1), vocab)
+
+
 def q_ab_welch(spark, sf_dir):
     """Welch's unequal-variance t-test (datapipe.analytics
     .ab_welch_ttest, r8): purchase values split by the user-id parity
@@ -3145,6 +3163,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "dim_ablation_recall": q_dim_ablation_recall,
     "ab_welch_ttest": q_ab_welch,
+    "oov_rate": q_oov_rate,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "lm_score_kn3": q_lm_score_kn3,
@@ -3180,7 +3199,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_groups": q_simhash_groups,
-    "simhash_near_pairs": q_simhash_near_pairs,
     # --- tier 3 (pinned core): flagship + 8 kernels, always in the top 50 ---
     "cohort_flagship": q_cohort_flagship,
     "temporal_window_fwd": q_temporal_window_fwd,
@@ -3191,7 +3209,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bound_chunked": q_event_bound_chunked,
     "event_bound_bwd": q_event_bound_bwd,
     "event_bound_record_end": q_event_bound_record_end,
-    # --- r4 overflow (displaced by the 6 late-r8 debuts): lead tier 2 in r9 ---
+    # --- r4 overflow (displaced by the 7 late-r8 debuts): lead tier 2 in r9 ---
+    "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "knn_classify": q_knn_classify,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -7965,5 +7984,29 @@ SELECT variant_a, variant_b, n_a, n_b,
   ROUND((se2a + se2b) * (se2a + se2b)
         / (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)), 2) AS welch_df
 FROM c
+"""
+
+    # OOV rate: odd docs vs the even docs' vocabulary; truncating div
+    sql["oov_rate"] = f"""
+WITH vocab AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest({_DOC_TOKENS_SQL}) AS word
+    FROM documents WHERE doc_id % 2 = 0)
+  WHERE word <> ''),
+toks AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS word
+    FROM documents WHERE doc_id % 2 = 1)
+  WHERE word <> ''),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.word = v.word
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       CAST((n_oov * 10000) // n_tokens AS BIGINT) AS oov_bp
+FROM per
 """
     return sql

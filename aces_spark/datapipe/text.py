@@ -860,3 +860,51 @@ def vocab_divergence(
             6,
         ).alias("js"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    vocabulary (r8) — the tokenizer/vocab-coverage check run before
+    committing to a vocabulary: documents whose tokens mostly miss the
+    vocab are the wrong language, the wrong domain, or gibberish, and a
+    planned tokenizer that OOVs them will shred them into bytes.
+
+    ``vocab`` is a one-column relation (``word``). Output:
+    ``(id_col, n_tokens, n_oov, oov_bp)`` with ``oov_bp`` the floor
+    basis-point ratio; empty documents are absent (no tokens — no
+    defined rate), matching the other token-ratio reports here.
+
+    Scale shape: the vocabulary is broadcast (vocabularies are
+    bounded by construction); the corpus explodes once, LEFT-probes the
+    broadcast, and aggregates on the unique doc key — map-side
+    partials collapse everything, one perfectly uniform exchange.
+    """
+    v = F.broadcast(
+        vocab.select(F.col("word").cast("string").alias("word"))
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    per = (
+        toks.join(v, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.expr("(n_oov * 10000) div n_tokens").cast("long").alias("oov_bp"),
+    )

@@ -350,3 +350,40 @@ def test_ab_welch_multi_variant_pairwise_and_nulls(spark):
     }
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
     assert got[("a", "b")]["n_a"] == 10  # null metric row excluded
+
+
+# --------------------------------------------------------------- oov
+
+def test_oov_rate_counts_and_boundary(spark):
+    from aces_spark.datapipe.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # 2 of 4 OOV
+            (2, "alpha alpha beta"),          # 0 OOV
+            (3, "zeta zeta zeta"),            # all OOV
+            (4, ""),                          # empty: absent
+            (5, "...!!!"),                    # punctuation-only: absent
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",)], "word string"
+    )
+    rows = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_tokens"], rows[1]["n_oov"], rows[1]["oov_bp"]) == (4, 2, 5000)
+    assert (rows[2]["n_oov"], rows[2]["oov_bp"]) == (0, 0)
+    assert (rows[3]["n_oov"], rows[3]["oov_bp"]) == (3, 10000)
+
+
+def test_oov_rate_vocab_broadcast_plan(spark):
+    from aces_spark.datapipe.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 13} word{i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([(f"word{i}",) for i in range(7)], "word string")
+    plan = oov_rate(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
