@@ -7971,7 +7971,7 @@ p AS (
          CAST(a.s1 AS DOUBLE) AS s1a, CAST(b.s1 AS DOUBLE) AS s1b,
          CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE) AS va_num,
          CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE) AS vb_num
-  FROM m a JOIN m b ON a.v < b.v),
+  FROM m a JOIN m b ON a.v < b.v AND a.n >= 2 AND b.n >= 2),
 c AS (
   SELECT *,
     s1a / n_a / 1e6 AS ma, s1b / n_b / 1e6 AS mb,

@@ -642,7 +642,11 @@ def ab_welch_ttest(
     ``(variant_a, variant_b, n_a, n_b, mean_a, mean_b, t_stat,
     welch_df)`` — variants in lexicographic order; means rounded to 6
     decimals, ``t_stat`` to 4, the Satterthwaite degrees of freedom to
-    2.
+    2. Variants with fewer than 2 observations are EXCLUDED from
+    pairing (a single-observation variant has no sample variance —
+    the n−1 denominator would be 0 and every statistic NULL), so a
+    degenerate experiment yields zero rows rather than a row of NULL
+    statistics (r8 advisor finding).
 
     Determinism discipline: metric values are fixed-pointed to
     micro-units (floor half-up — the engine-identical rounding), the
@@ -672,7 +676,13 @@ def ab_welch_ttest(
     moments = moments.localCheckpoint(eager=False)
     a = moments.alias("a")
     b = moments.alias("b")
-    pair = a.join(b, F.col("a.__v") < F.col("b.__v")).select(
+    pair = a.join(
+        b,
+        # n >= 2 on both sides: a 1-observation variant has s² = 0/0
+        (F.col("a.__v") < F.col("b.__v"))
+        & (F.col("a.n") >= 2)
+        & (F.col("b.n") >= 2),
+    ).select(
         F.col("a.__v").alias("variant_a"),
         F.col("b.__v").alias("variant_b"),
         F.col("a.n").alias("n_a"),

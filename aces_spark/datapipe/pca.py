@@ -27,9 +27,11 @@ tree-aggregated Gram. The projection is a literal-matrix expression:
 zero exchanges, no UDF on the serve path.
 
 Overflow audit: |x| < 100 → |u| < 1e8; u_i·u_j < 1e16; int64 partials
-safe to ~900 rows/batch at that extreme (typical unit-norm
-embeddings: |u| ≤ 1e6, 9e5 rows/batch); batches are capped accordingly
-and the DECIMAL(38,0) final sum is exact regardless.
+safe to ~920 rows/batch at that extreme (typical unit-norm
+embeddings: |u| ≤ 1e6, ~4.6e6 rows/batch). The chunk size is derived
+per batch from the observed max |u| (rows × umax² ≤ 2^62, capped at
+``_MAX_BATCH_ROWS``), so the int64 Gram partial can never wrap for any
+input range; the DECIMAL(38,0) final sum is exact regardless.
 """
 
 from __future__ import annotations
@@ -44,9 +46,25 @@ __all__ = ["embedding_covariance", "pca_whiten"]
 SCALE = 1_000_000
 _DEC = "decimal(38,0)"
 
-# int64 partial-gram safety: max |u_i*u_j| ~ 1e12 for unit-ish
-# embeddings -> 1e6 rows would reach 1e18; stay an order under
+# Upper bound on rows per int64 Gram chunk; the actual chunk size is
+# derived per Arrow batch from the observed max |u| so that
+# rows × umax² ≤ 2^62 (int64-safe with 2× headroom) for ANY coordinate
+# range, not just unit-norm embeddings.
 _MAX_BATCH_ROWS = 8192
+_INT64_BUDGET = 1 << 62
+
+
+def _safe_chunk_rows(umax: int) -> int:
+    """Largest chunk length whose int64 Gram partial cannot wrap.
+
+    Each Gram entry sums ``rows`` products bounded by ``umax²``; keeping
+    ``rows × umax² ≤ 2^62`` leaves a 2× margin under int64. Always at
+    least 1 (a single product |u_i·u_j| ≤ 1e16·… only wraps if a single
+    coordinate exceeds ~2.1e9, i.e. |x| > ~2147 — rejected below).
+    """
+    if umax <= 1:
+        return _MAX_BATCH_ROWS
+    return max(1, min(_MAX_BATCH_ROWS, _INT64_BUDGET // (umax * umax)))
 
 
 def embedding_covariance(
@@ -76,10 +94,17 @@ def embedding_covariance(
     def partial_grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             arr = np.stack(pdf["v"].to_numpy())
-            for lo in range(0, arr.shape[0], _MAX_BATCH_ROWS):
-                x = arr[lo : lo + _MAX_BATCH_ROWS].astype(np.float64)
-                u = np.floor(x * SCALE + 0.5).astype(np.int64)
-                g = u.T @ u  # d×d int64, exact within the capped batch
+            u_all = np.floor(arr.astype(np.float64) * SCALE + 0.5).astype(np.int64)
+            umax = int(np.abs(u_all).max(initial=0))
+            if umax * umax > _INT64_BUDGET:  # |x| beyond ~2.1e3: a single
+                raise ValueError(  # product would wrap int64
+                    f"embedding_covariance: coordinate magnitude {umax / SCALE}"
+                    " exceeds the int64-exact range (~2147)"
+                )
+            step = _safe_chunk_rows(umax)
+            for lo in range(0, u_all.shape[0], step):
+                u = u_all[lo : lo + step]
+                g = u.T @ u  # d×d int64, exact within the derived chunk
                 s = u.sum(axis=0)
                 iu, ju = np.triu_indices(d)
                 yield pd.DataFrame(
@@ -166,8 +191,8 @@ def pca_whiten(
     comps = []
     for c in range(w.shape[1]):
         terms = [
-            f"(cast(element_at({vec_col}, {i + 1}) as double) - ({mean[i]!r}))"
-            f" * ({w[i, c]!r})"
+            f"(cast(element_at({vec_col}, {i + 1}) as double) - ({float(mean[i])!r}))"
+            f" * ({float(w[i, c])!r})"
             for i in range(d)
         ]
         comps.append(f"cast({' + '.join(terms)} as float)")
