@@ -329,6 +329,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantizer: str = "exact",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with
     k-means, then drop near-duplicates WITHIN each cluster — the
@@ -368,6 +369,13 @@ def semantic_dedup(
       whenever both quantizers induce the same grouping (pinned at k=1
       and on separated clusters in ``tests/test_kmeans.py``); recall at
       k ≥ 256 is measured by ``tools/semdedup_probe.py``.
+
+    ``centroids`` (ivf arm only): a pre-trained ``(cell_id, centroid)``
+    frame to use INSTEAD of training — the production reuse-the-
+    quantizer shape (train once on a reference sample, dedup many
+    corpus increments against the same cell geometry), and what lets
+    ``tools/sf10_probe.py`` hand the exact same centroid matrix to its
+    independent numpy reference.
     """
     from .similarity import _norm
 
@@ -389,7 +397,13 @@ def semantic_dedup(
             "vec_id", "cluster_id"
         )
     elif quantizer == "ivf":
-        if k == 1:
+        if centroids is not None:
+            from .similarity import assign_cells_batched, collect_centroid_rows
+
+            assign = assign_cells_batched(
+                vectors, collect_centroid_rows(centroids), id_col, vec_col
+            ).select("vec_id", F.col("cell_id").cast("long").alias("cluster_id"))
+        elif k == 1:
             # MLlib KMeans requires k >= 2; one cell needs no trainer
             assign = vectors.select(
                 F.col(id_col).alias("vec_id"),

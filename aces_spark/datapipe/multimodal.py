@@ -291,24 +291,261 @@ def _huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG huffman code")
 
 
+def _split_entropy_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data (starting at ``pos``) into
+    restart segments with FF00 stuffing stripped. Returns the segments
+    and the offset of the terminating marker's 0xFF (EOI, the next SOS,
+    a DHT between progressive scans, …) — RST markers are segment
+    separators, everything else ends the scan."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(buf):
+        b = buf[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = buf[p + 1] if p + 1 < len(buf) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:
+            break  # any real marker terminates the scan's entropy data
+    segments.append(bytes(cur))
+    return segments, min(p, len(buf))
+
+
+def _decode_scan_baseline(comps, scan, huff, qtabs, bits, mcux, mcuy,
+                          restart_interval) -> None:
+    """Sequential DCT scan (SOF0): full-band huffman decode straight
+    into each component's coefficient grid (T.81 F.2)."""
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[sc["cs"]] for sc in scan["comps"]]
+    for c, sc in zip(order, scan["comps"]):
+        c["pred"] = 0
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.next_segment()
+            for c in order:
+                c["pred"] = 0
+        for c in order:
+            dc_tbl = huff.get((0, c["td"]))
+            ac_tbl = huff.get((1, c["ta"]))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG scan before its huffman tables")
+            my, mx = m // mcux, m % mcux
+            for b in range(c["h"] * c["v"]):
+                row = my * c["v"] + b // c["h"]
+                col = mx * c["h"] + b % c["h"]
+                coeffs = c["coef"][row, col]
+                t = _huff_decode(bits, dc_tbl)
+                if t > 11:
+                    raise ValueError("bad JPEG DC magnitude class")
+                c["pred"] += _extend(bits.receive(t), t)
+                coeffs[0] = c["pred"]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(bits, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coeffs[k] = _extend(bits.receive(s), s)
+                    k += 1
+
+
+def _decode_scan_progressive(comps, scan, huff, bits, mcux, mcuy,
+                             restart_interval, frame) -> None:
+    """One progressive scan (T.81 G.2): spectral band ``Ss..Se`` at
+    successive-approximation shift ``Al`` (first pass ``Ah == 0``,
+    refinement otherwise), accumulated into the components' coefficient
+    grids. DC scans may be interleaved; AC scans are single-component
+    per G.1.1.1.1 and walk the component's OWN block raster (the
+    non-interleaved MCU = one block, restart interval counted in
+    blocks)."""
+    by_id = {c["id"]: c for c in comps}
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    order = [by_id[sc["cs"]] for sc in scan["comps"]]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for c, sc in zip(order, scan["comps"]):
+            c["pred"] = 0
+            c["td"] = sc["td"]
+        interleaved = len(order) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            c = order[0]
+            cw = -(-(frame["w"] * c["h"]) // hmax)   # ceil comp width px
+            ch = -(-(frame["h"] * c["v"]) // vmax)
+            c["bw_used"], c["bh_used"] = -(-cw // 8), -(-ch // 8)
+            units = c["bw_used"] * c["bh_used"]
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                bits.next_segment()
+                for c in order:
+                    c["pred"] = 0
+            for c in order:
+                if interleaved:
+                    my, mx = m // mcux, m % mcux
+                    blocks = [
+                        (my * c["v"] + b // c["h"], mx * c["h"] + b % c["h"])
+                        for b in range(c["h"] * c["v"])
+                    ]
+                else:
+                    blocks = [(m // c["bw_used"], m % c["bw_used"])]
+                for row, col in blocks:
+                    coeffs = c["coef"][row, col]
+                    if ah == 0:  # first DC pass
+                        dc_tbl = huff.get((0, c["td"]))
+                        if dc_tbl is None:
+                            raise ValueError("JPEG scan before its huffman tables")
+                        t = _huff_decode(bits, dc_tbl)
+                        if t > 11:
+                            raise ValueError("bad JPEG DC magnitude class")
+                        c["pred"] += _extend(bits.receive(t), t)
+                        coeffs[0] = c["pred"] << al
+                    else:  # DC refinement: one raw bit per block
+                        if bits.read_bit():
+                            coeffs[0] |= 1 << al
+        return
+
+    # AC scan: exactly one component
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = order[0]
+    ac_tbl = huff.get((1, scan["comps"][0]["ta"]))
+    if ac_tbl is None:
+        raise ValueError("JPEG scan before its huffman tables")
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    bw_used, bh_used = -(-cw // 8), -(-ch // 8)
+    eobrun = 0
+    for m in range(bw_used * bh_used):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.next_segment()
+            eobrun = 0
+        coeffs = c["coef"][m // bw_used, m % bw_used]
+        if ah == 0:
+            eobrun = _ac_first_block(bits, ac_tbl, coeffs, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(bits, ac_tbl, coeffs, ss, se, al, eobrun)
+
+
+def _ac_first_block(bits, ac_tbl, coeffs, ss, se, al, eobrun) -> int:
+    """First AC pass for one block (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first): EOB-run aware run-length decode, coefficients
+    entered at ``value << Al``."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band end")
+            coeffs[k] = _extend(bits.receive(s), s) << al
+            k += 1
+        else:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += bits.receive(r)
+            return eobrun - 1  # this block consumed one
+    return 0
+
+
+def _ac_refine_block(bits, ac_tbl, coeffs, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): correction bits for already-nonzero
+    coefficients, newly-nonzero coefficients at ±(1 << Al)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement magnitude")
+                s_val = p1 if bits.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break  # remaining coefficients handled below
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            while k <= se:
+                if coeffs[k] != 0:
+                    if bits.read_bit():
+                        if (int(coeffs[k]) & p1) == 0:
+                            coeffs[k] += p1 if coeffs[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement past band end")
+                coeffs[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coeffs[k] != 0:
+                if bits.read_bit():
+                    if (int(coeffs[k]) & p1) == 0:
+                        coeffs[k] += p1 if coeffs[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JFIF payload to ``(h, w, 3)`` uint8 —
-    dependency-free (pure-Python huffman + numpy 8×8 IDCT + YCbCr→RGB),
-    covering the profile ~all web JPEGs use: SOF0, 8-bit, 1 (greyscale)
-    or 3 (YCbCr) components, any sampling factors (4:4:4/4:2:2/4:2:0),
-    restart intervals. Progressive (SOF2), arithmetic coding,
-    hierarchical, 12-bit, and 4-component Adobe CMYK raise
-    :class:`DecodeNotAvailable`; truncated/corrupt streams raise
-    ``ValueError``.
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2, r9)
+    huffman JFIF payload to ``(h, w, 3)`` uint8 — dependency-free
+    (pure-Python huffman + numpy 8×8 IDCT + YCbCr→RGB), covering the
+    profile ~all web JPEGs use: 8-bit, 1 (greyscale) or 3 (YCbCr)
+    components, any sampling factors (4:4:4/4:2:2/4:2:0), restart
+    intervals, and for progressive the full spectral-selection ×
+    successive-approximation grid (interleaved or per-component DC
+    scans, single-component AC scans, EOB runs, refinement correction
+    bits — T.81 Annex G). Arithmetic coding, hierarchical, 12-bit, and
+    4-component Adobe CMYK raise :class:`DecodeNotAvailable`;
+    truncated/corrupt streams raise ``ValueError``.
 
     Spec-parity notes (ITU-T T.81): huffman tables built straight from
-    BITS/HUFFVAL (C.2), DC prediction reset on restart markers (F.2.1.3),
-    EXTEND for signed magnitudes (F.2.2.1), dequantize → de-zigzag →
-    IDCT per A.3.3 with the IDCT batched over every block of a component
-    in ONE einsum, chroma planes upsampled by pixel replication (the
-    spec leaves upsampling to the decoder; replication keeps the output
-    deterministic and library-free), then the JFIF/CCIR-601 YCbCr→RGB
-    matrix with round-half-up and clamp."""
+    BITS/HUFFVAL (C.2) and snapshotted PER SCAN (progressive files
+    redefine DHT between scans), DC prediction and EOB runs reset on
+    restart markers (F.2.1.3), EXTEND for signed magnitudes (F.2.2.1),
+    coefficients accumulated across scans then dequantize → de-zigzag →
+    IDCT per A.3.3 with the IDCT batched over every block of a
+    component in ONE einsum, chroma planes upsampled by pixel
+    replication (the spec leaves upsampling to the decoder; replication
+    keeps the output deterministic and library-free), then the
+    JFIF/CCIR-601 YCbCr→RGB matrix with round-half-up and clamp."""
     if payload is None or len(payload) < 3 or bytes(payload[:3]) != b"\xff\xd8\xff":
         raise DecodeNotAvailable("not a JPEG payload")
     buf = bytes(payload)
@@ -317,8 +554,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(buf):
+    scans: list[dict] = []
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = buf[pos + 1]
@@ -359,7 +596,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tc, th)] = table
                 p += 17 + sum(counts)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
             if prec != 8:
                 raise DecodeNotAvailable(f"{prec}-bit JPEG")
@@ -369,48 +606,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecodeNotAvailable(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended/arithmetic)"
+                f"JPEG SOF{marker - 0xC0} (extended/lossless/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            scan = []
+            sc_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
-            pos += ln
-            break  # entropy-coded data follows
-        pos += ln
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-
-    # split entropy-coded data into restart segments, stripping stuffing
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = pos
-    while p < len(buf):
-        b = buf[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
+                sc_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            segments, pos = _split_entropy_segments(buf, pos + ln)
+            scans.append(
+                {
+                    "comps": sc_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahl >> 4,
+                    "al": ahl & 0xF,
+                    "segments": segments,
+                    # tables/DRI are mutable between scans — snapshot
+                    "huff": dict(huff),
+                    "dri": restart_interval,
+                }
+            )
             continue
-        nxt = buf[p + 1] if p + 1 < len(buf) else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        elif nxt == 0xD9:
-            break
-        else:
-            raise ValueError(f"unexpected marker FF{nxt:02X} in JPEG scan")
-    segments.append(bytes(cur))
+        pos += ln
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
@@ -418,71 +646,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    for sc in scan:
-        c = by_id.get(sc["cs"])
-        if c is None:
-            raise ValueError("JPEG scan references unknown component")
-        c["td"], c["ta"] = sc["td"], sc["ta"]
-        c["blocks"] = []
-        c["pred"] = 0
+    for c in comps:
         if c["tq"] not in qt:
             raise ValueError("JPEG scan before its quant table")
+        # coefficient grid over the PADDED (MCU-aligned) block raster;
+        # progressive scans accumulate into it across passes
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
 
-    bits = _JpegBits(segments)
-    n_mcus = mcux * mcuy
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            bits.next_segment()
-            for c in comps:
-                c["pred"] = 0
-        for c in comps:
-            dc_tbl = huff.get((0, c["td"]))
-            ac_tbl = huff.get((1, c["ta"]))
-            if dc_tbl is None or ac_tbl is None:
-                raise ValueError("JPEG scan before its huffman tables")
-            q = qt[c["tq"]]
-            for _ in range(c["h"] * c["v"]):
-                coeffs = np.zeros(64, dtype=np.int32)
-                t = _huff_decode(bits, dc_tbl)
-                if t > 11:
-                    raise ValueError("bad JPEG DC magnitude class")
-                c["pred"] += _extend(bits.receive(t), t)
-                coeffs[0] = c["pred"]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(bits, ac_tbl)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    coeffs[k] = _extend(bits.receive(s), s)
-                    k += 1
-                c["blocks"].append(coeffs * q)
+    for scan in scans:
+        for sc in scan["comps"]:
+            if sc["cs"] not in by_id:
+                raise ValueError("JPEG scan references unknown component")
+        bits = _JpegBits(scan["segments"])
+        if frame["prog"]:
+            _decode_scan_progressive(
+                comps, scan, scan["huff"], bits, mcux, mcuy, scan["dri"], frame
+            )
+        else:
+            _decode_scan_baseline(
+                comps, scan, scan["huff"], qt, bits, mcux, mcuy, scan["dri"]
+            )
 
     a = _idct_basis()
     planes = []
     for c in comps:
         bw, bh = mcux * c["h"], mcuy * c["v"]
-        fs = np.zeros((len(c["blocks"]), 8, 8))
-        packed = np.stack(c["blocks"]) if c["blocks"] else np.zeros((0, 64))
-        fs.reshape(len(c["blocks"]), 64)[:, _ZIGZAG] = packed
+        n_blocks = bw * bh
+        q = qt[c["tq"]]
+        packed = c["coef"].reshape(n_blocks, 64) * q[None, :]
+        fs = np.zeros((n_blocks, 8, 8))
+        fs.reshape(n_blocks, 64)[:, _ZIGZAG] = packed
         px = np.einsum("ux,nuv,vy->nxy", a, fs, a) + 128.0
         px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hh) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
-                        i += 1
+        # blocks are stored in the component's (row, col) raster — fold
+        # the (bh, bw, 8, 8) grid straight into the plane
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
         plane = np.repeat(plane, vmax // c["v"], axis=0)
         plane = np.repeat(plane, hmax // c["h"], axis=1)
         planes.append(plane[: frame["h"], : frame["w"]])

@@ -260,3 +260,334 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------- progressive
+
+_DEFAULT_SCRIPT_3 = [
+    # the classic jpeg_simple_progression script (cjpeg): interleaved DC
+    # first pass, low-band luma, full-band chroma, high-band luma, then
+    # one successive-approximation refinement ladder for everything
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_DEFAULT_SCRIPT_1 = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _prog_grids(img, quant, subsample):
+    """Per-component PADDED block grids of zigzag-ordered quantized
+    coefficients — the progressive encoder's working form. Mirrors
+    encode_jpeg's color/subsample/pad pipeline."""
+    img = np.asarray(img, dtype=np.float64)
+    grey = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full(64, quant, dtype=np.int32) if np.isscalar(quant) else np.asarray(
+        quant, dtype=np.int32
+    )
+    qtab = q.reshape(8, 8)[np.unravel_index(ZIGZAG, (8, 8))]
+
+    if grey:
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), "edge")
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    grids = []
+    for p, (sh, sv) in zip(planes, samp):
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), "edge")
+        bh, bw_ = th // 8, tw // 8
+        grid = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = _fdct(blk)
+                qd = np.floor(f / q.reshape(8, 8) + 0.5).astype(np.int64)
+                grid[by, bx] = [int(qd.flat[ZIGZAG[k]]) for k in range(64)]
+        grids.append(grid)
+    return h, w, samp, qtab, grids, hmax, vmax, mcux, mcuy
+
+
+class _ProgScanEncoder:
+    """One progressive scan, run twice: pass 1 collects huffman symbols
+    (emit=None), pass 2 writes bits. Implements cjpeg's EOB-run and
+    refinement-correction-bit buffering (cjphuff.c semantics)."""
+
+    def __init__(self, enc=None):
+        self.enc = enc  # symbol -> (code, length) or None for pass 1
+        self.syms: set[int] = set()
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.corr: list[int] = []  # buffered correction bits
+        self.out = bytearray()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(s)
+        if self.enc is not None:
+            code, ln = self.enc[s]
+            self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.enc is not None and n:
+            self.bw.write(v, n)
+
+    def flush_corr(self) -> None:
+        for b in self.corr:
+            self.bits(b, 1)
+        self.corr = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bits(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        self.flush_corr()
+
+    def restart(self, n: int) -> None:
+        self.emit_eobrun()
+        if self.enc is not None:
+            self.bw.flush()
+            self.out += self.bw.out
+            self.bw = _BitWriter()
+            self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        if self.enc is not None:
+            self.bw.flush()
+            self.out += self.bw.out
+        return bytes(self.out)
+
+
+def _prog_dc_first(se_, zz, pred, al):
+    diff = (int(zz[0]) >> al) - pred
+    t, bits_ = _magnitude(diff)
+    se_.sym(t)
+    se_.bits(bits_, t)
+    return int(zz[0]) >> al
+
+
+def _prog_dc_refine(se_, zz, al):
+    se_.bits((int(zz[0]) >> al) & 1, 1)
+
+
+def _prog_ac_first(se_, zz, ss, s_end, al):
+    # point transform: |v| >> Al, re-signed (T.81 G.1.2.1)
+    vals = [0] * 64
+    for k in range(ss, s_end + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        vals[k] = -t if v < 0 else t
+    last = 0
+    for k in range(ss, s_end + 1):
+        if vals[k] != 0:
+            last = k
+    if all(vals[k] == 0 for k in range(ss, s_end + 1)):
+        se_.eobrun += 1
+        if se_.eobrun == 0x7FFF:
+            se_.emit_eobrun()
+        return
+    se_.emit_eobrun()
+    run = 0
+    for k in range(ss, last + 1):
+        if vals[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            se_.sym(0xF0)
+            run -= 16
+        t, bits_ = _magnitude(vals[k])
+        se_.sym((run << 4) | t)
+        se_.bits(bits_, t)
+        run = 0
+    if last < s_end:
+        se_.eobrun += 1
+        if se_.eobrun == 0x7FFF:
+            se_.emit_eobrun()
+
+
+def _prog_ac_refine(se_, zz, ss, s_end, al):
+    # cjphuff.c encode_mcu_AC_refine
+    absv = [0] * 64
+    eob = 0
+    for k in range(ss, s_end + 1):
+        t = abs(int(zz[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # last NEWLY-nonzero coefficient
+    r = 0
+    br: list[int] = []
+    for k in range(ss, s_end + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            se_.emit_eobrun()
+            se_.sym(0xF0)
+            r -= 16
+            for b in br:
+                se_.bits(b, 1)
+            br = []
+        if temp > 1:
+            # previously-nonzero: buffer its correction bit
+            br.append(temp & 1)
+            continue
+        # newly-nonzero (temp == 1)
+        se_.emit_eobrun()
+        se_.sym((r << 4) | 1)
+        se_.bits(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            se_.bits(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        se_.eobrun += 1
+        se_.corr.extend(br)
+        if se_.eobrun == 0x7FFF or len(se_.corr) > 900:
+            se_.emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: int | np.ndarray = 8,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    script: list | None = None,
+) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JFIF byte string: spectral
+    selection + successive approximation over the same quantized
+    coefficients as :func:`encode_jpeg` — so a progressive decode must
+    match the baseline decode of the same image EXACTLY. ``script`` is
+    a list of ``(comp_indices, Ss, Se, Ah, Al)``; default is the cjpeg
+    jpeg_simple_progression ladder."""
+    h, w, samp, qtab, grids, hmax, vmax, mcux, mcuy = _prog_grids(
+        img, quant, subsample
+    )
+    n_comp = len(grids)
+    if script is None:
+        script = _DEFAULT_SCRIPT_3 if n_comp == 3 else _DEFAULT_SCRIPT_1
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(
+        int(x) for x in qtab
+    )
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n_comp])
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+
+    def used_blocks(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    for comps_idx, ss, s_end, ah, al in script:
+        dc_scan = ss == 0
+
+        def run_scan(enc):
+            se_ = _ProgScanEncoder(enc)
+            preds = {ci: 0 for ci in comps_idx}
+            rst_n = 0
+            if dc_scan and len(comps_idx) > 1:
+                units = mcux * mcuy
+                for m in range(units):
+                    if restart_interval and m and m % restart_interval == 0:
+                        se_.restart(rst_n)
+                        rst_n += 1
+                        preds = {ci: 0 for ci in comps_idx}
+                    my, mx = m // mcux, m % mcux
+                    for ci in comps_idx:
+                        sh, sv = samp[ci]
+                        for v in range(sv):
+                            for hh in range(sh):
+                                zz = grids[ci][my * sv + v, mx * sh + hh]
+                                if ah == 0:
+                                    preds[ci] = _prog_dc_first(se_, zz, preds[ci], al)
+                                else:
+                                    _prog_dc_refine(se_, zz, al)
+            else:
+                ci = comps_idx[0]
+                bw_u, bh_u = used_blocks(ci)
+                for m in range(bw_u * bh_u):
+                    if restart_interval and m and m % restart_interval == 0:
+                        se_.restart(rst_n)
+                        rst_n += 1
+                        preds = {ci: 0 for ci in comps_idx}
+                    zz = grids[ci][m // bw_u, m % bw_u]
+                    if dc_scan:
+                        if ah == 0:
+                            preds[ci] = _prog_dc_first(se_, zz, preds[ci], al)
+                        else:
+                            _prog_dc_refine(se_, zz, al)
+                    elif ah == 0:
+                        _prog_ac_first(se_, zz, ss, s_end, al)
+                    else:
+                        _prog_ac_refine(se_, zz, ss, s_end, al)
+            data = se_.finish()
+            return se_.syms, data
+
+        syms, _ = run_scan(None)
+        needs_table = not (dc_scan and ah != 0)  # DC refine is raw bits
+        tbl_id = 0
+        if needs_table:
+            enc, dht = _fixed_tables(syms or {0})
+            tc = 0 if dc_scan else 1
+            out_dht = b"\xff\xc4" + (len(dht) + 3).to_bytes(2, "big") + bytes(
+                [(tc << 4) | tbl_id]
+            ) + dht
+            out += out_dht
+            _, data = run_scan(enc)
+        else:
+            _, data = run_scan({})
+
+        sos = bytearray([len(comps_idx)])
+        for ci in comps_idx:
+            td = tbl_id if dc_scan else 0
+            ta = 0 if dc_scan else tbl_id
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, s_end, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)

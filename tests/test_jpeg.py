@@ -115,12 +115,13 @@ def test_nonuniform_quant_table():
 
 def test_unsupported_profiles_raise_decode_not_available():
     payload = bytearray(bytes.fromhex(FIXTURE_HEX))
-    # progressive: patch SOF0 -> SOF2
+    # arithmetic-coded: patch SOF0 -> SOF9 (progressive SOF2 is now
+    # SUPPORTED, r9 — see the progressive section below)
     i = bytes(payload).find(b"\xff\xc0")
-    prog = payload.copy()
-    prog[i + 1] = 0xC2
+    arith = payload.copy()
+    arith[i + 1] = 0xC9
     with pytest.raises(DecodeNotAvailable):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     # 16-bit quant table: set DQT precision nibble
     j = bytes(payload).find(b"\xff\xdb")
     deep = payload.copy()
@@ -271,3 +272,138 @@ def test_phash_near_pairs_validation(spark):
         phash_near_pairs(df, k=64)
     with pytest.raises(ValueError):
         phash_near_pairs(df, k=-1)
+
+
+# ---------------------------------------------------------------- progressive
+# (r9, VERDICT r8 ask #3) SOF2 spectral selection + successive
+# approximation over the same huffman/IDCT core. The reference encoder
+# (tests/jpeg_ref.py:encode_jpeg_progressive — cjpeg's
+# jpeg_simple_progression script, shares no code with the decoder)
+# emits the SAME quantized coefficients as its baseline sibling, so a
+# progressive decode must equal the baseline decode EXACTLY.
+
+# 16x16 smooth RGB gradient, quant=4, 4:2:0, restart every unit —
+# generated once by encode_jpeg_progressive and checked in byte-for-byte.
+# Its golden md5 EQUALS the baseline fixture's: same image, same
+# quantization, losslessly re-represented across 10 progressive scans.
+PROG_FIXTURE_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb004300040404040404040404"
+    "04040404040404040404040404040404040404040404040404040404040404040404"
+    "040404040404040404040404040404040404040404ffc20011080010001003012200"
+    "021100031100ffdd00040001ffc40016000000030000000000000000000000000004"
+    "0506ffda000c030100020003000000011a629a310098ffc400151000020000000000"
+    "0000000000000000000002ffda0008010100010502563fffd0563fffd1563fffd256"
+    "3fffc40017100000040000000000000000000000000000042131ffda000801030001"
+    "3f01265d907fffc40017100000040000000000000000000000000000020561ffda00"
+    "08010200013f012a7b0fffc40014100001000000000000000000000000000000ffda"
+    "0008010100063f023fffd03fffd13fffd23fffc40014100001000000000000000000"
+    "000000000000ffda0008010100013f213fffd03fffd13fffd23fffda000c03010002"
+    "00030000001003ffc4001610000003000000000000000000000000000041a1ffda00"
+    "08010300013f104a21ffc4001610000003000000000000000000000000000001f0ff"
+    "da0008010200013f104c87ffc4001610000003000000000000000000000000000021"
+    "31ffda0008010100013f1044c7ffd044c7ffd144c7ffd244c7ffd9"
+)
+
+
+def test_progressive_pinned_fixture_exact_golden():
+    out = decode_jpeg(bytes.fromhex(PROG_FIXTURE_HEX))
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    assert hashlib.md5(out.tobytes()).hexdigest() == GOLDEN_MD5
+    assert out[0, 0].tolist() == [42, 208, 66]
+    assert out[15, 15].tolist() == [127, 138, 160]
+    assert out[7, 8].tolist() == [89, 175, 110]
+
+
+def test_progressive_equals_baseline_444_420_grey():
+    from jpeg_ref import encode_jpeg_progressive
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack(
+        [40 + 6 * xx, 210 - 5 * yy, 60 + 3 * xx + 4 * yy], axis=2
+    ).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        base = decode_jpeg(encode_jpeg(rgb, quant=4, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, quant=4, **kw))
+        assert np.array_equal(base, prog), kw
+    g = ((yy * 2 + xx * 3) % 200 + 20).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quant=2)),
+        decode_jpeg(encode_jpeg_progressive(g, quant=2)),
+    )
+
+
+def test_progressive_equals_baseline_randomized():
+    # sizes/sampling/quant/restart sweep — EOB runs, ZRL-in-refinement,
+    # correction bits, multi-segment restarts all hit across the grid
+    from jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        grey = bool(rng.integers(0, 2))
+        sub = (not grey) and bool(rng.integers(0, 2))
+        quant = int(rng.integers(1, 30))
+        ri = int(rng.choice([0, 1, 2, 5]))
+        shape = (h, w) if grey else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quant=quant, subsample=sub, restart_interval=ri)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quant=quant, subsample=sub, restart_interval=ri
+            )
+        )
+        assert np.array_equal(base, prog), (h, w, grey, sub, quant, ri)
+
+
+def test_progressive_flat_image_pure_eob_runs():
+    # a flat image makes every AC scan one giant EOB run
+    from jpeg_ref import encode_jpeg_progressive
+
+    img = np.full((24, 40), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img, quant=16))
+    assert np.unique(out).tolist() == [130]
+
+
+def test_progressive_custom_scripts():
+    from jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    g = ((yy * 7 + xx * 5) % 240).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quant=3))
+    # single full-band AC pass, no successive approximation
+    simple = [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)]
+    assert np.array_equal(
+        base, decode_jpeg(encode_jpeg_progressive(g, quant=3, script=simple))
+    )
+    # three spectral slices + a 2-level refinement ladder (DC refine
+    # goes Al 2→1→0 one bit per scan)
+    deep = [
+        ([0], 0, 0, 0, 2),
+        ([0], 1, 2, 0, 1),
+        ([0], 3, 20, 0, 1),
+        ([0], 21, 63, 0, 1),
+        ([0], 0, 0, 2, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    assert np.array_equal(
+        base, decode_jpeg(encode_jpeg_progressive(g, quant=3, script=deep))
+    )
+
+
+def test_progressive_corrupt_streams_raise_value_error():
+    from jpeg_ref import encode_jpeg_progressive
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    g = ((yy + xx) % 200).astype(np.uint8)
+    payload = bytearray(encode_jpeg_progressive(g, quant=4))
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[: len(payload) // 2]) )
+    # a progressive DC scan claiming Se=63 is malformed
+    i = bytes(payload).find(b"\xff\xda")
+    bad = payload.copy()
+    bad[i + 2 + 2 + 3] = 63  # Se byte of the first (DC) scan header
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
