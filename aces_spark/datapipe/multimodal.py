@@ -1036,16 +1036,52 @@ def resize_images(
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry μ-law / A-law → 16-bit-linear decode tables, built from
+    the ITU-T G.711 expansion formulas verbatim (the sox/CCITT
+    reference: BIAS 0x84 μ-law, XOR 0x55 A-law, segment shift 4)."""
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE integer-PCM payload dependency-free: walk the
-    chunk list (chunks pad to even offsets), parse ``fmt ``, and return
-    ``(samples, sample_rate)`` with ``samples`` float64 in [-1, 1],
-    shaped ``(n_frames, n_channels)``. 8-bit WAV is unsigned by spec
-    (offset 128); 16-bit is little-endian signed. Anything that is not
-    a WAV at all — or needs a real codec (float PCM, ADPCM, MP3-in-WAV,
-    24-bit) — raises :class:`DecodeNotAvailable` so callers fall back;
-    a true-WAV with a malformed/truncated chunk list raises
-    ``ValueError`` (corrupt, not unsupported)."""
+    """Decode a RIFF/WAVE payload dependency-free: walk the chunk list
+    (chunks pad to even offsets), parse ``fmt ``, and return
+    ``(samples, sample_rate)`` with ``samples`` float64, shaped
+    ``(n_frames, n_channels)``. Supported encodings (r9 widened the
+    r7 integer-PCM core per VERDICT r8 ask #7):
+
+    * format 1 (integer PCM): 8-bit unsigned (offset 128), 16-bit and
+      24-bit little-endian signed — normalized to [-1, 1].
+    * format 3 (IEEE float PCM): 32- and 64-bit little-endian floats,
+      passed through un-rescaled (the spec's nominal range IS [-1, 1];
+      out-of-range samples are preserved so the clipping feature sees
+      them).
+    * formats 6/7 (G.711 A-law / μ-law): 8-bit companded telephony
+      audio through the ITU expansion tables (:func:`_g711_tables`),
+      normalized from the 16-bit-linear domain.
+
+    Anything else that needs a real codec (ADPCM, MP3-in-WAV,
+    WAVE_FORMAT_EXTENSIBLE) — or a non-WAV — raises
+    :class:`DecodeNotAvailable` so callers fall back; a true-WAV with a
+    malformed/truncated chunk list raises ``ValueError`` (corrupt, not
+    unsupported)."""
     if (
         payload is None
         or len(payload) < 44
@@ -1072,17 +1108,45 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise DecodeNotAvailable(f"WAV format {audio_format} (integer PCM only)")
-    if bits not in (8, 16):
-        raise DecodeNotAvailable(f"{bits}-bit WAV (8/16-bit PCM only)")
     if n_channels < 1 or rate < 1:
         raise ValueError("WAV with zero channels or rate")
-    if bits == 8:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            usable = len(data) - (len(data) % 2)
+            x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            usable = len(data) - (len(data) % 3)
+            raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+            x = v.astype(np.float64) / float(1 << 23)
+        else:
+            raise DecodeNotAvailable(f"{bits}-bit integer-PCM WAV")
+    elif audio_format == 3:  # IEEE float PCM
+        if bits == 32:
+            usable = len(data) - (len(data) % 4)
+            x = np.frombuffer(data[:usable], dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            usable = len(data) - (len(data) % 8)
+            x = np.frombuffer(data[:usable], dtype="<f8").astype(np.float64)
+        else:
+            raise DecodeNotAvailable(f"{bits}-bit float-PCM WAV")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise DecodeNotAvailable(f"{bits}-bit G.711 WAV")
+        ulaw, alaw = _g711_tables()
+        table = alaw if audio_format == 6 else ulaw
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     else:
-        usable = len(data) - (len(data) % 2)
-        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+        raise DecodeNotAvailable(
+            f"WAV format {audio_format} (PCM/float/G.711 only)"
+        )
     frames = x.shape[0] // n_channels
     if frames == 0:
         raise ValueError("WAV data chunk holds no complete frame")
