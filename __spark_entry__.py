@@ -1442,6 +1442,19 @@ def q_substring_strip(spark, sf_dir):
     return substring_strip(_docs_with_near_dups(spark, sf_dir), window=40, stride=20)
 
 
+def q_substring_strip_exact(spark, sf_dir):
+    """ExactSubstr strip (datapipe.dedup.substring_strip_exact, r9):
+    Lee et al.'s suffix-array semantics as relational ops — every char
+    inside a >= 50-char substring occurring >= 2x corpus-wide is
+    spliced out, at ANY offset (the stride-phase blindness measured in
+    tools/substr_gap_probe.py is what this closes: windowed recall 6.1%
+    at the 40/20 default vs 100% here). Position-exploded min_len-grams
+    -> one fingerprint exchange -> shared gaps-and-islands splice."""
+    from aces_spark.datapipe.dedup import substring_strip_exact
+
+    return substring_strip_exact(_docs_with_near_dups(spark, sf_dir), min_len=50)
+
+
 def q_minhash_jaccard(spark, sf_dir):
     """Full MinHash pipeline: LSH candidates + signature-agreement Jaccard
     estimate, filtered at 0.3 (portable md5 hasher)."""
@@ -3166,6 +3179,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
+    "substring_strip_exact": q_substring_strip_exact,
     "lm_score_kn3": q_lm_score_kn3,
     "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
@@ -5261,6 +5275,48 @@ w AS (SELECT doc_id, CAST(i * 20 AS BIGINT) AS s, CAST(i * 20 + 40 AS BIGINT) AS
              md5(substring(text, CAST(i * 20 + 1 AS INT), 40)) AS wfp
       FROM aug, UNNEST(range(0, ((length(text) - 40) // 20) + 1)) AS u(i)
       WHERE length(text) >= 40),
+occ AS (SELECT wfp FROM w GROUP BY wfp HAVING COUNT(*) >= 2),
+fl AS (SELECT doc_id, s, e FROM w JOIN occ USING (wfp)),
+isl AS (
+  SELECT doc_id, s, e,
+    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM fl)),
+spans AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+          FROM isl GROUP BY doc_id, island),
+segs AS (SELECT doc_id,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS a,
+           s AS b
+         FROM spans),
+hd AS (SELECT g.doc_id,
+         STRING_AGG(substring(d.text, CAST(g.a + 1 AS INT), CAST(g.b - g.a AS INT)),
+                    '' ORDER BY g.a) AS head
+       FROM segs g JOIN aug d USING (doc_id) GROUP BY g.doc_id),
+per AS (SELECT doc_id, MAX(e) AS tail_start, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS n_chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN per.n_spans IS NULL THEN d.text
+       ELSE COALESCE(hd.head, '')
+            || substring(d.text, CAST(per.tail_start + 1 AS INT))
+  END AS text_clean,
+  COALESCE(per.n_spans, 0) AS n_spans,
+  COALESCE(per.n_chars_removed, 0) AS n_chars_removed
+FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
+"""
+
+    # ExactSubstr strip: position-exploded 50-grams, same islands/splice
+    # tail as substring_strip (the flag rule is the only difference)
+    sql["substring_strip_exact"] = f"""
+WITH aug AS ({_DOCS_NEAR_DUPS_SQL}),
+w AS (SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + 50 AS BIGINT) AS e,
+             md5(substring(text, CAST(i + 1 AS INT), 50)) AS wfp
+      FROM aug, UNNEST(range(0, length(text) - 50 + 1)) AS u(i)
+      WHERE length(text) >= 50),
 occ AS (SELECT wfp FROM w GROUP BY wfp HAVING COUNT(*) >= 2),
 fl AS (SELECT doc_id, s, e FROM w JOIN occ USING (wfp)),
 isl AS (

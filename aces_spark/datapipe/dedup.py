@@ -301,6 +301,20 @@ def substring_strip(
     ``length(text_clean) = length(text) − n_chars_removed`` and every
     flagged window's char range is covered by a removed span.
 
+    RECALL CAVEAT (r9, measured by ``tools/substr_gap_probe.py``
+    against a suffix-array ExactSubstr reference on duplicates planted
+    at random offsets): stride-aligned windows only match two copies of
+    a run when the copies share stride PHASE (offset difference ≡ 0 mod
+    stride, probability ~1/stride for cross-doc copies at arbitrary
+    offsets). Per-char recall of ≥50-char duplicated runs: **6.1% at
+    the (40, 20) default**, 2.2% at (50, 25), 20.8% at (25, 10), 0% at
+    stride = window. This operator is therefore a cheap screen for
+    PHASE-ALIGNED duplication (shared document prefixes, boilerplate at
+    fixed offsets, whole-block copies) — for Lee et al.'s actual
+    offset-independent semantics use :func:`substring_strip_exact`
+    (measured recall 100%, over-strip 0%), which costs one exploded row
+    per character instead of one per stride.
+
     Scale shape: window explode (narrow) → ONE exchange on the window
     md5 for occurrence counts → flagged windows (the *duplicated* subset
     only) go through the classic gaps-and-islands merge — two window
@@ -338,6 +352,79 @@ def substring_strip(
         (F.col("__i") * stride).alias("__s"),
         (F.col("__i") * stride + window).alias("__e"),
     )
+    return _strip_flagged_spans(docs, flagged)
+
+
+def substring_strip_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """EXACT substring dedup-and-strip — the relational equivalent of
+    Lee et al. 2022's suffix-array ExactSubstr pass (min duplicated
+    length 50): remove every character that lies inside a substring of
+    length ≥ ``min_len`` occurring ≥ 2 times corpus-wide, at ANY
+    offset. Where :func:`substring_strip`'s stride-aligned windows only
+    match two copies that share stride PHASE (measured recall on
+    random-offset planted duplicates: 6% at the 40/20 default — see
+    ``tools/substr_gap_probe.py``), this operator explodes EVERY
+    position's ``min_len``-gram: a duplicated run's grams are identical
+    at the same in-run offsets regardless of where each copy sits in
+    its document, so recall on ≥ ``min_len`` duplicates is 100% by
+    construction (modulo md5 collisions on the gram fingerprint — the
+    corpus-size-independent 2⁻¹²⁸ contract every fingerprint operator
+    here shares). The union of flagged ``[pos, pos+min_len)`` spans is
+    exactly the duplicated character set: a length-l ≥ min_len run
+    contributes grams at offsets 0..l−min_len whose spans tile it.
+
+    Output contract matches :func:`substring_strip`:
+    ``(doc_id, text_clean, n_spans, n_chars_removed)``, all copies
+    removed, untouched docs byte-identical.
+
+    Scale shape: one row per character (the honest cost of exact
+    substring dedup — Lee et al.'s suffix array reads the corpus
+    per-byte too), each carrying a 32-byte md5 → ONE exchange keyed by
+    the gram fingerprint, flagged positions merge row-locally after one
+    doc-keyed exchange (gaps-and-islands), splice via one doc join.
+    Shuffle ≈ 40 bytes/char: use :func:`substring_strip` as the cheap
+    screen when phase-aligned duplication (shared prefixes, boilerplate
+    blocks at fixed offsets) is the target, this when ExactSubstr
+    semantics are."""
+    if min_len < 1:
+        raise ValueError("substring_strip_exact: min_len must be >= 1")
+    docs = df.select("doc_id", F.col(text_col).alias("text")).localCheckpoint(
+        eager=False
+    )
+    eligible = docs.filter(F.length("text") >= min_len)
+    n_pos = F.length("text") - min_len + 1
+    grams = eligible.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), (n_pos - 1).cast("long"))).alias(
+            "__i"
+        ),
+        F.md5(
+            F.col("text").substr((F.col("__i") + 1).cast("int"), F.lit(min_len))
+        ).alias("__gfp"),
+    ).localCheckpoint(eager=False)
+    occ = (
+        grams.groupBy("__gfp")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+        .filter(F.col("__n_occ") >= 2)
+        .select("__gfp")
+    )
+    flagged = grams.join(occ, "__gfp").select(
+        "doc_id",
+        F.col("__i").alias("__s"),
+        (F.col("__i") + min_len).alias("__e"),
+    )
+    return _strip_flagged_spans(docs, flagged)
+
+
+def _strip_flagged_spans(docs: DataFrame, flagged: DataFrame) -> DataFrame:
+    """Shared back half of :func:`substring_strip` /
+    :func:`substring_strip_exact`: merge flagged ``(doc_id, __s, __e)``
+    char ranges into maximal spans and splice them out of ``docs``
+    (``doc_id, text``). Two doc-keyed window stages + one corpus join."""
     # gaps-and-islands: a window starts a new span iff it begins past the
     # running max end of everything before it (touching spans merge)
     by_start = Window.partitionBy("doc_id").orderBy("__s")

@@ -1,0 +1,131 @@
+"""Round-9 operator tests: substring_strip_exact (the ExactSubstr
+variant added after tools/substr_gap_probe.py measured the windowed
+operator's 6.1% recall on offset-misaligned duplicates)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from aces_spark.datapipe.dedup import substring_strip, substring_strip_exact
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz 0123456789") for _ in range(n))
+
+
+def test_misaligned_cross_doc_duplicate_removed(spark):
+    rng = random.Random(5)
+    snip = _rand_text(rng, 72)
+    docs = [
+        (1, "aaa" + snip + _rand_text(rng, 40)),
+        (2, "bbbbbbb" + snip + _rand_text(rng, 40)),  # different phase
+        (3, _rand_text(rng, 80)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_strip_exact(df, min_len=50).collect()}
+    assert out[1]["n_chars_removed"] == len(snip)
+    assert out[2]["n_chars_removed"] == len(snip)
+    assert out[1]["text_clean"] == "aaa" + docs[0][1][3 + len(snip):]
+    assert out[2]["text_clean"] == "bbbbbbb" + docs[1][1][7 + len(snip):]
+    assert out[3]["n_chars_removed"] == 0
+    assert out[3]["text_clean"] == docs[2][1]
+    # the windowed sibling misses this phase-shifted copy entirely
+    w = {r["doc_id"]: r for r in substring_strip(df).collect()}
+    assert w[1]["n_chars_removed"] == 0 and w[2]["n_chars_removed"] == 0
+
+
+def test_min_len_floor_is_sharp(spark):
+    rng = random.Random(6)
+    dup49 = _rand_text(rng, 49)
+    dup50 = _rand_text(rng, 50)
+    # boundary chars pinned distinct so the shared run is EXACTLY 50:
+    # doc1 precedes dup50 with 'q', doc2 with 'y'; dup50 ends doc1
+    docs = [
+        (1, dup49 + "x" + _rand_text(rng, 30) + "q" + dup50),
+        (2, _rand_text(rng, 20) + dup49 + "y" + dup50 + _rand_text(rng, 10)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_strip_exact(df, min_len=50).collect()}
+    # only the 50-char run is duplicated at >= min_len
+    assert out[1]["n_chars_removed"] == 50
+    assert out[2]["n_chars_removed"] == 50
+    assert dup49 in out[1]["text_clean"] and dup49 in out[2]["text_clean"]
+
+
+def test_within_doc_and_self_overlapping_runs(spark):
+    rng = random.Random(7)
+    snip = _rand_text(rng, 60)
+    docs = [
+        (1, snip + _rand_text(rng, 25) + snip),  # twice in ONE doc
+        (2, "a" * 120 + _rand_text(rng, 30)),    # self-overlapping run
+        (3, "a" * 120 + _rand_text(rng, 30)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_strip_exact(df, min_len=50).collect()}
+    assert out[1]["n_chars_removed"] == 2 * len(snip)
+    assert out[2]["n_chars_removed"] == 120
+    assert out[3]["n_chars_removed"] == 120
+
+
+def test_short_and_untouched_docs_byte_identical(spark):
+    docs = [(1, "short"), (2, ""), (3, "x" * 49)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_strip_exact(df, min_len=50).collect()}
+    for d, t in docs:
+        assert out[d]["text_clean"] == t
+        assert out[d]["n_spans"] == 0 and out[d]["n_chars_removed"] == 0
+
+
+def test_python_differential_random_plants(spark):
+    # engine vs an independent per-position gram reference on a messy
+    # planted corpus (overlapping plants, edge-of-doc plants)
+    rng = random.Random(11)
+    docs = {i: _rand_text(rng, rng.randint(60, 300)) for i in range(40)}
+    for ln in (50, 64, 90, 130):
+        snip = _rand_text(rng, ln)
+        for _ in range(rng.randint(2, 3)):
+            d = rng.randrange(40)
+            off = rng.randrange(len(docs[d]) + 1)
+            docs[d] = docs[d][:off] + snip + docs[d][off:]
+    L = 50
+    occ: dict[str, int] = {}
+    for t in docs.values():
+        for i in range(len(t) - L + 1):
+            g = t[i : i + L]
+            occ[g] = occ.get(g, 0) + 1
+    expect = {}
+    for d, t in docs.items():
+        mask = set()
+        for i in range(len(t) - L + 1):
+            if occ[t[i : i + L]] >= 2:
+                mask.update(range(i, i + L))
+        # splice = keep chars not in mask, in order
+        expect[d] = (
+            "".join(ch for j, ch in enumerate(t) if j not in mask),
+            len(mask),
+        )
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_strip_exact(df, min_len=L).collect()}
+    for d in docs:
+        assert out[d]["text_clean"] == expect[d][0], d
+        assert out[d]["n_chars_removed"] == expect[d][1], d
+        assert len(out[d]["text_clean"]) == len(docs[d]) - out[d]["n_chars_removed"]
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(13)
+    snip = _rand_text(rng, 80)
+    rows = [(i, _rand_text(rng, 100) + (snip if i % 3 == 0 else "")) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    a = sorted(tuple(r) for r in substring_strip_exact(df1).collect())
+    b = sorted(tuple(r) for r in substring_strip_exact(df8).collect())
+    assert a == b
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        substring_strip_exact(None, min_len=0)
