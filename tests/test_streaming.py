@@ -426,3 +426,94 @@ def test_promotion_recovery_after_partial_swap(spark, tmp_path):
     names = [p.name for p in bad_state.iterdir()]
     assert "part-00000.parquet" in names
     shutil.rmtree(str(bad_state), ignore_errors=True)
+
+
+@pytest.mark.parametrize("mode", ["row_to_bound", "bound_to_row"])
+@pytest.mark.parametrize("closed", ["right", "left", "both", "none"])
+def test_open_window_tracker_full_grid_matches_batch_kernel(
+    spark, tmp_path, mode, closed
+):
+    """r9 (VERDICT r8 ask #5): stream ≡ batch for EVERY mode×closedness,
+    across micro-batch boundaries (maxFilesPerTrigger=1), including
+    same-row trigger+boundary events and carried state."""
+    from pyspark.sql import functions as F
+
+    from aces_spark.operators.aggregate import boolean_expr_bound_sum
+    from aces_spark.streaming.pipeline import open_window_tracker
+
+    base = datetime(2024, 3, 1)
+    schema = "subject_id long, timestamp timestamp, adm long, dis long, lab long"
+    # three files → three micro-batches; subjects exercise: windows
+    # spanning batches, trigger+boundary same row, multiple open windows,
+    # boundary-before-trigger (backward carry), never-resolved triggers
+    f1 = [
+        (1, base + timedelta(hours=0), 1, 0, 0),
+        (1, base + timedelta(hours=2), 0, 0, 1),
+        (2, base + timedelta(hours=1), 1, 0, 1),
+        (2, base + timedelta(hours=3), 0, 1, 1),
+        (3, base + timedelta(hours=1), 0, 1, 1),  # boundary first (backward)
+    ]
+    f2 = [
+        (1, base + timedelta(hours=5), 1, 0, 1),  # second open window
+        (1, base + timedelta(hours=6), 0, 1, 1),
+        (2, base + timedelta(hours=4), 1, 1, 1),  # trigger+boundary same row
+        (3, base + timedelta(hours=7), 1, 0, 1),  # trigger after carried bnd
+    ]
+    f3 = [
+        (1, base + timedelta(hours=8), 0, 1, 1),
+        (2, base + timedelta(hours=9), 1, 0, 0),  # never closed (forward)
+        (3, base + timedelta(hours=10), 0, 1, 0),
+        (3, base + timedelta(hours=11), 1, 0, 1),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate((f1, f2, f3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    qname = f"tracker_{mode}_{closed}"
+    q = (
+        open_window_tracker(stream, "adm", "dis", mode=mode, closed=closed)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.subject_id, r.trigger_ts, r.boundary_ts, r.adm, r.dis, r.lab)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    )
+
+    batch = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    kernel = boolean_expr_bound_sum(batch, F.col("dis") > 0, mode, closed)
+    trig_rows = batch.filter(F.col("adm") > 0).select("subject_id", "timestamp")
+    joined = kernel.join(trig_rows, ["subject_id", "timestamp"])
+    if mode == "row_to_bound":
+        resolved = joined.filter(F.col("timestamp_at_end").isNotNull())
+        want = sorted(
+            (r.subject_id, r.timestamp_at_start, r.timestamp_at_end,
+             r.adm, r.dis, r.lab)
+            for r in resolved.collect()
+        )
+    else:
+        resolved = joined.filter(F.col("timestamp_at_start").isNotNull())
+        # tracker output: (trigger_ts, boundary_ts) = (row ts, start ts)
+        want = sorted(
+            (r.subject_id, r.timestamp_at_end, r.timestamp_at_start,
+             r.adm, r.dis, r.lab)
+            for r in resolved.collect()
+        )
+    assert got == want, f"{mode}/{closed}: {got} != {want}"
