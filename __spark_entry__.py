@@ -3366,8 +3366,66 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# Round-9 verification schedule (see ARCHITECTURE.md 'Query rotation
+# policy'): tier 1 = the r9 debut, tier 2 = the 12-query r4 overflow
+# + the 28 stalest r5-greens, tier 3 = the pinned core; everything
+# r8-verified rotates to the tail, freshest (the 11 r8 debuts) last.
+_R9_ORDER = [
+    "substring_strip_exact", "simhash_near_pairs", "ann_cosine_topk", "knn_classify",
+    "ann_ivf_topk", "embedding_label_stats", "multimodal_frame_plan", "multimodal_payload_stats",
+    "multimodal_features", "cohort_feature_vectors", "predicates_meds_scan", "dedup_exact",
+    "dedup_exact_groups", "pagerank_items", "ppr_items", "fuzzy_vocab_pairs",
+    "value_trend", "item_association", "item_communities", "bloom_join_supplier",
+    "incr_agg_merge", "zorder_stats", "cms_user_counts", "hist_quantiles",
+    "triangle_count", "hll_by_type", "kcore_items", "doc_entropy",
+    "interval_overlap_join", "ivfpq_topk_indexed", "lsh_cosine_topk", "snapshot_diff",
+    "check_rules", "bm25_search", "kmv_distinct", "hll_distinct",
+    "event_transitions", "lang_drift", "rolling_stats", "lm_score",
+    "scd2_merge", "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
+    "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
+    "event_bound_bwd", "event_bound_record_end", "weighted_sample", "rolling_time",
+    "value_anomalies", "collocations", "item_covisitation", "bpe_pair_counts",
+    "hll_registers", "label_centroids", "predicate_value_range", "derived_and_or",
+    "text_quality", "stratified_sample", "dsir_selection", "kmeans_clusters",
+    "entity_resolution", "semantic_dedup", "phrase_search", "distinctive_terms",
+    "ivf_append_topk", "rank_normalize", "sorted_neighborhood", "time_weighted_avg",
+    "coverage_select", "domain_temperature_mix", "containment_pairs", "hard_negatives",
+    "winsorized_values", "random_projection", "bpe_merges", "bpe_encode_tokens",
+    "tfidf_features", "sessionization", "decontamination", "sequence_packing",
+    "split_assignment", "vocab_topk", "paragraph_dedup", "dedup_incremental",
+    "corpus_pipeline", "event_funnel", "cohort_retention", "text_char_stats",
+    "lang_id", "predicate_regex_anyof", "special_predicates", "static_filter",
+    "trigger_anchors", "esgpt_predicates", "stratified_take", "corpus_clean",
+    "dedup_keep_best", "dedup_clusters", "pii_scrub", "lineitem_pricing_summary",
+    "revenue_join", "region_rollup", "brand_revenue", "local_supplier_volume",
+    "doc_length_quantiles", "html_extract", "token_counts", "doc_fingerprint",
+    "props_field_stats", "event_type_pivot", "sq8_codes", "sq8_topk",
+    "lm_score_kn", "ngram_overlap", "binary_hamming_topk", "encoding_artifacts",
+    "vocab_divergence", "quality_classifier", "zipf_corpus_stats", "epoch_shard_plan",
+    "prefix_jaccard", "boilerplate_lines", "boilerplate_strip", "ppl_buckets",
+    "corpus_diversity", "embedding_outliers", "hist_by_group", "sentence_stats",
+    "leakage_safe_split", "mmr_select", "ngram_novelty", "tokenizer_fertility",
+    "adamic_adar_links", "tfidf_cosine_dups", "user_active_coverage", "feature_hashing",
+    "decayed_engagement", "hybrid_rrf_search", "contamination_fraction", "token_budget_fill",
+    "doc_outlier_filter", "corpus_mix_sample", "key_skew_report", "heavy_keys",
+    "pq_codes", "pq_topk", "doc_chunking", "rare_token_score",
+    "asof_join_views", "range_join_attrib", "time_rollup", "gapfill_locf",
+    "ann_ivf_indexed", "ann_ivf_recall", "ivf_cell_stats", "substring_dedup",
+    "minhash_jaccard", "url_normalize", "domain_stats", "group_vocab_topk",
+    "token_histogram", "corpus_mix", "embedding_dim_stats", "repetition_stats",
+    "winnowing_fingerprints", "embedding_dup_pairs", "ngram_jaccard_pairs", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash_groups", "pii_density_filter", "bradley_terry",
+    "fuzzy_decontamination", "embedding_covariance", "dim_ablation_recall", "ab_welch_ttest",
+    "oov_rate", "classifier_train_score", "substring_strip", "lm_score_kn3",
+    "hamming_near_pairs",
+]
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    # _R9_ORDER is the round-9 schedule; any key not yet in it (a future
+    # debut) leads per the tier-1 rule
+    fresh = [k for k in _QUERIES if k not in set(_R9_ORDER)]
+    ordered = fresh + [k for k in _R9_ORDER if k in _QUERIES]
+    return {k: _QUERIES[k] for k in ordered}
 
 
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

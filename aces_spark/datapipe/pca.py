@@ -41,7 +41,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_covariance", "pca_whiten"]
+__all__ = ["embedding_covariance", "pca_fit", "pca_whiten", "projection_expr"]
 
 SCALE = 1_000_000
 _DEC = "decimal(38,0)"
@@ -147,24 +147,27 @@ def embedding_covariance(
     )
 
 
-def pca_whiten(
+def pca_fit(
     df: DataFrame,
     n_components: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = 1e-9,
-) -> DataFrame:
-    """Project embeddings onto the top ``n_components`` principal axes
-    with 1/√λ whitening — output ``(id_col, whitened array<float>)``.
-
-    The covariance is taken through :func:`embedding_covariance` (exact
-    integers), eigendecomposed on the driver (d×d — the sanctioned
-    bounded hop, same class as the k-means codebook collects), signs
-    pinned (first component of each eigenvector with \\|·\\| > eps made
-    positive), and the resulting (d × n_components) matrix is inlined as
-    literal arithmetic: the projection itself is map-only JVM code, no
-    UDF, no exchange.
-    """
+    whiten: bool = True,
+    return_values: bool = False,
+):
+    """Fit the PCA projection and return it driver-side as plain floats:
+    ``(mean[d], w[d][k])`` with ``projected = (x - mean) @ w``. The
+    covariance comes from :func:`embedding_covariance` (exact integers),
+    the eigendecomposition is the sanctioned bounded d×d driver hop,
+    signs are pinned (first \\|·\\| > eps component positive, descending
+    λ). ``whiten=True`` scales each axis by 1/√λ (the
+    :func:`pca_whiten` metric); ``whiten=False`` returns the pure
+    ORTHONORMAL rotation — L2 distances are preserved, which is what
+    :func:`aces_spark.datapipe.pq.opq_train` composes with PQ (OPQ's
+    rotation must keep the metric or the ADC distances change meaning).
+    ``return_values=True`` appends the eigenvalues (descending) to the
+    tuple — OPQ's eigenvalue allocation needs them."""
     import numpy as np
 
     cov_rows = embedding_covariance(df, id_col, vec_col).collect()
@@ -186,17 +189,54 @@ def pca_whiten(
         nz = np.flatnonzero(np.abs(vecs[:, c]) > eps)
         if nz.size and vecs[nz[0], c] < 0:
             vecs[:, c] = -vecs[:, c]
-    w = vecs / np.sqrt(np.maximum(vals, eps))  # d × k whitening matrix
+    w = vecs / np.sqrt(np.maximum(vals, eps)) if whiten else vecs
+    out = (
+        [float(x) for x in mean],
+        [[float(w[i, c]) for c in range(w.shape[1])] for i in range(d)],
+    )
+    if return_values:
+        return (*out, [float(v) for v in vals])
+    return out
 
+
+def projection_expr(
+    vec_col: str, mean: list[float], w: list[list[float]]
+) -> "F.Column":
+    """``(x - mean) @ w`` as a literal-matrix Column expression over an
+    array column — map-only JVM arithmetic, no UDF, no exchange; the
+    serve-path shape shared by :func:`pca_whiten` and the OPQ rotation."""
+    d = len(mean)
     comps = []
-    for c in range(w.shape[1]):
+    for c in range(len(w[0])):
         terms = [
             f"(cast(element_at({vec_col}, {i + 1}) as double) - ({float(mean[i])!r}))"
-            f" * ({float(w[i, c])!r})"
+            f" * ({float(w[i][c])!r})"
             for i in range(d)
         ]
         comps.append(f"cast({' + '.join(terms)} as float)")
+    return F.expr("array(" + ", ".join(comps) + ")")
+
+
+def pca_whiten(
+    df: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project embeddings onto the top ``n_components`` principal axes
+    with 1/√λ whitening — output ``(id_col, whitened array<float>)``.
+
+    The covariance is taken through :func:`embedding_covariance` (exact
+    integers), eigendecomposed on the driver (d×d — the sanctioned
+    bounded hop, same class as the k-means codebook collects), signs
+    pinned (first component of each eigenvector with \\|·\\| > eps made
+    positive), and the resulting (d × n_components) matrix is inlined as
+    literal arithmetic: the projection itself is map-only JVM code, no
+    UDF, no exchange.
+    """
+    mean, w = pca_fit(df, n_components, id_col, vec_col, eps, whiten=True)
     return df.select(
         F.col(id_col),
-        F.expr("array(" + ", ".join(comps) + ")").alias("whitened"),
+        projection_expr(vec_col, mean, w).alias("whitened"),
     )

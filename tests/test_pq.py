@@ -179,3 +179,164 @@ def test_pq_encode_with_kmeans_codebook(spark):
     codes = pq_encode(emb, cb).collect()
     assert len(codes) == 500
     assert all(0 <= c < 4 for r in codes for c in r["codes"])
+
+
+# ------------------------------------------------------------------- OPQ (r9)
+
+class TestOpq:
+    def _correlated(self, spark, n=60, seed=3):
+        # strongly-correlated dims: random 2D latent through a fixed
+        # mixing matrix + small noise — the regime where rotation helps
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        latent = rng.normal(size=(n, 2))
+        mix = rng.normal(size=(2, 8))
+        x = latent @ mix + 0.01 * rng.normal(size=(n, 8))
+        return spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_rotated_equals_brute_force_on_rotated_space(self, spark):
+        # full-scan parity: opq_topk == pq_topk run on PRE-rotATED
+        # vectors with the same codebook — the rotation is applied
+        # identically on corpus and query sides
+        from aces_spark.datapipe.pq import (
+            opq_encode,
+            opq_rotate,
+            opq_topk,
+            pq_encode,
+            pq_topk,
+        )
+
+        df = self._correlated(spark)
+        from aces_spark.datapipe.pq import opq_train
+
+        model = opq_train(df, m=4, n_codes=8, quantizer="seed")
+        queries = df.filter("vec_id < 4")
+
+        got = sorted(
+            tuple(r) for r in opq_topk(queries, opq_encode(df, model), model, k=3).collect()
+        )
+        rotated = opq_rotate(df, model)
+        want = sorted(
+            tuple(r)
+            for r in pq_topk(
+                opq_rotate(queries, model),
+                pq_encode(rotated, model["codebook"]),
+                model["codebook"],
+                k=3,
+            ).collect()
+        )
+        assert got == want
+
+    def test_orthonormal_rotation_preserves_distances(self, spark):
+        import numpy as np
+
+        from aces_spark.datapipe.pq import opq_rotate, opq_train
+
+        df = self._correlated(spark)
+        model = opq_train(df, m=4, n_codes=8, quantizer="seed", whiten=False)
+        w = np.asarray(model["w"])
+        assert np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)
+        rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in df.collect()}
+        rot = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in opq_rotate(df, model).collect()}
+        for a, b in [(0, 1), (2, 7), (5, 9)]:
+            d0 = np.linalg.norm(rows[a] - rows[b])
+            d1 = np.linalg.norm(rot[a] - rot[b])
+            assert abs(d0 - d1) < 1e-4  # float32 output array tolerance
+
+    def test_opq_beats_plain_pq_on_anisotropic_data(self, spark):
+        # the point of the rotation: recall@k vs exact L2 improves on
+        # FULL-RANK anisotropic data whose axes are mixed (the OPQ win
+        # regime — measured here kmeans 0.58 plain → 0.76 rotated).
+        # Low-rank data is the honest counter-case (see opq_train's
+        # docstring): redundant spreading across subspaces beats
+        # decorrelation there.
+        import numpy as np
+
+        from aces_spark.datapipe.pq import (
+            opq_encode,
+            opq_topk,
+            opq_train,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 120
+        spec = np.array([16.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.125])
+        qmat, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+        x = rng.normal(size=(n, 8)) * np.sqrt(spec) @ qmat.T
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.filter("vec_id < 10")
+        rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+
+        def exact_topk(qid, k=5):
+            q = rows[qid]
+            d = sorted(
+                (float(np.sum((q - v) ** 2)), i)
+                for i, v in rows.items() if i != qid
+            )
+            return {i for _, i in d[:k]}
+
+        def recall(res):
+            by_q = {}
+            for r in res:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return sum(
+                len(by_q.get(q, set()) & exact_topk(q)) for q in by_q
+            ) / (5.0 * len(by_q))
+
+        plain_cb = pq_train(df, m=4, n_codes=8, quantizer="kmeans")
+        plain = recall(
+            pq_topk(queries, pq_encode(df, plain_cb), plain_cb, k=5).collect()
+        )
+        model = opq_train(df, m=4, n_codes=8, quantizer="kmeans")
+        rotated_r = recall(
+            opq_topk(queries, opq_encode(df, model), model, k=5).collect()
+        )
+        assert rotated_r > plain  # measured 0.76 vs 0.58
+
+    def test_save_load_index_roundtrip(self, spark, tmp_path):
+        from aces_spark.datapipe.pq import (
+            opq_encode,
+            opq_topk,
+            opq_topk_indexed,
+            save_opq_index,
+        )
+
+        df = self._correlated(spark)
+        path = str(tmp_path / "opq_idx")
+        model = save_opq_index(
+            df, path, n_cells=2, m=4, n_codes=8, quantizer="seed"
+        )
+        assert len(model["w"]) == 8
+        queries = df.filter("vec_id < 3")
+        # probing ALL cells makes the pruned scan a full scan → must
+        # match the in-memory full-scan path exactly
+        got = sorted(
+            tuple(r)
+            for r in opq_topk_indexed(
+                spark, path, queries, k=3, n_probes=2
+            ).collect()
+        )
+        # the index trained its own codebook over the rotated corpus via
+        # save_ivfpq_index(quantizer='seed'); mirror that here
+        from aces_spark.datapipe.pq import opq_train
+
+        mem_model = opq_train(df, m=4, n_codes=8, quantizer="seed")
+        want = sorted(
+            tuple(r)
+            for r in opq_topk(
+                queries, opq_encode(df, mem_model), mem_model, k=3
+            ).collect()
+        )
+        assert got == want
