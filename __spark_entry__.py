@@ -1455,6 +1455,24 @@ def q_substring_strip_exact(spark, sf_dir):
     return substring_strip_exact(_docs_with_near_dups(spark, sf_dir), min_len=50)
 
 
+_BLOCKLIST_PHRASES = ["slow join", "batch batch", "the fast key", "vector"]
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Phrase-blocklist report (datapipe.blocklist.blocklist_hits, r9):
+    exact token-sequence matches of a C4-style banned-phrase list —
+    per-doc total hits (overlaps count) + distinct phrases. Engine =
+    rarest-token anchor election (PPJoin discipline: one corpus occ
+    aggregate, broadcast anchors, narrow position explode, candidate-
+    sized verify join-back); oracle = a DELIBERATELY different
+    brute-force slice-equality formulation, so agreement validates the
+    anchor machinery, not just arithmetic."""
+    from aces_spark.datapipe.blocklist import blocklist_hits
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_hits(docs, _BLOCKLIST_PHRASES)
+
+
 def q_minhash_jaccard(spark, sf_dir):
     """Full MinHash pipeline: LSH candidates + signature-agreement Jaccard
     estimate, filtered at 0.3 (portable md5 hasher)."""
@@ -3180,6 +3198,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train_score": q_classifier_train_score,
     "substring_strip": q_substring_strip,
     "substring_strip_exact": q_substring_strip_exact,
+    "blocklist_hits": q_blocklist_hits,
     "lm_score_kn3": q_lm_score_kn3,
     "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
@@ -5365,6 +5384,25 @@ SELECT d.doc_id,
   COALESCE(per.n_spans, 0) AS n_spans,
   COALESCE(per.n_chars_removed, 0) AS n_chars_removed
 FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
+"""
+
+    # blocklist: brute-force slice equality at every position — a
+    # deliberately DIFFERENT algorithm from the engine's rarest-token
+    # anchor election, same result
+    phrase_vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(f"'{t}'" for t in p.split()) + "])"
+        for i, p in enumerate(_BLOCKLIST_PHRASES)
+    )
+    sql["blocklist_hits"] = f"""
+WITH toks AS (SELECT doc_id, {_DOC_TOKENS_SQL} AS t FROM documents),
+ph AS (SELECT * FROM (VALUES {phrase_vals}) v(pid, ptoks)),
+pos AS (SELECT doc_id, t, i FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+ver AS (
+  SELECT doc_id, pid FROM pos, ph
+  WHERE t[i : i + len(ptoks) - 1] = ptoks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_phrases
+FROM ver GROUP BY doc_id
 """
 
     # ExactSubstr strip: position-exploded 50-grams, same islands/splice

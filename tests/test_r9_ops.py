@@ -129,3 +129,80 @@ def test_partition_invariance(spark):
 def test_validation():
     with pytest.raises(ValueError):
         substring_strip_exact(None, min_len=0)
+
+
+# ------------------------------------------------------- blocklist (r9)
+
+from aces_spark.datapipe.blocklist import (  # noqa: E402
+    blocklist_filter,
+    blocklist_hits,
+    normalize_phrases,
+)
+
+
+def test_blocklist_overlaps_boundaries_normalization(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the slow join ran and the Slow-Join ran again"),
+            (2, "batch batch batch batch"),
+            (3, "clean text with nothing bad"),
+            (4, "slow joint is not a slow join"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["n_phrases"])
+           for r in blocklist_hits(docs, ["slow join", "batch batch"]).collect()}
+    assert got == {1: (2, 1), 2: (3, 1), 4: (1, 1)}  # overlaps count; 3 absent
+    kept = blocklist_filter(docs, ["slow join", "batch batch"]).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in kept] == [(3, 0)]
+    soft = blocklist_filter(docs, ["slow join", "batch batch"], max_hits=1)
+    assert sorted(r["doc_id"] for r in soft.collect()) == [3, 4]
+
+
+def test_blocklist_stopword_phrase_anchors_on_rare_token(spark):
+    # "the" floods the corpus; the anchor election must pick "zzyzx"
+    # (occ 1) so the candidate set is 1 row, and the match still lands
+    docs = spark.createDataFrame(
+        [(i, "the word the word the") for i in range(20)]
+        + [(99, "the zzyzx the end")],
+        "doc_id long, text string",
+    )
+    got = blocklist_hits(docs, ["the zzyzx"]).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(99, 1)]
+
+
+def test_blocklist_absent_phrase_and_validation(spark):
+    docs = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    assert blocklist_hits(docs, ["not in corpus at all"]).count() == 0
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        normalize_phrases(["!!!", "  "])
+    assert normalize_phrases(["Bad-Word!", "ok"]) == [["bad", "word"], ["ok"]]
+
+
+def test_blocklist_python_differential(spark):
+    import random
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "the", "run"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60)))
+        for i in range(60)
+    }
+    phrases = ["alpha beta", "the the", "gamma", "beta gamma delta"]
+    expect = {}
+    for d, t in docs.items():
+        toks = t.split()
+        n_hits, pids = 0, set()
+        for pid, p in enumerate(x.split() for x in phrases):
+            for s in range(len(toks) - len(p) + 1):
+                if toks[s : s + len(p)] == p:
+                    n_hits += 1
+                    pids.add(pid)
+        if n_hits:
+            expect[d] = (n_hits, len(pids))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["n_phrases"])
+           for r in blocklist_hits(df, phrases).collect()}
+    assert got == expect
