@@ -420,13 +420,17 @@ def opq_train(
     allocation landed); with it, each subspace quantizes a comparable
     share of the variance.
 
-    Honest regime note (measured, tests/test_pq.py): the rotation wins
-    on FULL-RANK anisotropic embeddings (recall@5 0.58 → 0.76 at
-    m=4/n_codes=8 on a 16…0.125 spectrum behind a random orthonormal
-    mix); on LOW-RANK data (rank ≪ d) plain PQ can be slightly better —
-    spreading the same latent across all subspaces gives the distance
-    m redundant noisy estimates that average down, which decorrelation
-    deliberately removes. Profile the spectrum before enabling.
+    Honest regime note (measured — tests/test_pq.py +
+    tools/opq_probe.py): the rotation wins on ANISOTROPIC embeddings —
+    full-rank recall@10 0.476 → 0.760 and rank-4-in-64-dims 0.530 →
+    0.778 at m=8/n_codes=16; recall@5 0.58 → 0.76 at m=4/n_codes=8 on a
+    16…0.125 spectrum. Two measured counter-regimes: ISOTROPIC data
+    (testdata embeddings 0.200 → 0.166 — no covariance structure to
+    exploit, the rotation only reshuffles noise) and rank ≪ m with a
+    tiny codebook (rank-2 in 8 dims at m=4/n_codes=8: plain wins —
+    spreading the latent across all subspaces gives the distance m
+    redundant noisy estimates that average down, which decorrelation
+    removes). Profile the spectrum before enabling.
 
     ``whiten=False`` (default) keeps the rotation ORTHONORMAL so L2
     distances — and therefore ADC semantics and recall-vs-brute-force —
