@@ -616,3 +616,83 @@ def maintain_stats_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (r9) — the attribution /
+    funnel-correlation primitive (impression ⋈ click within N minutes,
+    order ⋈ payment, alert ⋈ acknowledgement): match right-stream rows
+    to same-key left-stream rows whose event time falls in
+    ``[left_ts, left_ts + max_delay]``.
+
+    This is the one Structured Streaming join shape that needs state on
+    BOTH sides: each side buffers rows until the other side's watermark
+    passes the time-range bound, then Spark evicts — the watermark plus
+    the closed time-range condition is exactly what makes the state
+    BOUNDED (without the range condition a stream-stream join's state
+    grows forever; Spark enforces this for outer joins and we keep the
+    same discipline for inner). ``how='leftOuter'`` emits unmatched
+    left rows with nulls once their watermark expires — the
+    "impression never clicked" negative set.
+
+    Batch parity: on non-streaming inputs the same join condition runs
+    as a plain equi+range join, so stream ≡ batch is testable row-exact
+    (pinned across micro-batch splits in tests/test_streaming.py).
+
+    Output: key cols + ``{left_prefix}ts`` + ``{right_prefix}ts`` +
+    the remaining columns of each side under their prefixes.
+
+    At 100 TB-scale: the join keys hash-partition both streams once
+    (the engine's standard key exchange); state size per executor is
+    bounded by key-rate × max_delay — size ``max_delay`` to the real
+    correlation horizon, not a safety margin (the watermark handles
+    lateness separately)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("correlate_streams: how must be 'inner' or 'leftOuter'")
+
+    lcols = [c for c in left.columns if c not in key_cols and c != left_ts]
+    rcols = [c for c in right.columns if c not in key_cols and c != right_ts]
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias(f"{left_prefix}ts"),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in lcols],
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in key_cols],
+        F.col(right_ts).alias(f"{right_prefix}ts"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
+    )
+    if l.isStreaming:
+        l = l.withWatermark(f"{left_prefix}ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}ts", watermark)
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+    cond = (
+        cond
+        & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
+        & (
+            F.col(f"{right_prefix}ts")
+            <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    joined = l.join(r, cond, how)
+    return joined.select(
+        *key_cols,
+        f"{left_prefix}ts",
+        f"{right_prefix}ts",
+        *[f"{left_prefix}{c}" for c in lcols],
+        *[f"{right_prefix}{c}" for c in rcols],
+    )

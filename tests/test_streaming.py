@@ -517,3 +517,102 @@ def test_open_window_tracker_full_grid_matches_batch_kernel(
             for r in resolved.collect()
         )
     assert got == want, f"{mode}/{closed}: {got} != {want}"
+
+
+def test_correlate_streams_inner_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join (r9): inner-join parity
+    with the identical batch join, across micro-batch splits — matches
+    where the click arrives in a LATER micro-batch than its impression
+    exercise both-side state."""
+    from aces_spark.streaming.pipeline import correlate_streams
+
+    base = datetime(2024, 5, 1)
+    imp_schema = "user_id long, timestamp timestamp, ad string"
+    clk_schema = "user_id long, timestamp timestamp, target string"
+    imps = [
+        [(1, base + timedelta(minutes=0), "a1"),
+         (2, base + timedelta(minutes=1), "a2")],
+        [(1, base + timedelta(minutes=30), "a3"),
+         (3, base + timedelta(minutes=31), "a4")],
+    ]
+    clks = [
+        [(1, base + timedelta(minutes=5), "t1")],     # matches a1 (same batch pair)
+        [(2, base + timedelta(minutes=7), "t2"),      # matches a2 across batches
+         (1, base + timedelta(minutes=33), "t3"),     # matches a3
+         (1, base + timedelta(minutes=50), "t4"),     # outside a3's 10-min window
+         (3, base + timedelta(minutes=31), "t5")],    # boundary: delay 0 matches
+    ]
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    for i, rows in enumerate(imps):
+        spark.createDataFrame(rows, imp_schema).coalesce(1).write.parquet(
+            str(imp_dir / f"b{i}.parquet"))
+    for i, rows in enumerate(clks):
+        spark.createDataFrame(rows, clk_schema).coalesce(1).write.parquet(
+            str(clk_dir / f"b{i}.parquet"))
+
+    def rd(d, schema):
+        return (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true").parquet(str(d)))
+
+    q = (
+        correlate_streams(rd(imp_dir, imp_schema), rd(clk_dir, clk_schema),
+                          ["user_id"], max_delay="10 minutes")
+        .writeStream.format("memory").queryName("sscorr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM sscorr").collect())
+
+    bl = spark.read.schema(imp_schema).option("recursiveFileLookup", "true").parquet(str(imp_dir))
+    br = spark.read.schema(clk_schema).option("recursiveFileLookup", "true").parquet(str(clk_dir))
+    want = sorted(
+        tuple(r)
+        for r in correlate_streams(bl, br, ["user_id"], max_delay="10 minutes").collect()
+    )
+    assert got == want
+    assert len(got) == 4  # a1-t1, a2-t2, a3-t3, a4-t5; t4 outside window
+
+
+def test_correlate_streams_left_outer_emits_unmatched(spark, tmp_path):
+    from aces_spark.streaming.pipeline import correlate_streams
+
+    base = datetime(2024, 5, 1)
+    imp_schema = "user_id long, timestamp timestamp, ad string"
+    clk_schema = "user_id long, timestamp timestamp, target string"
+    # key 9 never clicks; the far-future flush rows push both watermarks
+    # past every real row so availableNow can emit the outer nulls
+    flush = base + timedelta(days=30)
+    imps = [(1, base, "a1"), (9, base + timedelta(minutes=1), "a9"),
+            (999, flush, "fl")]
+    clks = [(1, base + timedelta(minutes=2), "t1"), (999, flush, "fr")]
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    spark.createDataFrame(imps, imp_schema).coalesce(1).write.parquet(str(imp_dir / "b.parquet"))
+    spark.createDataFrame(clks, clk_schema).coalesce(1).write.parquet(str(clk_dir / "b.parquet"))
+
+    def rd(d, schema):
+        return (spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true").parquet(str(d)))
+
+    q = (
+        correlate_streams(rd(imp_dir, imp_schema), rd(clk_dir, clk_schema),
+                          ["user_id"], max_delay="10 minutes",
+                          watermark="5 minutes", how="leftOuter")
+        .writeStream.format("memory").queryName("ssouter")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["user_id"], r["l_ad"]): r["r_target"]
+            for r in spark.sql("SELECT * FROM ssouter WHERE user_id < 999").collect()}
+    assert rows == {(1, "a1"): "t1", (9, "a9"): None}
+
+
+def test_correlate_streams_validation(spark):
+    from aces_spark.streaming.pipeline import correlate_streams
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 5, 1), "x")], "user_id long, timestamp timestamp, v string"
+    )
+    with pytest.raises(ValueError):
+        correlate_streams(df, df, ["user_id"], how="fullOuter")
