@@ -1458,6 +1458,33 @@ def q_substring_strip_exact(spark, sf_dir):
 _BLOCKLIST_PHRASES = ["slow join", "batch batch", "the fast key", "vector"]
 
 
+def q_hits_items(spark, sf_dir):
+    """HITS hubs & authorities (operators.graph.hits, r9) over the
+    DIRECTED user->item engagement graph: users are hubs (breadth of
+    engagement), items authorities (quality-weighted popularity) — the
+    two-score decomposition PageRank's single score conflates. 2
+    iterations, integer sum-renormalized units (truncating DECIMAL
+    division against the 1-row iteration total), so the loop unrolls
+    bit-exactly into CTEs. Top 20 by authority."""
+    from aces_spark.functions.semistructured import extract_json_fields
+    from aces_spark.operators.graph import hits
+
+    ev = _read_events(spark, sf_dir)
+    edges = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .filter(F.col("k").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("i:"), F.col("k")).alias("dst"),
+        )
+    )
+    return (
+        hits(edges, iterations=2)
+        .orderBy(F.col("auth_u").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def q_blocklist_hits(spark, sf_dir):
     """Phrase-blocklist report (datapipe.blocklist.blocklist_hits, r9):
     exact token-sequence matches of a C4-style banned-phrase list —
@@ -3199,6 +3226,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_strip": q_substring_strip,
     "substring_strip_exact": q_substring_strip_exact,
     "blocklist_hits": q_blocklist_hits,
+    "hits_items": q_hits_items,
     "lm_score_kn3": q_lm_score_kn3,
     "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
@@ -5385,6 +5413,50 @@ SELECT d.doc_id,
   COALESCE(per.n_chars_removed, 0) AS n_chars_removed
 FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
 """
+
+    # HITS: the 2-iteration loop unrolled, sum-renormalization as
+    # truncating HUGEINT division against each half-step's 1-row total
+    _hits_step = """
+{raw} AS (
+  SELECT e.{to_col} AS node, SUM(s.{score} ) AS s
+  FROM edges e JOIN {prev} s ON s.node = e.{from_col}
+  GROUP BY e.{to_col}),
+{out} AS (
+  SELECT n.node,
+    CAST(COALESCE(
+      (CAST(r.s AS HUGEINT)
+       * (SELECT COUNT(*) FROM nodes) * 1000000000000)
+      // (SELECT SUM(s) FROM {raw}), 0) AS BIGINT) AS {new_score}
+  FROM nodes n LEFT JOIN {raw} r ON r.node = n.node)"""
+    hits_iters = []
+    prev_h = "h0"
+    for it in (1, 2):
+        hits_iters.append(_hits_step.format(
+            raw=f"ar{it}", out=f"a{it}", prev=prev_h, score="hub_u",
+            new_score="auth_u", from_col="src", to_col="dst"))
+        hits_iters.append(_hits_step.format(
+            raw=f"hr{it}", out=f"h{it}", prev=f"a{it}", score="auth_u",
+            new_score="hub_u", from_col="dst", to_col="src"))
+        prev_h = f"h{it}"
+    sql["hits_items"] = (
+        """
+WITH ui AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  'i:' || CAST(TRY_CAST(props->>'k' AS BIGINT) AS VARCHAR) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL),
+edges AS (SELECT src, dst FROM ui),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS hub_u FROM nodes),
+"""
+        + ",\n".join(hits_iters)
+        + """
+SELECT n.node, h2.hub_u, a2.auth_u
+FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+ORDER BY a2.auth_u DESC, n.node ASC LIMIT 20
+"""
+    )
 
     # blocklist: brute-force slice equality at every position — a
     # deliberately DIFFERENT algorithm from the engine's rarest-token

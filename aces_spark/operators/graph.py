@@ -500,3 +500,88 @@ def adamic_adar(
             (F.col("__s_u6").cast("double") / 1000000.0).alias("score"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Kleinberg's HITS (r9) over the directed graph ``edges`` —
+    ``(node, hub_u, auth_u)`` in integer units after fixed
+    ``iterations`` of the mutual-reinforcement loop: authorities are
+    pointed at by good hubs, hubs point at good authorities. On a
+    bipartite user→item graph the split is exactly the curation signal
+    pair: hub = breadth of a user's engagement, authority = quality-
+    weighted item popularity (PageRank's one score conflates them).
+
+    Engine-exactness: the classic L2 normalization is replaced by SUM
+    normalization to ``n_nodes × scale`` via truncating DECIMAL division
+    against the 1-row iteration total (the Bradley-Terry renorm
+    discipline) — rankings are identical (normalization is monotone)
+    and every value is bit-reproducible in any engine, so the whole
+    loop unrolls into a CTE oracle. Duplicate edges collapse first.
+
+    Scale shape: per iteration, two equi-joins of the edge list against
+    the node-sized score frame + two hash aggregates + a 1-row
+    broadcast total — the Pregel-lite shape of :func:`pagerank`, same
+    lazy lineage truncation per round. Overflow audit: Σ score ≤
+    n·scale ≤ 1e17 at n = 1e5; raw × (n·scale) ≤ 1e34 inside
+    DECIMAL(38,0).
+    """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    n_nodes = nodes.count()  # bounded driver scalar, as in pagerank
+    if n_nodes == 0:
+        raise ValueError("hits: edge list is empty (no nodes)")
+    target = n_nodes * scale
+    dec = "decimal(38,0)"
+
+    def renorm(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum(F.col("__s").cast(dec)).alias("__t"))
+        out = (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        f"cast((cast(__s as {dec}) * {target}) div __t as bigint)"
+                    ),
+                    F.lit(0),
+                ).alias(col),
+            )
+        )
+        return out.localCheckpoint(eager=False) if checkpoint else out
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub_u"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_u").alias("__s"))
+        )
+        auth = renorm(a_raw, "auth_u")
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_u").alias("__s"))
+        )
+        hub = renorm(h_raw, "hub_u")
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub_u", "auth_u"
+    )

@@ -206,3 +206,62 @@ def test_blocklist_python_differential(spark):
     got = {r["doc_id"]: (r["n_hits"], r["n_phrases"])
            for r in blocklist_hits(df, phrases).collect()}
     assert got == expect
+
+
+# ------------------------------------------------------------ HITS (r9)
+
+from aces_spark.operators.graph import hits  # noqa: E402
+
+
+def test_hits_matches_python_integer_reference(spark):
+    edges = [("u1", "i1"), ("u1", "i2"), ("u2", "i1"), ("u3", "i1"),
+             ("u4", "i3"), ("u2", "i2")]
+    scale, iters = 10**12, 3
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    target = len(nodes) * scale
+
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[d] += hub[s]
+        t = sum(raw.values())
+        auth = {n: (raw[n] * target) // t if raw[n] else 0 for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[s] += auth[d]
+        t = sum(raw.values())
+        hub = {n: (raw[n] * target) // t if raw[n] else 0 for n in nodes}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub_u"], r["auth_u"])
+           for r in hits(df, iterations=iters).collect()}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    # the mutual-reinforcement ranking: i1 (3 links incl. the 2 best
+    # hubs) > i2 > i3; u1/u2 (2 links each to top items) > u3 > u4
+    assert got["i1"][1] > got["i2"][1] > got["i3"][1]
+    assert got["u1"][0] > got["u3"][0] > got["u4"][0]
+
+
+def test_hits_duplicate_edges_collapse_and_partition_invariance(spark):
+    edges = [("a", "x"), ("a", "x"), ("b", "x"), ("a", "y")]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    r1 = sorted(tuple(r) for r in hits(df1, iterations=2).collect())
+    r8 = sorted(tuple(r) for r in hits(df8, iterations=2).collect())
+    assert r1 == r8
+    dedup = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y")], "src string, dst string"
+    )
+    assert r1 == sorted(tuple(r) for r in hits(dedup, iterations=2).collect())
+
+
+def test_hits_validation(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with pt.raises(ValueError):
+        hits(df)
+    with pt.raises(ValueError):
+        hits(df, iterations=0)
