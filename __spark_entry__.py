@@ -1458,6 +1458,19 @@ def q_substring_strip_exact(spark, sf_dir):
 _BLOCKLIST_PHRASES = ["slow join", "batch batch", "the fast key", "vector"]
 
 
+def q_dirichlet_ql(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (datapipe.retrieval
+    .dirichlet_ql_scores, r9): the LM-ranking rival to bm25_search,
+    same query terms, mu=2000 — integer-exact num/den ratios, per-term
+    micro-nat snap, order-free per-doc sum. Top 15."""
+    from aces_spark.datapipe.retrieval import dirichlet_ql_scores
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dirichlet_ql_scores(
+        docs, ["spark", "join", "window"], mu=2000, top_k=15
+    )
+
+
 def q_hits_items(spark, sf_dir):
     """HITS hubs & authorities (operators.graph.hits, r9) over the
     DIRECTED user->item engagement graph: users are hubs (breadth of
@@ -3227,6 +3240,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_strip_exact": q_substring_strip_exact,
     "blocklist_hits": q_blocklist_hits,
     "hits_items": q_hits_items,
+    "dirichlet_ql": q_dirichlet_ql,
     "lm_score_kn3": q_lm_score_kn3,
     "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
@@ -5412,6 +5426,38 @@ SELECT d.doc_id,
   COALESCE(per.n_spans, 0) AS n_spans,
   COALESCE(per.n_chars_removed, 0) AS n_chars_removed
 FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
+"""
+
+    # Dirichlet QL: integer num/den per (candidate, term) incl. tf=0
+    # smoothing rows, micro-nat snap, per-doc sum, top 15
+    sql["dirichlet_ql"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c_total FROM toks),
+q AS (SELECT UNNEST(['join', 'spark', 'window']) AS term),
+cf AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS cf FROM toks
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+pairs AS (
+  SELECT c.doc_id, COALESCE(t.tf, 0) AS tf,
+    CAST(COALESCE(t.tf, 0) AS HUGEINT) * coll.c_total + 2000 * cf.cf AS num,
+    (CAST(dl.dl AS HUGEINT) + 2000) * coll.c_total AS den
+  FROM cand c CROSS JOIN cf
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = cf.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN coll),
+scored AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_terms,
+    CAST(SUM(CAST(FLOOR((ln(CAST(num AS DOUBLE)) - ln(CAST(den AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS u6
+  FROM pairs GROUP BY doc_id)
+SELECT doc_id, n_matched_terms, CAST(u6 AS DOUBLE) / 1000000.0 AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
     # HITS: the 2-iteration loop unrolled, sum-renormalization as

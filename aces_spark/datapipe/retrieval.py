@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .text import norm_tokens
 
-__all__ = ["bm25_scores", "phrase_match"]
+__all__ = ["bm25_scores", "phrase_match", "dirichlet_ql_scores"]
 
 
 def bm25_scores(
@@ -228,3 +228,102 @@ def rrf_fuse(
             (F.col("__s_u6").cast("double") / 1000000.0).alias("rrf_score"),
         )
     )
+
+
+def dirichlet_ql_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    mu: int = 2000,
+    top_k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (r9; Zhai &
+    Lafferty 2001 — the language-model ranking family's standard
+    member, BM25's principal rival and the default in anserini/Indri):
+    ``score(q, d) = Σ_t ln((tf(t,d) + μ·p(t|C)) / (dl(d) + μ))`` with
+    the collection model ``p(t|C) = cf(t)/|C|``.
+
+    Candidates = documents containing ≥ 1 query term (the standard
+    impact-ordered pruning; a no-term doc scores strictly below every
+    candidate on the shared background mass). Scores INCLUDE the
+    smoothing contribution of the candidate's missing terms, exactly as
+    the formula demands. Query terms with zero collection frequency
+    contribute ``ln 0 = −∞`` to every document equally, so they are
+    dropped (ranking-preserving; documented rather than NaN).
+
+    Engine-exactness (the lm.py discipline): each term's log argument
+    clears to a ratio of exact integers —
+    ``num = tf·|C| + μ·cf(t)``, ``den = (dl + μ)·|C|`` — accumulated in
+    DECIMAL(38,0) (at a 100 TB corpus |C| ~ 1e14 tokens pushes tf·|C|
+    past int64), and the per-term ``ln(num) − ln(den)`` of the
+    correctly-rounded doubles snaps to integer micro-nats before the
+    order-free per-doc sum. Output ``(doc_id, n_matched_terms, score)``
+    with ``score`` the micro-nat sum in double; ``top_k`` ranks on the
+    integer micro-nats (score desc, id asc).
+
+    Scale shape: identical to :func:`bm25_scores` — one tokenize, the
+    doc-length aggregate, a 1-row collection total broadcast, the
+    term filter BEFORE every join, candidates × |query| scoring rows.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu < 1:
+        raise ValueError("mu must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    dec = "decimal(38,0)"
+
+    toks = docs.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    cf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )  # zero-cf terms are absent here — the documented drop
+
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cand = tf.select(id_col).distinct()
+    pairs = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(tf, [id_col, "term"], "left")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(coll))
+        .select(
+            id_col,
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            F.expr(
+                f"cast(coalesce(tf, 0) as {dec}) * cast(c_total as {dec})"
+                f" + {int(mu)} * cast(cf as {dec})"
+            ).alias("__num"),
+            F.expr(
+                f"(cast(dl as {dec}) + {int(mu)}) * cast(c_total as {dec})"
+            ).alias("__den"),
+        )
+    )
+    u6 = F.floor(
+        (F.log(F.col("__num").cast("double")) - F.log(F.col("__den").cast("double")))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = pairs.groupBy(id_col).agg(
+        F.sum((F.col("tf") > 0).cast("long")).cast("long").alias("n_matched_terms"),
+        F.sum(u6).cast("long").alias("__u6"),
+    )
+    out = scored.select(
+        id_col,
+        "n_matched_terms",
+        (F.col("__u6").cast("double") / 1000000.0).alias("score"),
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        out = out.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= top_k
+        ).drop("__rk")
+    return out

@@ -265,3 +265,65 @@ def test_hits_validation(spark):
         hits(df)
     with pt.raises(ValueError):
         hits(df, iterations=0)
+
+
+# ------------------------------------------------- Dirichlet QL (r9)
+
+from aces_spark.datapipe.retrieval import dirichlet_ql_scores  # noqa: E402
+
+
+def test_dirichlet_ql_matches_python_reference(spark):
+    import math
+
+    docs = {
+        1: "spark join window spark",
+        2: "join filter table",
+        3: "window window window group",
+        4: "nothing relevant here",
+    }
+    terms = ["spark", "window"]
+    mu = 100
+    tok = {d: t.split() for d, t in docs.items()}
+    c_total = sum(len(t) for t in tok.values())
+    cf = {q: sum(t.count(q) for t in tok.values()) for q in terms}
+    expect = {}
+    for d, t in tok.items():
+        tfs = {q: t.count(q) for q in terms}
+        if not any(tfs.values()):
+            continue
+        u6 = 0
+        for q in terms:
+            num = tfs[q] * c_total + mu * cf[q]
+            den = (len(t) + mu) * c_total
+            u6 += math.floor((math.log(num) - math.log(den)) * 1e6 + 0.5)
+        expect[d] = (sum(1 for v in tfs.values() if v), u6 / 1e6)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_matched_terms"], r["score"])
+           for r in dirichlet_ql_scores(df, terms, mu=mu).collect()}
+    assert got == expect
+    # docs 2 and 4 (no query term) are not candidates
+    assert 2 not in got and 4 not in got
+    # ranking sanity: doc1 (both terms) beats doc3 (one term, longer)
+    assert got[1][1] > got[3][1]
+
+
+def test_dirichlet_ql_zero_cf_term_dropped_and_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark"), (2, "spark join"), (3, "join join")],
+        "doc_id long, text string",
+    )
+    # "zzz" has cf=0 — dropped, not NaN/-inf
+    r = dirichlet_ql_scores(docs, ["spark", "zzz"], mu=50).collect()
+    assert all(not (row["score"] != row["score"]) for row in r)  # no NaN
+    top = dirichlet_ql_scores(docs, ["spark"], mu=50, top_k=1).collect()
+    assert [row["doc_id"] for row in top] == [1]
+
+
+def test_dirichlet_ql_validation(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pt.raises(ValueError):
+        dirichlet_ql_scores(df, [])
+    with pt.raises(ValueError):
+        dirichlet_ql_scores(df, ["x"], mu=0)
