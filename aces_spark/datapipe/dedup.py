@@ -397,12 +397,17 @@ def substring_strip_exact(
     )
     eligible = docs.filter(F.length("text") >= min_len)
     n_pos = F.length("text") - min_len + 1
+    # the gram fingerprint is INTERNAL (only the >=2-occurrence flag
+    # survives to the output), so it collapses to a 64-bit xxhash64
+    # immediately — 8-byte shuffle keys instead of 32-char md5 strings,
+    # the _capped_hashed_shingles discipline (the DuckDB oracle keeps
+    # plain md5 grams; results agree because the key never escapes)
     grams = eligible.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), (n_pos - 1).cast("long"))).alias(
             "__i"
         ),
-        F.md5(
+        F.xxhash64(
             F.col("text").substr((F.col("__i") + 1).cast("int"), F.lit(min_len))
         ).alias("__gfp"),
     ).localCheckpoint(eager=False)
