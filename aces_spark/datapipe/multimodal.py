@@ -109,20 +109,95 @@ def decode_rgb(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG payload to ``(h, w, 3)`` uint8 —
-    dependency-free (stdlib ``zlib`` inflate + numpy unfilter), covering
-    the real-world corpus formats greyscale (0), RGB (2), and RGBA (6;
-    alpha dropped). Everything else — 16-bit, palette, Adam7 interlace —
-    raises :class:`DecodeNotAvailable`; corrupt streams (bad CRC, bad
-    raster length, bad filter byte) raise ``ValueError``.
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes from the filtered
+    raster (RFC 2083 §6): per scanline one of None/Sub/Up/Average/Paeth
+    against the prior reconstructed row. ``bpp`` is the filter delta in
+    BYTES (1 for sub-byte palette depths per spec). Up and None are
+    whole-row numpy ops (uint8 wrap-around IS the spec's mod-256
+    addition); Sub/Average/Paeth carry an in-row recurrence with the
+    byte lanes vectorized."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG raster length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:]
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            cur = line.copy()
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] += cur[x - bpp : x]  # uint8 wrap = mod 256
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average: + floor((left + up) / 2), sum needs 9 bits
+            cur = np.empty(stride, dtype=np.uint8)
+            cur[:bpp] = line[:bpp] + (prev[:bpp].astype(np.uint16) >> 1).astype(
+                np.uint8
+            )
+            for x in range(bpp, stride, bpp):
+                avg = (
+                    cur[x - bpp : x].astype(np.uint16)
+                    + prev[x : x + bpp].astype(np.uint16)
+                ) >> 1
+                cur[x : x + bpp] = line[x : x + bpp] + avg.astype(np.uint8)
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            cur[:bpp] = line[:bpp] + prev[:bpp]  # left=c=0 ⇒ predictor is up
+            for x in range(bpp, stride, bpp):
+                a = cur[x - bpp : x].astype(np.int16)
+                b = prev[x : x + bpp].astype(np.int16)
+                c = prev[x - bpp : x].astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x : x + bpp] = line[x : x + bpp] + pr.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon
 
-    Unfiltering follows the spec exactly (RFC 2083 §6): per scanline one
-    of None/Sub/Up/Average/Paeth against the prior reconstructed row.
-    Up and None are whole-row numpy ops (uint8 wrap-around IS the spec's
-    mod-256 addition); Sub/Average/Paeth carry an in-row recurrence and
-    loop over pixels with the channel lanes vectorized.
-    """
+
+def _png_lines_to_pixels(
+    recon: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Reconstructed scanline bytes → ``(h, w, ch)`` sample values.
+    Sub-byte depths unpack MSB-first (the spec's packing) and scale is
+    NOT applied here — palette indices are lookups, not intensities."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(h, -1)[:, : w * ch].reshape(h, w, ch)
+    bits = np.unpackbits(recon, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (vals * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    return samples[:, : w * ch].reshape(h, w, ch)
+
+
+#: Adam7 pass grid: (x offset, y offset, x step, y step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to ``(h, w, 3)`` uint8 — dependency-free
+    (stdlib ``zlib`` inflate + numpy unfilter), covering the real-world
+    corpus formats: greyscale (0), RGB (2), RGBA (6; alpha dropped) at
+    8-bit depth, PALETTE (3) at 1/2/4/8-bit depth (r9 — the most common
+    web PNG profile after RGB), each either sequential or
+    ADAM7-INTERLACED (r9: the 7 passes are independently filtered
+    sub-images, unfiltered per pass and scattered into place). 16-bit
+    raises :class:`DecodeNotAvailable`; corrupt streams (bad CRC, bad
+    raster length, bad filter byte, out-of-range palette index) raise
+    ``ValueError``."""
     import struct
     import zlib
 
@@ -131,6 +206,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     buf = bytes(payload)
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
@@ -143,6 +219,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("PNG chunk CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -151,66 +229,54 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("missing or malformed IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2, 6):
-        raise DecodeNotAvailable(
-            f"PNG bit-depth {depth} / color-type {color} needs palette or "
-            "16-bit handling"
-        )
-    if interlace:
-        raise DecodeNotAvailable("Adam7-interlaced PNG")
+    if color in (0, 2, 6):
+        if depth != 8:
+            raise DecodeNotAvailable(f"{depth}-bit PNG color-type {color}")
+    elif color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise DecodeNotAvailable(f"{depth}-bit palette PNG")
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("palette PNG missing/malformed PLTE")
+    else:
+        raise DecodeNotAvailable(f"PNG color-type {color}")
+    if interlace not in (0, 1):
+        raise ValueError("bad PNG interlace method")
     if comp != 0 or filt != 0 or w < 1 or h < 1:
         raise ValueError("malformed IHDR fields")
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("bad PNG raster length")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(arr[y, 0])
-        line = arr[y, 1:]
-        if f == 0:  # None
-            cur = line.copy()
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
-            cur = line.copy()
-            for x in range(ch, stride, ch):
-                cur[x : x + ch] += cur[x - ch : x]  # uint8 wrap = mod 256
-        elif f == 2:  # Up
-            cur = line + prev
-        elif f == 3:  # Average: + floor((left + up) / 2), sum needs 9 bits
-            cur = np.empty(stride, dtype=np.uint8)
-            cur[:ch] = line[:ch] + (prev[:ch].astype(np.uint16) >> 1).astype(
-                np.uint8
-            )
-            for x in range(ch, stride, ch):
-                avg = (
-                    cur[x - ch : x].astype(np.uint16)
-                    + prev[x : x + ch].astype(np.uint16)
-                ) >> 1
-                cur[x : x + ch] = line[x : x + ch] + avg.astype(np.uint8)
-        elif f == 4:  # Paeth
-            cur = np.empty(stride, dtype=np.uint8)
-            cur[:ch] = line[:ch] + prev[:ch]  # left=c=0 ⇒ predictor is up
-            for x in range(ch, stride, ch):
-                a = cur[x - ch : x].astype(np.int16)
-                b = prev[x : x + ch].astype(np.int16)
-                c = prev[x - ch : x].astype(np.int16)
-                p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pr = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                )
-                cur[x : x + ch] = line[x : x + ch] + pr.astype(np.uint8)
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        recon[y] = cur
-        prev = cur
-    img = recon.reshape(h, w, ch)
-    if ch == 1:
-        img = np.repeat(img, 3, axis=2)
-    elif ch == 4:
+
+    def line_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        recon = _png_unfilter(raw, h, line_bytes(w), bpp)
+        img = _png_lines_to_pixels(recon, w, ch, depth)
+    else:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            span = ph * (line_bytes(pw) + 1)
+            recon = _png_unfilter(raw[off : off + span], ph, line_bytes(pw), bpp)
+            off += span
+            img[y0::dy, x0::dx] = _png_lines_to_pixels(recon, pw, ch, depth)
+        if off != len(raw):
+            raise ValueError("bad PNG raster length")
+
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    if color == 0:
+        return np.ascontiguousarray(np.repeat(img, 3, axis=2))
+    if ch == 4:
         img = img[:, :, :3]
     return np.ascontiguousarray(img)
 

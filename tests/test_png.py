@@ -138,9 +138,14 @@ def test_png_unsupported_and_corrupt():
     bad_depth = png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :]
     with pytest.raises(DecodeNotAvailable):
         decode_png(bad_depth)
-    # interlaced -> DecodeNotAvailable
+    # interlace is SUPPORTED since r9 — an IHDR claiming Adam7 over a
+    # sequential raster is now a length mismatch: corrupt, not unsupported
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    with pytest.raises(DecodeNotAvailable):
+    with pytest.raises(ValueError):
+        decode_png(png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :])
+    # palette color type without a PLTE chunk: corrupt
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError):
         decode_png(png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :])
     # flipped payload byte -> CRC mismatch (corrupt, not unsupported)
     flipped = bytearray(png)
@@ -186,3 +191,160 @@ def test_extract_features_decodes_png(spark):
     # non-decodable payload takes the byte-profile fallback (8 dims too)
     assert len(rows[3]["feature"]) == 8
     assert rows[3]["feature"] != rows[1]["feature"]
+
+
+# ------------------------------------------------ palette + Adam7 (r9)
+
+def _pack_bits(samples: np.ndarray, depth: int) -> bytes:
+    """Pack one scanline of sample values (each < 2^depth) MSB-first."""
+    if depth == 8:
+        return bytes(samples.astype(np.uint8))
+    bits = []
+    for v in samples:
+        for k in range(depth - 1, -1, -1):
+            bits.append((int(v) >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i : i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+def _filter_lines(lines: list[bytes], bpp: int, filters) -> bytes:
+    """Apply one spec filter per scanline over PACKED bytes."""
+    out = bytearray()
+    prev = bytes(len(lines[0]))
+    for y, line in enumerate(lines):
+        f = filters[y % len(filters)]
+        enc = bytearray()
+        for x in range(len(line)):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            enc.append((line[x] - pred) % 256)
+        out += bytes([f]) + bytes(enc)
+        prev = line
+    return bytes(out)
+
+
+_ADAM7_REF = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png2(
+    img: np.ndarray,
+    depth: int = 8,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Test-local generalized encoder: palette (color 3) at any depth,
+    8-bit grey/RGB/RGBA, sequential or Adam7 — shares no code with the
+    decoder under test."""
+    filters = filters or [0, 1, 2, 3, 4]
+    if palette is not None:
+        color, ch = 3, 1
+        h, w = img.shape
+        planes = img[:, :, None]
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, ch = img.shape
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        planes = img
+
+    def encode_region(region: np.ndarray) -> bytes:
+        rh, rw = region.shape[:2]
+        lines = [
+            _pack_bits(region[y].reshape(rw * ch), depth) for y in range(rh)
+        ]
+        return _filter_lines(lines, max(1, ch * depth // 8), filters)
+
+    if interlace == 0:
+        raster = encode_region(planes)
+    else:
+        raster = b""
+        for x0, y0, dx, dy in _ADAM7_REF:
+            sub = planes[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raster += encode_region(sub)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(np.asarray(palette, dtype=np.uint8).ravel()))
+    out += _chunk(b"IDAT", zlib.compress(raster)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_depths_pixel_exact():
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    for depth, n in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        idx = rng.randint(0, n, size=(13, 11)).astype(np.uint8)
+        png = encode_png2(idx, depth=depth, palette=pal[:n])
+        out = decode_png(png)
+        assert np.array_equal(out, pal[:n][idx]), depth
+
+
+def test_png_adam7_rgb_and_grey_pixel_exact():
+    rng = np.random.RandomState(8)
+    rgb = rng.randint(0, 256, size=(21, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png2(rgb, interlace=1)), rgb)
+    g = rng.randint(0, 256, size=(9, 30), dtype=np.uint8)
+    out = decode_png(encode_png2(g, interlace=1))
+    assert np.array_equal(out[:, :, 0], g)
+    # tiny images where late passes are empty
+    t = rng.randint(0, 256, size=(1, 1, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png2(t, interlace=1)), t)
+    t2 = rng.randint(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png2(t2, interlace=1)), t2)
+
+
+def test_png_adam7_palette_subbyte():
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(19, 23)).astype(np.uint8)
+    png = encode_png2(idx, depth=2, palette=pal, interlace=1)
+    assert np.array_equal(decode_png(png), pal[idx])
+
+
+def test_png_palette_contracts():
+    rng = np.random.RandomState(10)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 6)).astype(np.uint8)
+    good = bytearray(encode_png2(idx, depth=8, palette=pal))
+    # out-of-range palette index: corrupt, not unsupported
+    bad_idx = idx.copy(); bad_idx[0, 0] = 9
+    with pytest.raises(ValueError):
+        decode_png(encode_png2(bad_idx, depth=8, palette=pal))
+    # 16-bit still honestly unavailable
+    i = bytes(good).find(b"IHDR")
+    deep = good.copy(); deep[i + 4 + 8] = 16
+    # (CRC now wrong — patch via re-chunk instead)
+    rgb = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    seq = bytearray(encode_png(rgb))
+    j = bytes(seq).find(b"IHDR")
+    ihdr_new = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    rebuilt = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_new)
+               + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+               + _chunk(b"IEND", b""))
+    from aces_spark.datapipe.multimodal import DecodeNotAvailable
+    with pytest.raises(DecodeNotAvailable):
+        decode_png(rebuilt)
