@@ -255,7 +255,6 @@ def open_window_tracker(
         raise ValueError(f"Closed '{closed}' invalid!")
 
     pred_cols = [c for c in pred_events.columns if c not in ("subject_id", "timestamp")]
-    n = len(pred_cols)
     ti = pred_cols.index(trigger_predicate)
     bi = pred_cols.index(boundary_predicate)
 
