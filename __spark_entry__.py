@@ -5465,12 +5465,16 @@ ORDER BY score DESC, doc_id ASC LIMIT 15
 
     # HITS: the 2-iteration loop unrolled, sum-renormalization as
     # truncating HUGEINT division against each half-step's 1-row total
+    # every step CTE is MATERIALIZED: {raw} is referenced twice (join +
+    # scalar total) and each step references its predecessor — without
+    # materialization DuckDB re-inlines the whole upstream per reference
+    # (the r8 k-core 80 GB spill lesson; reproduced here at sf10s)
     _hits_step = """
-{raw} AS (
+{raw} AS MATERIALIZED (
   SELECT e.{to_col} AS node, SUM(s.{score} ) AS s
   FROM edges e JOIN {prev} s ON s.node = e.{from_col}
   GROUP BY e.{to_col}),
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT n.node,
     CAST(COALESCE(
       (CAST(r.s AS HUGEINT)
@@ -5495,9 +5499,9 @@ WITH ui AS (
   FROM events
   WHERE user_id IS NOT NULL
     AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL),
-edges AS (SELECT src, dst FROM ui),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS hub_u FROM nodes),
+edges AS MATERIALIZED (SELECT src, dst FROM ui),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS hub_u FROM nodes),
 """
         + ",\n".join(hits_iters)
         + """
