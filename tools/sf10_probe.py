@@ -342,6 +342,11 @@ def main() -> int:
         fails += 0 if report["semantic_dedup_ivf"]["differential"] == "PASS" else 1
         print(json.dumps({"semantic_dedup_ivf": report["semantic_dedup_ivf"]}))
 
+    if not only or "substring_strip_exact" in only:
+        report["substring_strip_exact"] = probe_substring_exact(spark, sf10, pct)
+        fails += 0 if report["substring_strip_exact"]["differential"] == "PASS" else 1
+        print(json.dumps({"substring_strip_exact": report["substring_strip_exact"]}))
+
     for name in TIER_B:
         if only and name not in only:
             continue
@@ -460,6 +465,100 @@ def probe_semantic_ivf(
         "rows_full": n_kept,
         "rows_verified": len(got),
         "differential": "PASS" if got == ref else "FAIL",
+    }
+
+
+
+
+def probe_substring_exact(spark, sf10: str, pct: int) -> dict:
+    """Tier AG for a DOC-KEYED output: substring_strip_exact's spans are
+    per-doc LOCAL once the ≥2-occurrence gram set is known, and that set
+    is a LINEAR corpus aggregate — so the DuckDB reference computes dup
+    grams over the FULL corpus and splices only sampled-family docs,
+    while Spark runs full and its output rows filter to the same docs.
+    Engine fingerprints are internal xxhash64; the reference uses raw
+    grams (the shared key-is-internal contract)."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["substring_strip_exact"]
+    df = q(spark, sf10).persist()
+    t0 = time.monotonic()
+    n_full = df.count()
+    wall = time.monotonic() - t0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nex = plan.count("Exchange hashpartitioning")
+    srows = [tuple(r) for r in df.filter(keep_sql("doc_id", pct)).collect()]
+    cols = df.columns
+    df.unpersist()
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    p = f"{sf10}/documents.parquet"
+    if Path(p).is_dir():
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    keep = keep_duck("d.doc_id", pct)
+    t0 = time.monotonic()
+    rel = con.sql(f"""
+WITH aug AS ({entry_mod._DOCS_NEAR_DUPS_SQL}),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s,
+         substring(text, CAST(i + 1 AS INT), 50) AS gram
+  FROM aug, UNNEST(range(0, length(text) - 50 + 1)) AS u(i)
+  WHERE length(text) >= 50),
+dup AS MATERIALIZED (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+fl AS MATERIALIZED (
+  SELECT g.doc_id, g.s, g.s + 50 AS e
+  FROM g JOIN dup USING (gram)
+  WHERE {keep_duck('g.doc_id', pct)}),
+isl AS (
+  SELECT doc_id, s, e,
+    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM fl)),
+spans AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+          FROM isl GROUP BY doc_id, island),
+segs AS (SELECT doc_id,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS a,
+           s AS b
+         FROM spans),
+hd AS (SELECT g2.doc_id,
+         STRING_AGG(substring(d.text, CAST(g2.a + 1 AS INT), CAST(g2.b - g2.a AS INT)),
+                    '' ORDER BY g2.a) AS head
+       FROM segs g2 JOIN aug d USING (doc_id) GROUP BY g2.doc_id),
+per AS (SELECT doc_id, MAX(e) AS tail_start, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS n_chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN per.n_spans IS NULL THEN d.text
+       ELSE COALESCE(hd.head, '')
+            || substring(d.text, CAST(per.tail_start + 1 AS INT))
+  END AS text_clean,
+  COALESCE(per.n_spans, 0) AS n_spans,
+  COALESCE(per.n_chars_removed, 0) AS n_chars_removed
+FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
+WHERE {keep}
+""")
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    oracle_wall = time.monotonic() - t0
+    ok = (
+        sorted(cols) == sorted(dcols)
+        and len(srows) == len(drows)
+        and frame_key(srows, cols) == frame_key(drows, dcols)
+    )
+    return {
+        "tier": "AG",
+        "wall_s": round(wall, 1),
+        "oracle_wall_s": round(oracle_wall, 1),
+        "rows_full": n_full,
+        "rows_sampled": len(srows),
+        "exchanges": nex,
+        "differential": "PASS" if ok else "FAIL",
     }
 
 
