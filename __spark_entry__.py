@@ -1458,6 +1458,26 @@ def q_substring_strip_exact(spark, sf_dir):
 _BLOCKLIST_PHRASES = ["slow join", "batch batch", "the fast key", "vector"]
 
 
+def q_negative_samples(spark, sf_dir):
+    """Frequency-smoothed negative sampling (datapipe.sampling
+    .negative_samples, r9): 2 deterministic draws per (user, item)
+    positive from the c^(3/4)-smoothed item unigram — weights as
+    sqrt·sqrt(sqrt) compositions of correctly-rounded IEEE sqrts so
+    both engines agree bit-for-bit where libm pow would not."""
+    from aces_spark.datapipe.sampling import negative_samples
+
+    from aces_spark.functions.semistructured import extract_json_fields
+
+    ev = _read_events(spark, sf_dir)
+    pos = (
+        extract_json_fields(ev, "props", "k BIGINT")
+        .filter(F.col("k").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.col("k").alias("item"))
+        .filter(F.col("user_id") < 50)  # bounded output for the gate
+    )
+    return negative_samples(pos, k=2, user_col="user_id", item_col="item")
+
+
 def q_dirichlet_ql(spark, sf_dir):
     """Dirichlet query-likelihood retrieval (datapipe.retrieval
     .dirichlet_ql_scores, r9): the LM-ranking rival to bm25_search,
@@ -3241,6 +3261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_hits": q_blocklist_hits,
     "hits_items": q_hits_items,
     "dirichlet_ql": q_dirichlet_ql,
+    "negative_samples": q_negative_samples,
     "lm_score_kn3": q_lm_score_kn3,
     "hamming_near_pairs": q_hamming_near_pairs,
     # --- tier 2 (stalest-green: last row r04) — the 22 r7-displaced + the r4 remainder head ---
@@ -5429,6 +5450,38 @@ SELECT d.doc_id,
   COALESCE(per.n_spans, 0) AS n_spans,
   COALESCE(per.n_chars_removed, 0) AS n_chars_removed
 FROM aug d LEFT JOIN per USING (doc_id) LEFT JOIN hd USING (doc_id)
+"""
+
+    # negative sampling: identical cumulative-interval probe; the 3/4
+    # power as two correctly-rounded sqrts (libm pow is not portable)
+    sql["negative_samples"] = """
+WITH pos AS (
+  SELECT user_id AS u, TRY_CAST(props->>'k' AS BIGINT) AS item
+  FROM events
+  WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND user_id IS NOT NULL AND user_id < 50),
+items AS (
+  SELECT item,
+    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))
+               * sqrt(sqrt(CAST(COUNT(*) AS DOUBLE))) * 1000000 + 0.5)
+         AS BIGINT) AS w
+  FROM pos GROUP BY item),
+iv AS (
+  SELECT item AS neg_item,
+    COALESCE(SUM(w) OVER (ORDER BY item ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+    SUM(w) OVER (ORDER BY item ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM items),
+tot AS (SELECT MAX(hi) AS t FROM iv),
+draws AS (
+  SELECT u, item, j AS neg_rank,
+    CAST(concat('0x', substring(md5(concat(CAST(u AS VARCHAR), ':',
+         CAST(item AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+      % (SELECT t FROM tot) AS target
+  FROM pos, UNNEST([1, 2]) AS s(j))
+SELECT d.u AS user_id, d.item, CAST(d.neg_rank AS INT) AS neg_rank, iv.neg_item
+FROM draws d JOIN iv ON d.target >= iv.lo AND d.target < iv.hi
 """
 
     # Dirichlet QL: integer num/den per (candidate, term) incl. tf=0

@@ -186,3 +186,109 @@ def weighted_sample(
         .limit(k)
     )
     return out
+
+
+def negative_samples(
+    positives: DataFrame,
+    k: int = 4,
+    smoothing: str = "pow75",
+    user_col: str = "user_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Frequency-smoothed negative sampling (r9) — the word2vec /
+    two-tower-retrieval data-prep step: for every positive
+    ``(user, item)`` pair draw ``k`` negatives from the UNIGRAM item
+    distribution raised to a smoothing power (Mikolov et al.'s 3/4:
+    popular items dominate less than raw frequency, rare items more).
+
+    Deterministic by construction (the module's hash discipline): draw
+    ``j`` for a pair targets
+    ``md5(user ⊕ item ⊕ j) mod W_total`` on the integer cumulative
+    weight line, and the negative is the item whose ``[cum_lo, cum_hi)``
+    interval contains the target — a pure function of the data, so the
+    same corpus yields the same negatives on any engine/cluster (and
+    the whole operator value-hashes against a SQL oracle).
+
+    Engine-exact weights: ``pow75`` uses
+    ``w_u6 = floor(sqrt(c)·sqrt(sqrt(c))·1e6 + 0.5)`` — ``c^(3/4)`` as a
+    composition of two correctly-rounded IEEE sqrts and one multiply,
+    identical in every engine, where a naive ``pow(c, 0.75)`` is libm-
+    dependent in the last ulp. ``uniform`` weights every item 1.
+
+    A drawn negative MAY equal the pair's positive (probability
+    ``w_pos/W`` — word2vec accepts the same collision; filtering it
+    would bias the marginal distribution). Duplicate positive PAIRS
+    produce identical draws (the hash keys on values, not row
+    identity) — carry an occurrence index into ``user_col`` if each
+    occurrence should draw independently. Output one row per draw:
+    ``(user_col, item_col, neg_rank 1..k, neg_item)`` — the caller's
+    column names are preserved.
+
+    Scale shape: one item-count aggregate (Zipf-small) → cumulative
+    intervals via one window over the item table → the positives fan
+    out ×k (narrow) and probe the BROADCAST interval table with a
+    range-containment join. Assumes a broadcastable item vocabulary
+    (catalogs up to ~10⁷); for larger vocabularies swap the broadcast
+    for the bucketized interval join in ``operators/timeseries.py``.
+    """
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    if smoothing not in ("pow75", "uniform"):
+        raise ValueError("negative_samples: smoothing must be 'pow75' or 'uniform'")
+
+    pos = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    )
+    if smoothing == "pow75":
+        w = F.floor(
+            F.sqrt(F.col("__c").cast("double"))
+            * F.sqrt(F.sqrt(F.col("__c").cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long")
+    else:
+        w = F.lit(1000000).cast("long")
+    items = (
+        pos.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("item", w.alias("__w"))
+    )
+    win = Window.orderBy(F.col("item").asc())
+    intervals = items.select(
+        F.col("item").alias("neg_item"),
+        (F.coalesce(
+            F.sum("__w").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("__lo"),
+        F.sum("__w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("__hi"),
+    ).localCheckpoint(eager=False)
+    total = intervals.agg(F.max("__hi").alias("__tot"))
+
+    draws = (
+        pos.select(
+            "user",
+            "item",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__target",
+            F.expr(
+                "conv(substring(md5(concat(cast(user as string), ':', "
+                "cast(item as string), ':', cast(neg_rank as string))), 1, 15), 16, 10)"
+            ).cast("decimal(20,0)")
+            % F.col("__tot").cast("decimal(20,0)"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(intervals),
+            (F.col("__target") >= F.col("__lo")) & (F.col("__target") < F.col("__hi")),
+        )
+        .select(
+            F.col("user").alias(user_col),
+            F.col("item").alias(item_col),
+            "neg_rank",
+            "neg_item",
+        )
+    )

@@ -327,3 +327,69 @@ def test_dirichlet_ql_validation(spark):
         dirichlet_ql_scores(df, [])
     with pt.raises(ValueError):
         dirichlet_ql_scores(df, ["x"], mu=0)
+
+
+# ----------------------------------------------- negative sampling (r9)
+
+from aces_spark.datapipe.sampling import negative_samples  # noqa: E402
+
+
+def test_negative_samples_deterministic_and_distribution(spark):
+    rows = [(u, "a") for u in range(40)] + [(u, "b") for u in range(10)] \
+        + [(u, "c") for u in range(2)]
+    pos = spark.createDataFrame(rows, "user_id long, item string")
+    out = negative_samples(pos, k=4, item_col="item")
+    got = sorted(tuple(r) for r in out.collect())
+    assert len(got) == 52 * 4
+    again = sorted(tuple(r) for r in negative_samples(pos, k=4, item_col="item").collect())
+    assert got == again  # pure function of the data
+    # smoothed-frequency marginal: 'a' (40) drawn most, 'c' (2) least,
+    # but c^(3/4) smoothing keeps 'c' present
+    from collections import Counter
+
+    freq = Counter(r[3] for r in got)
+    assert freq["a"] > freq["b"] > freq["c"] > 0
+
+
+def test_negative_samples_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (3, "z"), (3, "x")]
+    pos = spark.createDataFrame(rows, "user_id long, item string")
+    counts = {"x": 3, "y": 1, "z": 1}
+    w = {
+        i: math.floor(math.sqrt(c) * math.sqrt(math.sqrt(c)) * 1e6 + 0.5)
+        for i, c in counts.items()
+    }
+    items = sorted(w)
+    cum, lo = {}, 0
+    for i in items:
+        cum[i] = (lo, lo + w[i])
+        lo += w[i]
+    total = lo
+
+    def draw(u, it, j):
+        h = hashlib.md5(f"{u}:{it}:{j}".encode()).hexdigest()
+        t = int(h[:15], 16) % total
+        for i in items:
+            if cum[i][0] <= t < cum[i][1]:
+                return i
+
+    expect = sorted(
+        (u, it, j, draw(u, it, j)) for u, it in rows for j in (1, 2)
+    )
+    got = sorted(
+        tuple(r) for r in negative_samples(pos, k=2, item_col="item").collect()
+    )
+    assert got == expect
+
+
+def test_negative_samples_validation(spark):
+    import pytest as pt
+
+    pos = spark.createDataFrame([(1, "a")], "user_id long, item string")
+    with pt.raises(ValueError):
+        negative_samples(pos, k=0)
+    with pt.raises(ValueError):
+        negative_samples(pos, smoothing="pow99")
