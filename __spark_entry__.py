@@ -3453,7 +3453,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # + the 28 stalest r5-greens, tier 3 = the pinned core; everything
 # r8-verified rotates to the tail, freshest (the 11 r8 debuts) last.
 _R9_ORDER = [
-    "blocklist_hits", "hits_items", "dirichlet_ql",
+    "blocklist_hits", "hits_items", "dirichlet_ql", "negative_samples",
     "substring_strip_exact", "simhash_near_pairs", "ann_cosine_topk", "knn_classify",
     "ann_ivf_topk", "embedding_label_stats", "multimodal_frame_plan", "multimodal_payload_stats",
     "multimodal_features", "cohort_feature_vectors", "predicates_meds_scan", "dedup_exact",
@@ -3463,11 +3463,11 @@ _R9_ORDER = [
     "triangle_count", "hll_by_type", "kcore_items", "doc_entropy",
     "interval_overlap_join", "ivfpq_topk_indexed", "lsh_cosine_topk", "snapshot_diff",
     "check_rules", "bm25_search", "kmv_distinct", "hll_distinct",
-    "event_transitions", "lang_drift",
+    "event_transitions",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
     "event_bound_bwd", "event_bound_record_end",
-    "rolling_stats", "lm_score", "scd2_merge",
+    "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time",
     "value_anomalies", "collocations", "item_covisitation", "bpe_pair_counts",
     "hll_registers", "label_centroids", "predicate_value_range", "derived_and_or",
