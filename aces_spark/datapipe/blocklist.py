@@ -39,13 +39,16 @@ __all__ = ["blocklist_hits", "blocklist_filter", "normalize_phrases"]
 
 
 def normalize_phrases(phrases: list[str]) -> list[list[str]]:
-    """Phrases through the corpus tokenizer contract (lowercase,
-    non-alphanumeric → space); empty results dropped."""
-    import re
+    """Phrases through the corpus tokenizer contract — the SAME
+    normalizer documents go through (:func:`~aces_spark.datapipe.text.
+    norm_tokens_py`, the pure-Python twin of ``norm_tokens``), so
+    phrase and document tokenization can never diverge; empty results
+    dropped."""
+    from .text import norm_tokens_py
 
     out = []
     for p in phrases:
-        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", p.lower()).split() if t]
+        toks = norm_tokens_py(p)
         if toks:
             out.append(toks)
     if not out:

@@ -355,10 +355,24 @@ def substring_strip(
     return _strip_flagged_spans(docs, flagged)
 
 
+def _gram_fp_128(gram):
+    """Default 128-bit gram fingerprint for :func:`substring_strip_exact`:
+    a struct of two independently-seeded ``xxhash64`` values (Spark's
+    builtin seed 42, plus a second stream obtained by prepending a
+    literal salt column — xxhash64 chains multi-column input, so the
+    salted value is an independent 64-bit stream). 16-byte shuffle key,
+    no md5 strings, 2⁻¹²⁸-grade collision envelope."""
+    return F.struct(
+        F.xxhash64(gram).alias("h1"),
+        F.xxhash64(F.lit("aces-fp2"), gram).alias("h2"),
+    )
+
+
 def substring_strip_exact(
     df: DataFrame,
     text_col: str = "text",
     min_len: int = 50,
+    _fp=None,
 ) -> DataFrame:
     """EXACT substring dedup-and-strip — the relational equivalent of
     Lee et al. 2022's suffix-array ExactSubstr pass (min duplicated
@@ -371,9 +385,14 @@ def substring_strip_exact(
     position's ``min_len``-gram: a duplicated run's grams are identical
     at the same in-run offsets regardless of where each copy sits in
     its document, so recall on ≥ ``min_len`` duplicates is 100% by
-    construction (modulo md5 collisions on the gram fingerprint — the
+    construction (modulo fingerprint collisions: the gram key is TWO
+    independently-seeded ``xxhash64`` values — 128 bits — so expected
+    birthday collisions are n²/2¹²⁹ ≈ 1.5·10⁻¹¹ falsely-flagged gram
+    pairs even at a 100 TB corpus's ~10¹⁴ grams, the same effectively
     corpus-size-independent 2⁻¹²⁸ contract every fingerprint operator
-    here shares). The union of flagged ``[pos, pos+min_len)`` spans is
+    here shares; a single 64-bit key would expect ~n²/2⁶⁵ ≈ 3·10⁸
+    colliding pairs at that scale, unacceptable for an operator that
+    DELETES data). The union of flagged ``[pos, pos+min_len)`` spans is
     exactly the duplicated character set: a length-l ≥ min_len run
     contributes grams at offsets 0..l−min_len whose spans tile it.
 
@@ -383,13 +402,20 @@ def substring_strip_exact(
 
     Scale shape: one row per character (the honest cost of exact
     substring dedup — Lee et al.'s suffix array reads the corpus
-    per-byte too), each carrying a 32-byte md5 → ONE exchange keyed by
-    the gram fingerprint, flagged positions merge row-locally after one
-    doc-keyed exchange (gaps-and-islands), splice via one doc join.
-    Shuffle ≈ 40 bytes/char: use :func:`substring_strip` as the cheap
-    screen when phase-aligned duplication (shared prefixes, boilerplate
-    blocks at fixed offsets) is the target, this when ExactSubstr
-    semantics are."""
+    per-byte too), each carrying a 16-byte struct of two xxhash64s →
+    ONE exchange keyed by the gram fingerprint, flagged positions merge
+    row-locally after one doc-keyed exchange (gaps-and-islands), splice
+    via one doc join. Shuffle ≈ 24 bytes/char: use
+    :func:`substring_strip` as the cheap screen when phase-aligned
+    duplication (shared prefixes, boilerplate blocks at fixed offsets)
+    is the target, this when ExactSubstr semantics are.
+
+    ``_fp`` is a test-only hook: a callable mapping the gram Column to
+    the fingerprint Column, defaulting to the two-seed 128-bit struct.
+    ``tests/test_advice_r10.py`` injects a fingerprint whose first
+    component is a forced constant (every gram "collides" on seed 0)
+    and asserts distinct grams still do NOT co-flag — the second seed
+    alone must disambiguate."""
     if min_len < 1:
         raise ValueError("substring_strip_exact: min_len must be >= 1")
     docs = df.select("doc_id", F.col(text_col).alias("text")).localCheckpoint(
@@ -398,16 +424,18 @@ def substring_strip_exact(
     eligible = docs.filter(F.length("text") >= min_len)
     n_pos = F.length("text") - min_len + 1
     # the gram fingerprint is INTERNAL (only the >=2-occurrence flag
-    # survives to the output), so it collapses to a 64-bit xxhash64
-    # immediately — 8-byte shuffle keys instead of 32-char md5 strings,
-    # the _capped_hashed_shingles discipline (the DuckDB oracle keeps
-    # plain md5 grams; results agree because the key never escapes)
+    # survives to the output), so it collapses immediately to a 16-byte
+    # struct of two independently-seeded xxhash64s — 128 bits, honoring
+    # the 2⁻¹²⁸ contract the docstring promises, without md5 strings
+    # (the DuckDB oracle keeps plain md5 grams; results agree because
+    # the key never escapes)
+    fp = _fp if _fp is not None else _gram_fp_128
     grams = eligible.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), (n_pos - 1).cast("long"))).alias(
             "__i"
         ),
-        F.xxhash64(
+        fp(
             F.col("text").substr((F.col("__i") + 1).cast("int"), F.lit(min_len))
         ).alias("__gfp"),
     ).localCheckpoint(eager=False)

@@ -729,6 +729,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps, scan, scan["huff"], bits, mcux, mcuy, scan["dri"], frame
             )
         else:
+            # the baseline walker assumes a fully-interleaved scan
+            # (mcux·mcuy MCUs, h·v blocks per component per MCU); a
+            # spec-valid non-interleaved single-component scan walks a
+            # per-component block raster instead (T.81 A.2.2) — raise
+            # honestly rather than decode garbage / fake a huffman
+            # error (r9 advisor finding; the progressive path already
+            # handles that raster)
+            if len(scan["comps"]) < len(comps):
+                raise DecodeNotAvailable(
+                    "non-interleaved baseline JPEG scan "
+                    f"({len(scan['comps'])}/{len(comps)} components)"
+                )
             _decode_scan_baseline(
                 comps, scan, scan["huff"], qt, bits, mcux, mcuy, scan["dri"]
             )

@@ -377,18 +377,29 @@ def _allocate_eigendims(
     output dims (columns of ``w``) so each of the ``m`` subspaces gets a
     balanced log-eigenvalue sum — dims sorted by eigenvalue descending
     (pca_fit's order), each assigned greedily to the least-loaded
-    subspace with remaining capacity."""
+    subspace with remaining capacity.
+
+    The accumulated load is the log-eigenvalue SHIFTED to be
+    nonnegative (log λᵢ − log λ_min⁺): every bucket receives exactly
+    d/m dims, so a constant shift preserves the balance objective,
+    while making the min-load selection scale-invariant. Without the
+    shift, sub-unity spectra (unit-norm embeddings — all logs negative)
+    made the FULLEST bucket always look least loaded, piling
+    consecutive top dims into bucket 0 until capacity — exactly the
+    variance-concentration failure the allocation exists to prevent
+    (r9 advisor finding, pinned in tests/test_advice_r10.py)."""
     import math
 
     d = len(vals)
     sub = d // m
+    floor = math.log(max(min((v for v in vals if v > 0), default=1e-12), 1e-12))
     buckets: list[list[int]] = [[] for _ in range(m)]
     load = [0.0] * m
     for i in range(d):
         open_js = [j for j in range(m) if len(buckets[j]) < sub]
         j = min(open_js, key=lambda jj: (load[jj], jj))
         buckets[j].append(i)
-        load[j] += math.log(max(vals[i], 1e-12))
+        load[j] += math.log(max(vals[i], 1e-12)) - floor
     perm = [i for b in buckets for i in b]
     return [[row[p] for p in perm] for row in w]
 

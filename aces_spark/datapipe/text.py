@@ -26,15 +26,33 @@ LANG_MARKERS = {
 }
 
 
+# The ONE tokenizer contract: lowercase, any non-[a-z0-9] run → space,
+# split on spaces, drop empties. norm_tokens is the Spark Column form;
+# norm_tokens_py is the pure-Python twin for driver-side inputs
+# (blocklist phrases, CLI args). Change them TOGETHER —
+# tests/test_advice_r10.py pins their agreement on representative
+# strings so phrase and document tokenization can never diverge
+# silently (r9 advisor finding).
+NORM_TOKEN_PATTERN = r"[^a-z0-9]+"
+
+
 def norm_tokens(text_col: str | Column) -> Column:
     """Lowercased alphanumeric word tokens (engine-portable normalization —
-    the one tokenizer shared by shingling, vocab stats, and decontamination
-    so every module agrees on what a "word" is)."""
+    the one tokenizer shared by shingling, vocab stats, decontamination,
+    and the blocklist gate so every module agrees on what a "word" is)."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    normalized = F.trim(F.regexp_replace(F.lower(text), NORM_TOKEN_PATTERN, " "))
     return F.when(F.length(normalized) == 0, F.array().cast("array<string>")).otherwise(
         F.split(normalized, " ")
     )
+
+
+def norm_tokens_py(text: str) -> list[str]:
+    """Pure-Python twin of :func:`norm_tokens` for driver-known strings
+    (blocklist phrases). Same contract, same pattern constant."""
+    import re
+
+    return [t for t in re.sub(NORM_TOKEN_PATTERN, " ", text.lower()).split() if t]
 
 
 def vocab_top_k(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:

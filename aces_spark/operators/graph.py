@@ -502,6 +502,28 @@ def adamic_adar(
     )
 
 
+# Renorm safety envelope: a node's raw iteration score __s is bounded
+# by the total mass n_nodes·scale, and the renorm multiplies it by the
+# same n_nodes·scale target — so (n_nodes·scale)² must stay inside
+# DECIMAL(38,0). With ANSI off the overflow would become NULL, which
+# coalesce() silently turned into an all-zero score column (r9 advisor
+# finding). _hits_effective_scale shrinks scale so the square always
+# fits; pinned in tests/test_advice_r10.py.
+_HITS_MAX_PRODUCT = 10**19 - 1
+
+
+def _hits_effective_scale(n_nodes: int, scale: int) -> int:
+    """Largest per-node scale ≤ ``scale`` with
+    ``(n_nodes * scale)² < 10³⁸`` (DECIMAL(38,0)-safe renorm)."""
+    safe = _HITS_MAX_PRODUCT // max(n_nodes, 1)
+    if safe < 1:
+        raise ValueError(
+            f"hits: {n_nodes} nodes exceeds the DECIMAL(38,0) renorm "
+            "envelope even at scale=1"
+        )
+    return min(scale, safe)
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",
@@ -530,8 +552,11 @@ def hits(
     the node-sized score frame + two hash aggregates + a 1-row
     broadcast total — the Pregel-lite shape of :func:`pagerank`, same
     lazy lineage truncation per round. Overflow audit: Σ score ≤
-    n·scale ≤ 1e17 at n = 1e5; raw × (n·scale) ≤ 1e34 inside
-    DECIMAL(38,0).
+    n·scale and the renorm computes raw × (n·scale) ≤ (n·scale)², so
+    the effective scale is auto-shrunk via :func:`_hits_effective_scale`
+    whenever ``n_nodes × scale`` would exceed 10¹⁹−1 — past the default
+    scale's ~1e7-node ceiling the scores lose precision gracefully
+    instead of NULLing into zeros (r9 advisor finding).
     """
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
@@ -547,6 +572,7 @@ def hits(
     n_nodes = nodes.count()  # bounded driver scalar, as in pagerank
     if n_nodes == 0:
         raise ValueError("hits: edge list is empty (no nodes)")
+    scale = _hits_effective_scale(n_nodes, scale)
     target = n_nodes * scale
     dec = "decimal(38,0)"
 
