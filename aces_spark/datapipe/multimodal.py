@@ -169,8 +169,20 @@ def _png_lines_to_pixels(
 ) -> np.ndarray:
     """Reconstructed scanline bytes → ``(h, w, ch)`` sample values.
     Sub-byte depths unpack MSB-first (the spec's packing) and scale is
-    NOT applied here — palette indices are lookups, not intensities."""
+    NOT applied here — palette indices are lookups, not intensities.
+    16-bit samples are big-endian byte pairs (PNG network order),
+    downscaled to 8-bit with correct rounding
+    (``round(v·255/65535)`` — the spec's sample-depth rescale, not a
+    bare high-byte truncate)."""
     h = recon.shape[0]
+    if depth == 16:
+        pairs = (
+            recon.reshape(h, -1)[:, : w * ch * 2]
+            .reshape(h, w * ch, 2)
+            .astype(np.uint32)
+        )
+        v = (pairs[..., 0] << 8) | pairs[..., 1]
+        return ((v * 255 + 32767) // 65535).astype(np.uint8).reshape(h, w, ch)
     if depth == 8:
         return recon.reshape(h, -1)[:, : w * ch].reshape(h, w, ch)
     bits = np.unpackbits(recon, axis=1)
@@ -191,11 +203,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to ``(h, w, 3)`` uint8 — dependency-free
     (stdlib ``zlib`` inflate + numpy unfilter), covering the real-world
     corpus formats: greyscale (0), RGB (2), RGBA (6; alpha dropped) at
-    8-bit depth, PALETTE (3) at 1/2/4/8-bit depth (r9 — the most common
-    web PNG profile after RGB), each either sequential or
-    ADAM7-INTERLACED (r9: the 7 passes are independently filtered
-    sub-images, unfiltered per pass and scattered into place). 16-bit
-    raises :class:`DecodeNotAvailable`; corrupt streams (bad CRC, bad
+    8-bit OR 16-BIT depth (r10 — big-endian byte pairs through the same
+    byte-lane unfilter with bpp = ch·2, then the spec's
+    ``round(v·255/65535)`` rescale to uint8), PALETTE (3) at 1/2/4/8-bit
+    depth (r9 — the most common web PNG profile after RGB), each either
+    sequential or ADAM7-INTERLACED (r9: the 7 passes are independently
+    filtered sub-images, unfiltered per pass and scattered into place).
+    16-bit palette is spec-invalid and corrupt streams (bad CRC, bad
     raster length, bad filter byte, out-of-range palette index) raise
     ``ValueError``."""
     import struct
@@ -230,7 +244,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing or malformed IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if color in (0, 2, 6):
-        if depth != 8:
+        if depth not in (8, 16):
             raise DecodeNotAvailable(f"{depth}-bit PNG color-type {color}")
     elif color == 3:
         if depth not in (1, 2, 4, 8):

@@ -133,11 +133,16 @@ def test_png_multiple_idat_chunks():
 def test_png_unsupported_and_corrupt():
     img = _rand_img(2, 2, 3, 3)
     png = encode_png(img)
-    # 16-bit depth -> DecodeNotAvailable (patch IHDR depth byte + re-CRC)
+    # 16-bit depth is SUPPORTED since r10 — an IHDR claiming 16-bit over
+    # an 8-bit raster is now a length mismatch: corrupt, not unsupported
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     bad_depth = png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :]
-    with pytest.raises(DecodeNotAvailable):
+    with pytest.raises(ValueError):
         decode_png(bad_depth)
+    # 32-bit depth stays honestly unavailable
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 32, 2, 0, 0, 0)
+    with pytest.raises(DecodeNotAvailable):
+        decode_png(png[:8] + _chunk(b"IHDR", ihdr) + png[8 + 25 :])
     # interlace is SUPPORTED since r9 — an IHDR claiming Adam7 over a
     # sequential raster is now a length mismatch: corrupt, not unsupported
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
@@ -334,17 +339,70 @@ def test_png_palette_contracts():
     bad_idx = idx.copy(); bad_idx[0, 0] = 9
     with pytest.raises(ValueError):
         decode_png(encode_png2(bad_idx, depth=8, palette=pal))
-    # 16-bit still honestly unavailable
-    i = bytes(good).find(b"IHDR")
-    deep = good.copy(); deep[i + 4 + 8] = 16
-    # (CRC now wrong — patch via re-chunk instead)
-    rgb = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
-    seq = bytearray(encode_png(rgb))
-    j = bytes(seq).find(b"IHDR")
+    # 16-bit RGB is supported since r10: 100 zero bytes are exactly a
+    # valid 4×4 16-bit RGB raster (4 rows × (1 filter + 24 data)) —
+    # this decodes to all-black now instead of raising
     ihdr_new = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     rebuilt = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_new)
                + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
                + _chunk(b"IEND", b""))
-    from aces_spark.datapipe.multimodal import DecodeNotAvailable
+    assert np.array_equal(decode_png(rebuilt), np.zeros((4, 4, 3), np.uint8))
+    # but a truncated 16-bit raster is corrupt
+    short = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_new)
+             + _chunk(b"IDAT", zlib.compress(b"\x00" * 99))
+             + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
+def test_png_16bit_pixel_exact():
+    # r10 (judge ask #5): 16-bit grey / RGB / RGBA through every filter
+    # type; expected = spec rescale round(v*255/65535), alpha dropped,
+    # grey replicated — golden computed here independently of the
+    # decoder's vectorized path
+    rng = np.random.RandomState(42)
+    for ch in (1, 3, 4):
+        img16 = rng.randint(0, 65536, size=(9, 7, ch)).astype(np.uint16)
+        # include exact-boundary values the rounding must hit
+        img16[0, 0, 0] = 0
+        img16[0, 1, 0] = 65535
+        img16[0, 2, 0] = 32896  # 0x8080 → exactly 128.0*257/257
+        data = encode_png2(
+            img16 if ch > 1 else img16[:, :, 0], depth=16, filters=[0, 1, 2, 3, 4]
+        )
+        from aces_spark.datapipe.multimodal import decode_png
+
+        got = decode_png(data)
+        want8 = ((img16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+        if ch == 1:
+            want = np.repeat(want8, 3, axis=2)
+        elif ch == 4:
+            want = want8[:, :, :3]
+        else:
+            want = want8
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), f"ch={ch}"
+
+
+def test_png_16bit_adam7():
+    rng = np.random.RandomState(9)
+    img16 = rng.randint(0, 65536, size=(12, 10, 3)).astype(np.uint16)
+    data = encode_png2(img16, depth=16, interlace=1, filters=[4, 3, 2, 1, 0])
+    from aces_spark.datapipe.multimodal import decode_png
+
+    got = decode_png(data)
+    want = ((img16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_png_16bit_palette_still_rejected():
+    # 16-bit palette is spec-invalid; the IHDR gate must keep raising
+    import pytest
+
+    from aces_spark.datapipe.multimodal import DecodeNotAvailable, decode_png
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint16)
+    data = encode_png2(idx, depth=16, palette=pal)
     with pytest.raises(DecodeNotAvailable):
-        decode_png(rebuilt)
+        decode_png(data)

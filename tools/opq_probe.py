@@ -80,7 +80,24 @@ def main() -> int:
         rot = recall(
             opq_topk(queries, opq_encode(df, model), model, k=k).collect()
         )
-        return {"plain_pq": plain, "opq": rot}
+        res = {
+            "plain_pq": plain,
+            "opq": rot,
+            "rotated": model["rotated"],
+            "spectrum_ratio": (
+                None
+                if model["spectrum_ratio"] == float("inf")
+                else round(model["spectrum_ratio"], 2)
+            ),
+        }
+        if model["rotated"]:
+            refined = opq_train(
+                df, m=m, n_codes=n_codes, quantizer="kmeans", refine=1
+            )
+            res["opq_np1"] = recall(
+                opq_topk(queries, opq_encode(df, refined), refined, k=k).collect()
+            )
+        return res
 
     out = {"m": m, "n_codes": n_codes, "k": k}
 
