@@ -1660,8 +1660,16 @@ def q_multimodal_frame_plan(spark, sf_dir):
 
 
 def q_multimodal_payload_stats(spark, sf_dir):
-    """Multimodal plumbing (JVM fast path): binary payload sizes/digests —
-    document text encoded as the opaque payload."""
+    """Multimodal plumbing (JVM fast path): binary payload sizes/digests,
+    plus the r10 MPEG-audio metadata fields — document text encoded as
+    the opaque payload. The audio fields come from
+    ``audio_metadata``'s JVM magic-byte gate + Arrow header walk; on
+    this text corpus the gate admits zero payloads, so the left join
+    adds all-null columns with no Python traffic — which is exactly
+    what the SQL oracle mirrors (the parser itself is fixture-golden
+    territory: tests/test_mp3.py)."""
+    from aces_spark.datapipe.multimodal import audio_metadata
+
     docs = _read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -1674,7 +1682,16 @@ def q_multimodal_payload_stats(spark, sf_dir):
             F.lit(None).cast("string").alias("codec"),
         ).alias("meta"),
     )
-    return payload_stats(media).select("media_id", "n_bytes", "payload_digest")
+    audio = audio_metadata(media).select(
+        "media_id",
+        F.col("duration_ms").alias("audio_duration_ms"),
+        F.col("bitrate_kbps").alias("audio_bitrate_kbps"),
+    )
+    return (
+        payload_stats(media)
+        .select("media_id", "n_bytes", "payload_digest")
+        .join(audio, "media_id", "left")
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -5784,10 +5801,17 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id % 2 = 0
 """
 
+    # the audio fields are NULL for every row on this text corpus by
+    # construction: audio_metadata's magic-byte gate (ID3 prefix or
+    # 0xFFEx sync) admits no UTF-8 text payload, so the left join adds
+    # typed nulls — the oracle mirrors the types; the MPEG header
+    # parser itself is fixture-verified (tests/test_mp3.py)
     sql["multimodal_payload_stats"] = """
 SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  md5(text) AS payload_digest
+  md5(text) AS payload_digest,
+  CAST(NULL AS BIGINT) AS audio_duration_ms,
+  CAST(NULL AS INTEGER) AS audio_bitrate_kbps
 FROM documents
 """
 
