@@ -1152,6 +1152,24 @@ def prefix_jaccard_pairs(
     if cache_registry is not None:
         cache_registry.append(sh)
 
+    prefix = _prefix_relation(sh, t_bp).localCheckpoint(eager=False)
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("__arr"))
+        .localCheckpoint(eager=False)
+    )
+    cands = _prefix_candidates(prefix, t_bp).distinct()
+    return _prefix_verify(cands, arrs, threshold)
+
+
+def _prefix_relation(sh: DataFrame, t_bp: int) -> DataFrame:
+    """Stage 1 of :func:`prefix_jaccard_pairs`: the indexed prefix
+    relation ``(doc_id, shingle, __s, __p)`` — each doc's
+    ``s − ⌈t·s⌉ + 1`` globally-rarest shingles with size and rank.
+    Split out (r10) so the single-host sf10 streamed runner
+    (``tools/prefix_sf10_stream.py``) can checkpoint it to parquet and
+    process the candidate mass in shingle-hash block ranges without
+    duplicating the operator's semantics."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (
         sh.join(dfreq, "shingle")
@@ -1168,14 +1186,20 @@ def prefix_jaccard_pairs(
     # ceil(t*s) in integer basis points; t_bp*s < 2^53 so the floor-div
     # of exact-integer doubles is engine-exact
     ceil_ts = F.floor((F.lit(t_bp) * F.col("__s") + 9999) / 10000).cast("long")
-    # feeds BOTH self-join sides: truncate so the df-count join + rank
-    # window don't replay per branch (the plan-hygiene rule)
-    prefix = (
-        ranked.filter(F.col("__p") <= F.col("__s") - ceil_ts + 1)
-        .select("doc_id", "shingle", "__s", "__p")
-        .localCheckpoint(eager=False)
+    # feeds BOTH self-join sides in the operator: callers truncate so
+    # the df-count join + rank window don't replay per branch
+    return ranked.filter(F.col("__p") <= F.col("__s") - ceil_ts + 1).select(
+        "doc_id", "shingle", "__s", "__p"
     )
 
+
+def _prefix_candidates(prefix: DataFrame, t_bp: int) -> DataFrame:
+    """Stage 2: the raw (pre-distinct) candidate pairs from the prefix
+    self-join with the length + PPJoin positional filters. Callers own
+    the ``distinct()`` — the streamed runner dedupes within each
+    shingle-hash block and again across blocks (a pair colliding on
+    shingles in two blocks verifies to the same jaccard, so the final
+    distinct restores exactly the one-shot output)."""
     a = prefix.alias("a")
     b = prefix.alias("b")
     # PPJoin positional filter (Xiao et al. WWW'08 §3.2): at a prefix
@@ -1214,15 +1238,15 @@ def prefix_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    return cands
 
-    # feeds both verify-join sides: same truncation
-    arrs = (
-        sh.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("shingle")).alias("__arr"))
-        .localCheckpoint(eager=False)
-    )
+
+def _prefix_verify(cands: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Stage 3: exact verification of distinct candidate pairs — one
+    row-local ``array_intersect`` against the two full sorted shingle
+    arrays (``arrs``: ``(doc_id, __arr)``), basis-point-floored jaccard
+    ≥ ``threshold``."""
     va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__aa"))
     vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__ab"))
     common = F.size(F.array_intersect(F.col("__aa"), F.col("__ab"))).cast("long")
