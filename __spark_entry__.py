@@ -3263,7 +3263,72 @@ def q_fuzzy_decontamination(spark, sf_dir):
     return fuzzy_decontaminate(docs, bench, n=3, num_hashes=8, bands=4)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (datapipe.pii.k_anonymity_report, r10): customer
+    quasi-identifiers (nation, market segment, coarse account-balance
+    bucket) → per-equivalence-class size + at-risk flag at k=5. One hash
+    aggregate; the release-safety screen for user-derived tables."""
+    from aces_spark.datapipe.pii import k_anonymity_report
+
+    cust = _read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
+def q_vocab_richness(spark, sf_dir):
+    """Vocabulary-richness estimators (datapipe.text.vocab_richness,
+    r10): hapax/dis-legomena profile, bias-corrected Chao1 richness
+    floor, Good-Turing missing mass — the corpus-coverage dashboard for
+    tokenizer and data-mix decisions. Linear, two exchanges."""
+    from aces_spark.datapipe.text import vocab_richness
+
+    docs = _read_table(spark, sf_dir, "documents").select("text")
+    return vocab_richness(docs)
+
+
+def q_excess_loss_select(spark, sf_dir):
+    """Reference-model excess-loss selection (datapipe.lm
+    .excess_loss_scores, r10): in-domain bigram LM (doc_id % 4 == 0
+    slice) vs general LM (% 4 == 2 slice), scoring the odd half;
+    excess = nll_gen - nll_ref in exact micro-units — the
+    RHO-loss/DoReMi-family 'learnable and worth learning' signal."""
+    from aces_spark.datapipe.lm import excess_loss_scores, train_bigram_lm
+
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = train_bigram_lm(docs.filter(F.col("doc_id") % 4 == 0))
+    gen = train_bigram_lm(docs.filter(F.col("doc_id") % 4 == 2))
+    return excess_loss_scores(docs.filter(F.col("doc_id") % 2 == 1), ref, gen)
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
+    r10): event values per event type, |x-med| > 3*MAD with exact
+    lower-median selection (rank position, no interpolation) — the
+    50%-breakdown screen a mean/stddev z-score can't provide under
+    contaminated tails. The events value column has the heavy tail
+    (1154 flagged rows at sf0.01; lineitem prices are bounded-uniform
+    and never exceed 3 MAD — a vacuous fixture, measured and avoided)."""
+    from aces_spark.datapipe.analytics import robust_outliers
+
+    ev = _read_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    return robust_outliers(
+        ev, "value", "event_id", group_col="event_type", n_mads=3
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- r10 debuts ---
+    "k_anonymity": q_k_anonymity,
+    "vocab_richness": q_vocab_richness,
+    "excess_loss_select": q_excess_loss_select,
+    "robust_outliers": q_robust_outliers,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3465,68 +3530,68 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-9 verification schedule (see ARCHITECTURE.md 'Query rotation
-# policy'): tier 1 = the r9 debut, tier 2 = the 12-query r4 overflow
-# + the 28 stalest r5-greens, tier 3 = the pinned core; everything
-# r8-verified rotates to the tail, freshest (the 11 r8 debuts) last.
-_R9_ORDER = [
-    "blocklist_hits", "hits_items", "dirichlet_ql", "negative_samples",
-    "substring_strip_exact", "simhash_near_pairs", "ann_cosine_topk", "knn_classify",
-    "ann_ivf_topk", "embedding_label_stats", "multimodal_frame_plan", "multimodal_payload_stats",
-    "multimodal_features", "cohort_feature_vectors", "predicates_meds_scan", "dedup_exact",
-    "dedup_exact_groups", "pagerank_items", "ppr_items", "fuzzy_vocab_pairs",
-    "value_trend", "item_association", "item_communities", "bloom_join_supplier",
-    "incr_agg_merge", "zorder_stats", "cms_user_counts", "hist_quantiles",
-    "triangle_count", "hll_by_type", "kcore_items", "doc_entropy",
-    "interval_overlap_join", "ivfpq_topk_indexed", "lsh_cosine_topk", "snapshot_diff",
-    "check_rules", "bm25_search", "kmv_distinct", "hll_distinct",
-    "event_transitions",
-    "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
-    "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
-    "event_bound_bwd", "event_bound_record_end",
+# Round-10 verification schedule (see ARCHITECTURE.md 'Query rotation
+# policy'): tier 1 = the 4 r10 debuts, tier 2 = the 16-query r5
+# remainder + the 21 stalest r6-greens, tier 3 = the pinned core;
+# everything r9-verified rotates to the tail, freshest (the 5 r9
+# debuts) last.
+_R10_ORDER = [
+    "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
-    "weighted_sample", "rolling_time",
-    "value_anomalies", "collocations", "item_covisitation", "bpe_pair_counts",
-    "hll_registers", "label_centroids", "predicate_value_range", "derived_and_or",
-    "text_quality", "stratified_sample", "dsir_selection", "kmeans_clusters",
-    "entity_resolution", "semantic_dedup", "phrase_search", "distinctive_terms",
-    "ivf_append_topk", "rank_normalize", "sorted_neighborhood", "time_weighted_avg",
-    "coverage_select", "domain_temperature_mix", "containment_pairs", "hard_negatives",
-    "winsorized_values", "random_projection", "bpe_merges", "bpe_encode_tokens",
-    "tfidf_features", "sessionization", "decontamination", "sequence_packing",
-    "split_assignment", "vocab_topk", "paragraph_dedup", "dedup_incremental",
-    "corpus_pipeline", "event_funnel", "cohort_retention", "text_char_stats",
-    "lang_id", "predicate_regex_anyof", "special_predicates", "static_filter",
-    "trigger_anchors", "esgpt_predicates", "stratified_take", "corpus_clean",
-    "dedup_keep_best", "dedup_clusters", "pii_scrub", "lineitem_pricing_summary",
-    "revenue_join", "region_rollup", "brand_revenue", "local_supplier_volume",
-    "doc_length_quantiles", "html_extract", "token_counts", "doc_fingerprint",
-    "props_field_stats", "event_type_pivot", "sq8_codes", "sq8_topk",
-    "lm_score_kn", "ngram_overlap", "binary_hamming_topk", "encoding_artifacts",
-    "vocab_divergence", "quality_classifier", "zipf_corpus_stats", "epoch_shard_plan",
-    "prefix_jaccard", "boilerplate_lines", "boilerplate_strip", "ppl_buckets",
-    "corpus_diversity", "embedding_outliers", "hist_by_group", "sentence_stats",
-    "leakage_safe_split", "mmr_select", "ngram_novelty", "tokenizer_fertility",
-    "adamic_adar_links", "tfidf_cosine_dups", "user_active_coverage", "feature_hashing",
-    "decayed_engagement", "hybrid_rrf_search", "contamination_fraction", "token_budget_fill",
-    "doc_outlier_filter", "corpus_mix_sample", "key_skew_report", "heavy_keys",
-    "pq_codes", "pq_topk", "doc_chunking", "rare_token_score",
-    "asof_join_views", "range_join_attrib", "time_rollup", "gapfill_locf",
-    "ann_ivf_indexed", "ann_ivf_recall", "ivf_cell_stats", "substring_dedup",
-    "minhash_jaccard", "url_normalize", "domain_stats", "group_vocab_topk",
-    "token_histogram", "corpus_mix", "embedding_dim_stats", "repetition_stats",
-    "winnowing_fingerprints", "embedding_dup_pairs", "ngram_jaccard_pairs", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash_groups", "pii_density_filter", "bradley_terry",
-    "fuzzy_decontamination", "embedding_covariance", "dim_ablation_recall", "ab_welch_ttest",
-    "oov_rate", "classifier_train_score", "substring_strip", "lm_score_kn3",
-    "hamming_near_pairs",
+    "weighted_sample", "rolling_time", "value_anomalies", "collocations",
+    "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
+    "predicate_value_range", "derived_and_or", "text_quality", "stratified_sample",
+    "dsir_selection", "kmeans_clusters", "entity_resolution", "semantic_dedup",
+    "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
+    "sorted_neighborhood", "time_weighted_avg", "coverage_select", "domain_temperature_mix",
+    "containment_pairs", "hard_negatives", "winsorized_values", "random_projection",
+    "bpe_merges", "bpe_encode_tokens", "tfidf_features", "sessionization",
+    "decontamination", "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
+    "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
+    "event_bound_bwd", "event_bound_record_end", "sequence_packing", "split_assignment",
+    "vocab_topk", "paragraph_dedup", "dedup_incremental", "corpus_pipeline",
+    "event_funnel", "cohort_retention", "text_char_stats", "lang_id",
+    "predicate_regex_anyof", "special_predicates", "static_filter", "trigger_anchors",
+    "esgpt_predicates", "stratified_take", "corpus_clean", "dedup_keep_best",
+    "dedup_clusters", "pii_scrub", "lineitem_pricing_summary", "revenue_join",
+    "region_rollup", "brand_revenue", "local_supplier_volume", "doc_length_quantiles",
+    "html_extract", "token_counts", "doc_fingerprint", "props_field_stats",
+    "event_type_pivot", "sq8_codes", "sq8_topk", "lm_score_kn",
+    "ngram_overlap", "binary_hamming_topk", "encoding_artifacts", "vocab_divergence",
+    "quality_classifier", "zipf_corpus_stats", "epoch_shard_plan", "prefix_jaccard",
+    "boilerplate_lines", "boilerplate_strip", "ppl_buckets", "corpus_diversity",
+    "embedding_outliers", "hist_by_group", "sentence_stats", "leakage_safe_split",
+    "mmr_select", "ngram_novelty", "tokenizer_fertility", "adamic_adar_links",
+    "tfidf_cosine_dups", "user_active_coverage", "feature_hashing", "decayed_engagement",
+    "hybrid_rrf_search", "contamination_fraction", "token_budget_fill", "doc_outlier_filter",
+    "corpus_mix_sample", "key_skew_report", "heavy_keys", "pq_codes",
+    "pq_topk", "doc_chunking", "rare_token_score", "asof_join_views",
+    "range_join_attrib", "time_rollup", "gapfill_locf", "ann_ivf_indexed",
+    "ann_ivf_recall", "ivf_cell_stats", "substring_dedup", "minhash_jaccard",
+    "url_normalize", "domain_stats", "group_vocab_topk", "token_histogram",
+    "corpus_mix", "embedding_dim_stats", "repetition_stats", "winnowing_fingerprints",
+    "embedding_dup_pairs", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash_groups", "pii_density_filter", "bradley_terry", "fuzzy_decontamination",
+    "embedding_covariance", "dim_ablation_recall", "ab_welch_ttest", "oov_rate",
+    "classifier_train_score", "substring_strip", "lm_score_kn3", "hamming_near_pairs",
+    "simhash_near_pairs", "ann_cosine_topk", "knn_classify", "ann_ivf_topk",
+    "embedding_label_stats", "multimodal_frame_plan", "multimodal_payload_stats", "multimodal_features",
+    "cohort_feature_vectors", "predicates_meds_scan", "dedup_exact", "dedup_exact_groups",
+    "pagerank_items", "ppr_items", "fuzzy_vocab_pairs", "value_trend",
+    "item_association", "item_communities", "bloom_join_supplier", "incr_agg_merge",
+    "zorder_stats", "cms_user_counts", "hist_quantiles", "triangle_count",
+    "hll_by_type", "kcore_items", "doc_entropy", "interval_overlap_join",
+    "ivfpq_topk_indexed", "lsh_cosine_topk", "snapshot_diff", "check_rules",
+    "bm25_search", "kmv_distinct", "hll_distinct", "event_transitions",
+    "blocklist_hits", "hits_items", "dirichlet_ql", "negative_samples",
+    "substring_strip_exact",
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # _R9_ORDER is the round-9 schedule; any key not yet in it (a future
+    # _R10_ORDER is the round-10 schedule; any key not yet in it (a future
     # debut) leads per the tier-1 rule
-    fresh = [k for k in _QUERIES if k not in set(_R9_ORDER)]
-    ordered = fresh + [k for k in _R9_ORDER if k in _QUERIES]
+    fresh = [k for k in _QUERIES if k not in set(_R10_ORDER)]
+    ordered = fresh + [k for k in _R10_ORDER if k in _QUERIES]
     return {k: _QUERIES[k] for k in ordered}
 
 
@@ -6464,6 +6529,120 @@ SELECT doc_id, n_tokens,
   floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
         * 1000000 + 0.5) / 1000000.0 AS nll
 FROM per
+"""
+
+    # r10: k-anonymity audit — one hash aggregate on the quasi key
+    sql["k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+  CAST(COUNT(*) AS BIGINT) AS class_n,
+  COUNT(*) < 5 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, bal_bucket
+"""
+
+    # r10: vocabulary richness — frequency-of-frequencies profile +
+    # Chao1 + Good-Turing missing mass, 6-dp floor rule
+    sql["vocab_richness"] = f"""
+WITH toks AS (
+  SELECT {_DOC_TOKENS_SQL} AS t FROM documents
+  WHERE length({_DOC_NORM_SQL}) > 0),
+words AS (SELECT unnest(t) AS word FROM toks),
+freqs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY word),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS v_observed,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freqs)
+SELECT n_tokens, v_observed, f1, f2,
+  floor((CAST(v_observed AS DOUBLE)
+         + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+           / (2.0 * CAST(f2 + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000.0
+    AS chao1,
+  floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5)
+    / 1000000.0 AS gt_unseen
+FROM agg
+"""
+
+    # r10: excess-loss selection — the lm_score oracle structure twice
+    # (ref model on doc_id%4=0, general on %4=2, scoring the odd half),
+    # excess as an exact integer micro-unit difference
+    def _lm_half_sql(tag: str, train_pred: str) -> str:
+        return f"""
+{tag}_train AS (
+  SELECT CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE {train_pred}),
+{tag}_bigrams AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS c_bg
+                  FROM {tag}_train GROUP BY prev, word),
+{tag}_unigrams AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_prev
+                   FROM {tag}_train GROUP BY prev),
+{tag}_vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v_size
+                FROM {tag}_train),
+{tag}_s AS (
+  SELECT sb.doc_id,
+    CAST(floor(-ln((CAST(COALESCE(b.c_bg, 0) AS DOUBLE) + 1.0)
+                   / (CAST(COALESCE(u2.c_prev, 0) AS DOUBLE)
+                      + CAST(v.v_size AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS nll_u
+  FROM score_bg sb
+  LEFT JOIN {tag}_bigrams b USING (prev, word)
+  LEFT JOIN {tag}_unigrams u2 USING (prev)
+  CROSS JOIN {tag}_vocab v),
+{tag}_per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(nll_u) AS BIGINT) AS su
+              FROM {tag}_s GROUP BY doc_id),
+{tag}_nll AS (
+  SELECT doc_id, n_tokens,
+    floor(CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+          * 1000000 + 0.5) / 1000000.0 AS nll
+  FROM {tag}_per)"""
+
+    sql["excess_loss_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKENS_SQL} AS t
+  FROM documents WHERE length({_DOC_NORM_SQL}) > 0),
+score_bg AS (
+  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev, t[i] AS word
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 1),{_lm_half_sql("ref", "doc_id % 4 = 0")},{_lm_half_sql("gen", "doc_id % 4 = 2")}
+SELECT r.doc_id, r.n_tokens,
+  r.nll AS nll_ref, g.nll AS nll_gen,
+  CAST(CAST(floor(g.nll * 1000000 + 0.5) AS BIGINT)
+       - CAST(floor(r.nll * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+    / 1000000.0 AS excess
+FROM ref_nll r JOIN gen_nll g USING (doc_id)
+"""
+
+    # r10: median/MAD robust outliers — exact lower medians by rank
+    # position, exact decimal deviation arithmetic
+    sql["robust_outliers"] = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value, event_id
+  FROM events WHERE value IS NOT NULL),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+med AS (SELECT event_type, value AS med FROM r1
+        WHERE rn = floor((n + 1) / 2)),
+devs AS (
+  SELECT ev.event_type, ev.event_id, ev.value, med.med,
+         abs(ev.value - med.med) AS abs_dev
+  FROM ev JOIN med USING (event_type)),
+r2 AS (
+  SELECT event_type, abs_dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs_dev ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM devs),
+mad AS (SELECT event_type, abs_dev AS mad FROM r2
+        WHERE rn = floor((n + 1) / 2))
+SELECT d.event_type, d.event_id, d.value, d.med, mad.mad, d.abs_dev
+FROM devs d JOIN mad USING (event_type)
+WHERE d.abs_dev > 3 * mad.mad
 """
 
     # SCD2 merge: history = each user's first two (ts-deduped) views,

@@ -717,3 +717,68 @@ def ab_welch_ttest(
         F.round(t, 4).alias("t_stat"),
         F.round(nu, 2).alias("welch_df"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    n_mads: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier detection (r10) — the
+    quality-filtering screen that survives what the mean/stddev z-score
+    (:func:`anomaly_zscore`) cannot: a contaminated tail drags the mean
+    toward itself, masking the very outliers being hunted; the median
+    and the median-absolute-deviation have a 50% breakdown point
+    (Hampel 1974), so pricing-error sweeps and length-spike screens
+    stay calibrated no matter how heavy the tail.
+
+    Exactness: medians are LOWER medians — the value at rank
+    ``⌊(n+1)/2⌋`` in value order (rank ties share the value, so the
+    selection is order-independent) — and on DECIMAL inputs every
+    comparison (``|x − med| > n_mads · mad``) is exact integer
+    arithmetic: no percentile interpolation, nothing engine-dependent.
+
+    Output: the flagged rows only —
+    ``(group?, id_col, value_col, med, mad, abs_dev)`` where
+    ``abs_dev > n_mads · mad``.
+
+    Scale shape: two groupwise rank windows (value order, then
+    abs-deviation order) — exact medians cost a per-group sort each,
+    the honest price of exactness; at 100 TB with million-row groups
+    swap the rank windows for ``approx_percentile`` and keep the same
+    flag rule (the approximate path trades the exact-integer contract
+    for two fewer sorts). The group key partitions everything — no
+    cross-group traffic."""
+    if n_mads < 1:
+        raise ValueError("robust_outliers: n_mads must be >= 1")
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*gpart).orderBy(F.col(col).asc())
+        wn = Window.partitionBy(*gpart)
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        return ranked.filter(
+            F.col("__rn") == F.floor((F.col("__n") + 1) / 2)
+        ).select(*gcols, F.col(col).alias(out))
+
+    med = lower_median(df.select(*gcols, value_col), value_col, "med")
+    joined = (
+        df.select(*gcols, id_col, value_col).join(F.broadcast(med), gcols)
+        if gcols
+        else df.select(id_col, value_col).crossJoin(F.broadcast(med))
+    )
+    devs = joined.withColumn("abs_dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = lower_median(devs.select(*gcols, "abs_dev"), "abs_dev", "mad")
+    flagged = (
+        devs.join(F.broadcast(mad), gcols)
+        if gcols
+        else devs.crossJoin(F.broadcast(mad))
+    )
+    return flagged.filter(F.col("abs_dev") > F.lit(n_mads) * F.col("mad")).select(
+        *gcols, id_col, value_col, "med", "mad", "abs_dev"
+    )

@@ -610,6 +610,55 @@ _LM_FRAMES = {
 }
 
 
+def excess_loss_scores(
+    docs: DataFrame,
+    ref_model: dict[str, DataFrame],
+    gen_model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference-model excess-loss data selection (r10) — the
+    RHO-loss / DoReMi-family signal: score every document under an
+    IN-DOMAIN reference LM and a GENERAL LM (both
+    :func:`train_bigram_lm` count models) and rank by
+    ``excess = nll_general − nll_reference``. A document the reference
+    model finds much easier than the general model (large positive
+    excess) carries in-domain signal the general model lacks — the
+    classic "learnable and worth learning" selection criterion; large
+    negative excess flags off-domain or noise.
+
+    Output ``(doc_id, n_tokens, nll_ref, nll_gen, excess)``, one row
+    per non-empty doc; ``excess`` is computed as an exact INTEGER
+    difference of the two micro-unit-snapped means divided back to
+    6 dp, so it is engine-exact like its inputs (a double subtraction
+    followed by a round would re-introduce last-ulp engine drift).
+
+    Scale shape: the document stream is tokenized once per model score
+    (two passes of :func:`score_documents_lm` — each model's count
+    joins are Zipf-small/AQE-broadcastable) and the final join keys on
+    the doc id, co-partitioned with both scorers' output aggregation.
+    Model-sized traffic only; linear in the corpus."""
+    ref = score_documents_lm(docs, ref_model, id_col, text_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("nll").alias("nll_ref"),
+    )
+    gen = score_documents_lm(docs, gen_model, id_col, text_col).select(
+        F.col(id_col),
+        F.col("nll").alias("nll_gen"),
+    )
+    snap = lambda c: F.floor(F.col(c) * 1000000 + 0.5).cast("long")  # noqa: E731
+    return ref.join(gen, id_col).select(
+        id_col,
+        "n_tokens",
+        "nll_ref",
+        "nll_gen",
+        ((snap("nll_gen") - snap("nll_ref")).cast("double") / 1000000.0).alias(
+            "excess"
+        ),
+    )
+
+
 def save_lm(model: dict[str, DataFrame], path: str) -> None:
     """Persist a :func:`train_bigram_lm` or :func:`train_kn_lm` model as
     one parquet directory per count frame — the train-once / score-many

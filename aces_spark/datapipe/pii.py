@@ -102,3 +102,39 @@ def pii_density_filter(
     return staged.filter(dens <= F.lit(thresh)).select(
         id_col, "clean_text", "n_pii", dens.alias("pii_per_kchar_tenths")
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (r10) —
+    the release-safety question for any user-derived training table:
+    how many rows sit in an equivalence class smaller than ``k``?
+    A record whose quasi-identifier tuple (ZIP-like region, segment,
+    coarse numerics, ...) is shared by fewer than ``k`` rows is
+    re-identifiable by linkage (Sweeney 2002); curation either
+    generalizes those cells further or drops them.
+
+    Output: one row per equivalence class —
+    ``(*quasi_cols, class_n, at_risk)`` with ``at_risk = class_n < k``.
+    Deterministic and fully SQL-mirrorable; callers aggregate
+    ``sum(class_n) filter (at_risk)`` for the headline risk count or
+    join back on the quasi columns to drop/generalize the rows.
+
+    Scale shape: ONE hash aggregate on the quasi-identifier key (the
+    class count), map-side partial combine; linear, one exchange, no
+    joins — the same plan at 100 TB with the key space (not the corpus)
+    as the reduce-side cardinality."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: need at least one quasi column")
+    if k < 2:
+        raise ValueError("k_anonymity_report: k must be >= 2")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_n")
+    ).select(
+        *quasi_cols,
+        "class_n",
+        (F.col("class_n") < k).alias("at_risk"),
+    )

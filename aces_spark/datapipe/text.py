@@ -100,6 +100,55 @@ def group_vocab_top_k(
     )
 
 
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary-richness estimators (r10) — the coverage
+    question every tokenizer/data-mix decision hinges on: how much of
+    the language's vocabulary has this corpus actually seen?
+
+    One row: ``(n_tokens, v_observed, f1, f2, chao1, gt_unseen)`` —
+
+    * ``f1``/``f2``: hapax and dis legomena counts (words seen exactly
+      once / twice) from the frequency-of-frequencies profile.
+    * ``chao1``: the bias-corrected Chao1 richness floor
+      ``V + f1·(f1−1) / (2·(f2+1))`` — a lower bound on the TRUE
+      vocabulary size the corpus samples from (Chao 1984).
+    * ``gt_unseen``: the Good–Turing missing-mass estimate ``f1 / N`` —
+      the probability the next token is a word never seen in this
+      corpus (Gale & Sampson 1995). High missing mass = the corpus is
+      far from vocabulary saturation for its domain.
+
+    Both derived estimators floor-round to 6 dp (the repo's
+    order-independent rounding rule). Scale shape: one token explode →
+    hash-aggregate per word (map-side partial combine absorbs the Zipf
+    head) → a count-of-counts aggregate over the vocabulary-sized
+    relation → one final 1-row fold. Linear, two exchanges, no joins.
+    """
+    words = df.select(F.explode(norm_tokens(text_col)).alias("word"))
+    freqs = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    r6 = lambda col: F.floor(col * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    agg = freqs.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return agg.select(
+        "n_tokens",
+        "v_observed",
+        "f1",
+        "f2",
+        r6(
+            F.col("v_observed").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (2.0 * (F.col("f2") + 1).cast("double"))
+        ).alias("chao1"),
+        r6(F.col("f1").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "gt_unseen"
+        ),
+    )
+
+
 def token_histogram(
     df: DataFrame, bucket_width: int = 50, text_col: str = "text"
 ) -> DataFrame:

@@ -90,3 +90,62 @@ def test_prefix_jaccard_streamed_blocks_parity(spark):
         parts = out if parts is None else parts.union(out)
     streamed = sorted(tuple(r) for r in parts.distinct().collect())
     assert streamed == direct
+
+
+def test_k_anonymity_report(spark):
+    from aces_spark.datapipe.pii import k_anonymity_report
+
+    rows = [("us", "a")] * 6 + [("us", "b")] * 2 + [("fr", "a")] * 5
+    df = spark.createDataFrame(rows, "region string, seg string")
+    got = {
+        (r["region"], r["seg"]): (r["class_n"], r["at_risk"])
+        for r in k_anonymity_report(df, ["region", "seg"], k=5).collect()
+    }
+    assert got == {
+        ("us", "a"): (6, False),
+        ("us", "b"): (2, True),
+        ("fr", "a"): (5, False),
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
+
+
+def test_vocab_richness_hand_computed(spark):
+    from aces_spark.datapipe.text import vocab_richness
+
+    # tokens: a a a b b c d  → N=7, V=4, f1=2 (c,d), f2=1 (b)
+    df = spark.createDataFrame([("a a a b b",), ("c d",)], "text string")
+    r = vocab_richness(df).collect()[0]
+    assert (r["n_tokens"], r["v_observed"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    # chao1 = 4 + 2*1/(2*2) = 4.5 ; gt_unseen = 2/7 floored at 6dp
+    assert r["chao1"] == 4.5
+    assert r["gt_unseen"] == 0.285714
+
+
+def test_robust_outliers_planted(spark):
+    from aces_spark.datapipe.analytics import robust_outliers
+
+    vals = [float(v) for v in [10, 11, 12, 13, 14, 9, 10, 12, 11, 500]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "row_id long, v double"
+    )
+    got = robust_outliers(df, "v", "row_id", n_mads=3).collect()
+    # med = 11 (lower median of 10 values), MAD = 1; only 500 exceeds 3
+    assert [(r["row_id"], r["v"]) for r in got] == [(9, 500.0)]
+    assert got[0]["med"] == 11.0 and got[0]["mad"] == 1.0
+
+
+def test_excess_loss_zero_for_identical_models(spark):
+    from aces_spark.datapipe.lm import excess_loss_scores, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_bigram_lm(docs.filter("doc_id % 2 = 0"))
+    out = excess_loss_scores(docs.filter("doc_id % 2 = 1"), model, model)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["excess"] == 0.0 and r["nll_ref"] == r["nll_gen"] for r in rows)
