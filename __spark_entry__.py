@@ -3305,6 +3305,17 @@ def q_excess_loss_select(spark, sf_dir):
     return excess_loss_scores(docs.filter(F.col("doc_id") % 2 == 1), ref, gen)
 
 
+def q_seasonality_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile (operators.timeseries
+    .seasonality_profile, r10): per-bucket event-value means and
+    ratio-to-global seasonal indices, DECIMAL(18,6)-exact sums, one
+    24-key hash aggregate + a broadcast 1-row global."""
+    from aces_spark.operators.timeseries import seasonality_profile
+
+    ev = _read_events(spark, sf_dir).select("ts", "value")
+    return seasonality_profile(ev, "ts", "value", period="hour_of_day")
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3329,6 +3340,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_richness": q_vocab_richness,
     "excess_loss_select": q_excess_loss_select,
     "robust_outliers": q_robust_outliers,
+    "seasonality_profile": q_seasonality_profile,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3537,6 +3549,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # debuts) last.
 _R10_ORDER = [
     "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
+    "seasonality_profile",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
@@ -3546,9 +3559,9 @@ _R10_ORDER = [
     "sorted_neighborhood", "time_weighted_avg", "coverage_select", "domain_temperature_mix",
     "containment_pairs", "hard_negatives", "winsorized_values", "random_projection",
     "bpe_merges", "bpe_encode_tokens", "tfidf_features", "sessionization",
-    "decontamination", "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
+    "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
-    "event_bound_bwd", "event_bound_record_end", "sequence_packing", "split_assignment",
+    "event_bound_bwd", "event_bound_record_end", "decontamination", "sequence_packing", "split_assignment",
     "vocab_topk", "paragraph_dedup", "dedup_incremental", "corpus_pipeline",
     "event_funnel", "cohort_retention", "text_char_stats", "lang_id",
     "predicate_regex_anyof", "special_predicates", "static_filter", "trigger_anchors",
@@ -6613,6 +6626,26 @@ SELECT r.doc_id, r.n_tokens,
        - CAST(floor(r.nll * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
     / 1000000.0 AS excess
 FROM ref_nll r JOIN gen_nll g USING (doc_id)
+"""
+
+    # r10: hour-of-day seasonal profile — DECIMAL-exact bucket means,
+    # index = ratio of the two already-rounded doubles
+    sql["seasonality_profile"] = """
+WITH rows_ AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS bucket,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL),
+per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+  FROM rows_ GROUP BY bucket),
+gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn, SUM(v) AS gs FROM rows_)
+SELECT bucket, n,
+  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+    AS bucket_mean,
+  floor((floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0)
+        / (floor(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) * 1000000 + 0.5) / 1000000.0)
+        * 1000000 + 0.5) / 1000000.0 AS seasonal_index
+FROM per CROSS JOIN gtot
 """
 
     # r10: median/MAD robust outliers — exact lower medians by rank

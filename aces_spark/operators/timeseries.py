@@ -888,3 +888,65 @@ def decayed_sum(
             (F.col("__s_u6").cast("double") / 1000000.0).alias("decayed_sum"),
         )
     )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """Seasonal profile of a metric stream (r10) — the decomposition
+    step before any anomaly rule touches time-of-day-shaped data: a
+    login spike at 9am is weather, not signal, and a per-user baseline
+    (:func:`~aces_spark.datapipe.analytics.anomaly_zscore`) cannot see
+    it. One row per seasonal bucket:
+    ``(bucket, n, bucket_mean, seasonal_index)`` where
+    ``seasonal_index = bucket_mean / global_mean`` (> 1 = the bucket
+    runs hot; the classic ratio-to-moving-average index with the
+    global mean as the trend stand-in for a stationary window).
+
+    ``period``: ``"hour_of_day"`` (bucket = hour 0-23) or
+    ``"day_of_week"`` (0 = Sunday — computed from the epoch-day count,
+    NOT the engine's locale-dependent dayofweek, so every engine
+    agrees). Means take the repo's exact route: DECIMAL(18,6) sums,
+    one floor-round to 6 dp, and the index divides the two
+    already-rounded doubles — bit-stable anywhere.
+
+    Scale shape: one hash aggregate on ≤ 24 bucket keys (map-side
+    partial combine does nearly all the work) + a broadcast 1-row
+    global mean. Linear, one exchange."""
+    if period == "hour_of_day":
+        bucket = F.hour(F.col(ts_col))
+    elif period == "day_of_week":
+        bucket = F.pmod(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) + 4, F.lit(7)
+        ).cast("int")
+    else:
+        raise ValueError(
+            "seasonality_profile: period must be 'hour_of_day' or 'day_of_week'"
+        )
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        bucket.alias("bucket"), F.col(value_col).cast("decimal(18,6)").alias("__v")
+    )
+    r6 = lambda col: F.floor(col * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    mean6 = lambda s, n: r6(s.cast("double") / n.cast("double"))  # noqa: E731
+    per = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("__s"),
+    )
+    glob = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("__gn"), F.sum("__v").alias("__gs")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n",
+            mean6(F.col("__s"), F.col("n")).alias("bucket_mean"),
+            r6(
+                mean6(F.col("__s"), F.col("n"))
+                / mean6(F.col("__gs"), F.col("__gn"))
+            ).alias("seasonal_index"),
+        )
+    )

@@ -149,3 +149,37 @@ def test_excess_loss_zero_for_identical_models(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert all(r["excess"] == 0.0 and r["nll_ref"] == r["nll_gen"] for r in rows)
+
+
+def test_seasonality_profile_hand_computed(spark):
+    from datetime import datetime
+
+    from aces_spark.operators.timeseries import seasonality_profile
+
+    rows = [
+        (datetime(2024, 1, 1, 9, 5), 10.0),
+        (datetime(2024, 1, 2, 9, 40), 20.0),
+        (datetime(2024, 1, 1, 23, 0), 40.0),
+        (datetime(2024, 1, 1, 10, 0), None),  # nulls excluded
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["bucket"]: r for r in seasonality_profile(df).collect()}
+    assert set(got) == {9, 23}
+    assert got[9]["n"] == 2 and got[9]["bucket_mean"] == 15.0
+    # global mean = 70/3 = 23.333333 (floored); index 9h = 15/23.333333
+    assert got[9]["seasonal_index"] == 0.642857
+    assert got[23]["seasonal_index"] == 1.714286
+
+
+def test_seasonality_profile_day_of_week_portable(spark):
+    from datetime import datetime
+
+    from aces_spark.operators.timeseries import seasonality_profile
+
+    # 1970-01-01 was a Thursday → bucket 4 with 0 = Sunday
+    df = spark.createDataFrame(
+        [(datetime(1970, 1, 1, 12), 1.0), (datetime(1970, 1, 4, 1), 3.0)],
+        "ts timestamp, value double",
+    )
+    got = {r["bucket"]: r["n"] for r in seasonality_profile(df, period="day_of_week").collect()}
+    assert got == {4: 1, 0: 1}
