@@ -607,14 +607,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline-sequential (SOF0) or progressive (SOF2, r9)
     huffman JFIF payload to ``(h, w, 3)`` uint8 — dependency-free
     (pure-Python huffman + numpy 8×8 IDCT + YCbCr→RGB), covering the
-    profile ~all web JPEGs use: 8-bit, 1 (greyscale) or 3 (YCbCr)
-    components, any sampling factors (4:4:4/4:2:2/4:2:0), restart
-    intervals, and for progressive the full spectral-selection ×
+    profile ~all web JPEGs use: 8-bit, 1 (greyscale), 3 (YCbCr), or —
+    r10 — 4 (Adobe CMYK/YCCK via the APP14 transform marker, inverted
+    ink convention, libjpeg-family R = C'·K'/255 composite) components,
+    any sampling factors (4:4:4/4:2:2/4:2:0), restart intervals, and
+    for progressive the full spectral-selection ×
     successive-approximation grid (interleaved or per-component DC
     scans, single-component AC scans, EOB runs, refinement correction
-    bits — T.81 Annex G). Arithmetic coding, hierarchical, 12-bit, and
-    4-component Adobe CMYK raise :class:`DecodeNotAvailable`;
-    truncated/corrupt streams raise ``ValueError``.
+    bits — T.81 Annex G). Arithmetic coding, hierarchical, and 12-bit
+    raise :class:`DecodeNotAvailable`; truncated/corrupt streams raise
+    ``ValueError``.
 
     Spec-parity notes (ITU-T T.81): huffman tables built straight from
     BITS/HUFFVAL (C.2) and snapshotted PER SCAN (progressive files
@@ -635,6 +637,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     scans: list[dict] = []
+    adobe_transform: int | None = None
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -680,8 +683,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
             if prec != 8:
                 raise DecodeNotAvailable(f"{prec}-bit JPEG")
-            if nc not in (1, 3):
-                raise DecodeNotAvailable(f"{nc}-component JPEG (CMYK?)")
+            if nc not in (1, 3, 4):
+                raise DecodeNotAvailable(f"{nc}-component JPEG")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -691,6 +694,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise DecodeNotAvailable(
                 f"JPEG SOF{marker - 0xC0} (extended/lossless/arithmetic)"
             )
+        elif marker == 0xEE:  # APP14 (Adobe color-transform marker)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
@@ -781,12 +787,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     if len(planes) == 1:
         return np.ascontiguousarray(np.repeat(planes[0][:, :, None], 3, axis=2))
+
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+    if len(planes) == 4:
+        # Adobe CMYK (r10): Photoshop stores the ink channels INVERTED
+        # (sample 255 = no ink). transform 2 = YCCK: the inverted C/M/Y
+        # go through the ordinary YCbCr matrix first, K' rides along
+        # untouched; transform 0 / absent = inverted CMYK direct. The
+        # composite is the libjpeg-family quick conversion
+        # R = C'·K'/255 (round-half-up) — exact for the inverted
+        # convention, no ICC profile pretense.
+        if adobe_transform == 2:
+            y, cb, cr, kp = (pl.astype(np.float64) for pl in planes)
+            cmy = ycc_to_rgb(y, cb, cr).astype(np.float64)
+        elif adobe_transform in (None, 0):
+            c_, m_, y_, kp = (pl.astype(np.float64) for pl in planes)
+            cmy = np.stack([c_, m_, y_], axis=2)
+        else:
+            raise DecodeNotAvailable(
+                f"4-component JPEG with Adobe transform {adobe_transform}"
+            )
+        rgb = cmy * kp[:, :, None] / 255.0
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
     y, cb, cr = (pl.astype(np.float64) for pl in planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return ycc_to_rgb(y, cb, cr)
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -115,12 +115,17 @@ def encode_jpeg(
     quant: int | np.ndarray = 8,
     subsample: bool = False,
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
-    """Encode ``(h, w)`` greyscale or ``(h, w, 3)`` RGB uint8 as a
-    baseline JFIF byte string. ``quant``: scalar (uniform table) or a
-    64-entry table, used for every component."""
+    """Encode ``(h, w)`` greyscale, ``(h, w, 3)`` RGB, or ``(h, w, 4)``
+    Adobe-inverted CMYK uint8 as a baseline JFIF byte string.
+    ``quant``: scalar (uniform table) or a 64-entry table, used for
+    every component. For 4-channel input an Adobe APP14 marker is
+    emitted; ``adobe_transform=2`` runs the inverted C/M/Y channels
+    through the YCbCr matrix (YCCK), 0/None stores them direct."""
     img = np.asarray(img, dtype=np.float64)
     grey = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     q = np.full(64, quant, dtype=np.int32) if np.isscalar(quant) else np.asarray(
         quant, dtype=np.int32
@@ -130,6 +135,16 @@ def encode_jpeg(
     if grey:
         planes = [img]
         samp = [(1, 1)]
+    elif cmyk:
+        if adobe_transform == 2:  # YCCK: YCbCr over the inverted CMY
+            r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            planes = [y, cb, cr, img[:, :, 3]]
+        else:
+            planes = [img[:, :, c] for c in range(4)]
+        samp = [(1, 1)] * 4
     else:
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -213,6 +228,15 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if cmyk:
+        out += (
+            b"\xff\xee"
+            + (14).to_bytes(2, "big")
+            + b"Adobe"
+            + (100).to_bytes(2, "big")
+            + bytes(4)
+            + bytes([adobe_transform or 0])
+        )
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(
         int(x) for x in qtab
     )

@@ -135,13 +135,14 @@ def test_unsupported_profiles_raise_decode_not_available():
         decode_jpeg(None)
 
 
-def test_four_component_raises_decode_not_available():
-    # hand-patch the SOF to claim 4 components (Adobe CMYK profile)
+def test_five_component_raises_decode_not_available():
+    # 4-component (Adobe CMYK) is SUPPORTED since r10; a 5-component SOF
+    # stays honestly unavailable. Hand-patch the SOF component count.
     payload = bytearray(bytes.fromhex(FIXTURE_HEX))
     i = bytes(payload).find(b"\xff\xc0")
     # SOF layout: FF C0 len(2) prec h(2) w(2) ncomp
-    payload[i + 9] = 4
-    payload[i + 3] = payload[i + 3] + 3  # keep segment length consistent
+    payload[i + 9] = 5
+    payload[i + 3] = payload[i + 3] + 6  # keep segment length consistent
     with pytest.raises(DecodeNotAvailable):
         decode_jpeg(bytes(payload))
 
@@ -407,3 +408,50 @@ def test_progressive_corrupt_streams_raise_value_error():
     bad[i + 2 + 2 + 3] = 63  # Se byte of the first (DC) scan header
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_cmyk_direct_transform0():
+    # r10: Adobe-inverted CMYK, transform 0 (direct). Flat 8x8 blocks →
+    # DCT exact at quant=1 → the composite R = C'*K'/255 must be exact.
+    from aces_spark.datapipe.multimodal import decode_jpeg
+    from tests.jpeg_ref import encode_jpeg
+
+    img = np.zeros((8, 8, 4), dtype=np.uint8)
+    img[:, :, 0] = 200  # C' (inverted: high = little cyan ink)
+    img[:, :, 1] = 100
+    img[:, :, 2] = 50
+    img[:, :, 3] = 230  # K'
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (8, 8, 3)
+    want = [round(200 * 230 / 255), round(100 * 230 / 255), round(50 * 230 / 255)]
+    assert out[0, 0].tolist() == want
+    assert np.all(out == np.array(want, dtype=np.uint8))
+
+
+def test_cmyk_ycck_transform2():
+    from aces_spark.datapipe.multimodal import decode_jpeg
+    from tests.jpeg_ref import encode_jpeg
+
+    rng = np.random.RandomState(5)
+    # blockwise-flat 16x16 so the DCT stays near-exact; moderate values
+    img = np.repeat(
+        np.repeat(rng.randint(40, 216, size=(2, 2, 4)), 8, axis=0), 8, axis=1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1, adobe_transform=2))
+    # reference: YCCK roundtrip loses ≤1/ulp through the matrices; the
+    # composite against the direct-transform decode must agree within 2
+    direct = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - direct.astype(int)).max() <= 2
+
+
+def test_cmyk_unknown_transform_raises():
+    from aces_spark.datapipe import multimodal as mm
+    from tests.jpeg_ref import encode_jpeg
+
+    img = np.full((8, 8, 4), 128, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quant=1))
+    i = data.find(b"Adobe")
+    data[i + 11] = 7  # bogus transform
+    with pytest.raises(mm.DecodeNotAvailable, match="transform 7"):
+        mm.decode_jpeg(bytes(data))
