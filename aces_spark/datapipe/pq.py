@@ -482,13 +482,17 @@ def opq_train(
     share of the variance.
 
     Honest regime note (measured — tests/test_pq.py +
-    tools/opq_probe.py): the rotation wins on ANISOTROPIC embeddings —
-    full-rank recall@10 0.476 → 0.760 and rank-4-in-64-dims 0.530 →
-    0.778 at m=8/n_codes=16; recall@5 0.58 → 0.76 at m=4/n_codes=8 on a
-    16…0.125 spectrum. Two measured counter-regimes: ISOTROPIC data
-    (testdata embeddings 0.200 → 0.166 — no covariance structure to
-    exploit, the rotation only reshuffles noise) and rank ≪ m with a
-    tiny codebook (rank-2 in 8 dims at m=4/n_codes=8: plain wins —
+    tools/opq_probe.py, re-measured r10 after the scale-invariant
+    eigenvalue allocation): the rotation wins on ANISOTROPIC
+    embeddings — full-rank recall@10 0.476 → 0.800 and
+    rank-4-in-64-dims 0.530 → 0.742 (→ 0.760 with one ``refine``
+    pass) at m=8/n_codes=16; recall@5 0.58 → 0.76 at m=4/n_codes=8 on
+    a 16…0.125 spectrum. Two measured counter-regimes: ISOTROPIC data
+    (testdata embeddings — r9 measured 0.200 → 0.166: no covariance
+    structure to exploit, the rotation only reshuffles noise; the r10
+    ``rotate="auto"`` guard now ships the identity there, opq ≡ plain
+    at 0.200) and rank ≪ m with a tiny codebook (rank-2 in 8 dims at
+    m=4/n_codes=8: plain wins —
     spreading the latent across all subspaces gives the distance m
     redundant noisy estimates that average down, which decorrelation
     removes). The isotropic regime is now guarded automatically
