@@ -3316,6 +3316,22 @@ def q_seasonality_profile(spark, sf_dir):
     return seasonality_profile(ev, "ts", "value", period="hour_of_day")
 
 
+def q_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal-kNN near-dup pairs (datapipe.similarity
+    .mutual_pairs_from_topk, r10): exact cosine top-5 over the vec_id%20
+    slice, kept only when BOTH directions agree — the hub-noise
+    precision filter for embedding dedup candidate pools. The mutuality
+    join is linear in the top-k relation; at scale it composes over the
+    IVF/PQ top-k instead of brute force."""
+    from aces_spark.datapipe.similarity import mutual_topk_pairs
+
+    emb = _read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") % 20 == 0)
+    return mutual_topk_pairs(emb, k=5)
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3341,6 +3357,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "excess_loss_select": q_excess_loss_select,
     "robust_outliers": q_robust_outliers,
     "seasonality_profile": q_seasonality_profile,
+    "mutual_knn_pairs": q_mutual_knn_pairs,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3549,7 +3566,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # debuts) last.
 _R10_ORDER = [
     "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
-    "seasonality_profile",
+    "seasonality_profile", "mutual_knn_pairs",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
@@ -3558,10 +3575,10 @@ _R10_ORDER = [
     "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
     "sorted_neighborhood", "time_weighted_avg", "coverage_select", "domain_temperature_mix",
     "containment_pairs", "hard_negatives", "winsorized_values", "random_projection",
-    "bpe_merges", "bpe_encode_tokens", "tfidf_features", "sessionization",
+    "bpe_merges", "bpe_encode_tokens", "tfidf_features",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
-    "event_bound_bwd", "event_bound_record_end", "decontamination", "sequence_packing", "split_assignment",
+    "event_bound_bwd", "event_bound_record_end", "sessionization", "decontamination", "sequence_packing", "split_assignment",
     "vocab_topk", "paragraph_dedup", "dedup_incremental", "corpus_pipeline",
     "event_funnel", "cohort_retention", "text_char_stats", "lang_id",
     "predicate_regex_anyof", "special_predicates", "static_filter", "trigger_anchors",
@@ -6626,6 +6643,28 @@ SELECT r.doc_id, r.n_tokens,
        - CAST(floor(r.nll * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
     / 1000000.0 AS excess
 FROM ref_nll r JOIN gen_nll g USING (doc_id)
+"""
+
+    # r10: reciprocal-kNN pairs — both directions of the 6-dp cosine
+    # top-5 must agree; similarity reported from the a->b direction
+    sql["mutual_knn_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % 20 = 0),
+s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      AS cosine_sim
+  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM s),
+topk AS (SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rk <= 5)
+SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b, f.cosine_sim
+FROM topk f JOIN topk g
+  ON g.query_id = f.neighbor_id AND g.neighbor_id = f.query_id
+WHERE f.query_id < f.neighbor_id
 """
 
     # r10: hour-of-day seasonal profile — DECIMAL-exact bucket means,

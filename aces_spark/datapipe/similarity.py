@@ -139,6 +139,52 @@ def brute_force_topk(
     return rank_topk(sims, k, "cosine_sim")
 
 
+def mutual_pairs_from_topk(topk: DataFrame) -> DataFrame:
+    """Mutual-kNN pair extraction (r10): given ANY top-k neighbor
+    relation ``(query_id, neighbor_id, cosine_sim)`` — brute-force,
+    IVF-pruned, or PQ-approximated — keep only the RECIPROCAL pairs
+    (a ∈ knn(b) AND b ∈ knn(a), emitted once with ``vec_a < vec_b``).
+    Mutuality is the classic precision filter for embedding near-dup
+    mining: a hub vector appears in thousands of neighbor lists without
+    reciprocating, so one-directional top-k floods the dedup candidate
+    set with hub noise; requiring both directions kills exactly those
+    (Jégou et al.'s reciprocal-NN rule, the SemDeDup-family cleanup).
+
+    Pure relational, linear in the top-k relation: one self-equi-join
+    on the ordered pair key — the expensive part is whatever produced
+    ``topk``, so at 100 TB feed this from the IVF/PQ path, not brute
+    force. Output ``(vec_a, vec_b, cosine_sim)`` with the similarity
+    taken from the a→b direction (both directions score identically
+    under the engine's 6-dp-rounded symmetric cosine)."""
+    fwd = topk.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        "cosine_sim",
+    )
+    rev = topk.filter(F.col("query_id") > F.col("neighbor_id")).select(
+        F.col("neighbor_id").alias("vec_a"),
+        F.col("query_id").alias("vec_b"),
+    )
+    return fwd.join(rev, ["vec_a", "vec_b"])
+
+
+def mutual_topk_pairs(
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact mutual-kNN pairs: :func:`brute_force_topk` with the corpus
+    as its own query set, then :func:`mutual_pairs_from_topk`. The
+    brute pass broadcasts the query side — corpus-sized here — so this
+    convenience form is for corpora that fit the broadcast budget
+    (validation, reranking candidate pools); the scale path composes
+    ``mutual_pairs_from_topk`` over the IVF/PQ top-k instead."""
+    return mutual_pairs_from_topk(
+        brute_force_topk(vectors, vectors, k=k, id_col=id_col, vec_col=vec_col)
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -183,3 +183,42 @@ def test_seasonality_profile_day_of_week_portable(spark):
     )
     got = {r["bucket"]: r["n"] for r in seasonality_profile(df, period="day_of_week").collect()}
     assert got == {4: 1, 0: 1}
+
+
+def test_mutual_knn_pairs_kills_hub(spark):
+    import numpy as np
+
+    from aces_spark.datapipe.similarity import mutual_topk_pairs
+
+    # two tight clusters + one hub vector equidistant-ish from both:
+    # with k=2 the hub lands in many lists but its own list holds only
+    # its 2 nearest — pairs not reciprocated must be dropped
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.99, 0.14, 0.0],
+        3: [0.0, 1.0, 0.0],
+        4: [0.14, 0.99, 0.0],
+        9: [0.7, 0.7, 0.2],  # hub
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in mutual_topk_pairs(df, k=2).collect()}
+    # in-cluster pairs are mutual
+    assert (1, 2) in got and (3, 4) in got
+    # every emitted pair must be reciprocal by construction: verify
+    # against a numpy-ranked reference
+    x = {i: np.array(v) / np.linalg.norm(v) for i, v in vecs.items()}
+    def knn(i, k=2):
+        sims = sorted(
+            ((round(float(x[i] @ x[j]), 6), -j) for j in x if j != i), reverse=True
+        )
+        return {-nj for _, nj in sims[:k]}
+    want = {
+        (min(a, b), max(a, b))
+        for a in x
+        for b in knn(a)
+        if a in knn(b)
+    }
+    assert got == want
