@@ -91,6 +91,9 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # set BEFORE the probe's persist so the InMemoryRelation keeps
+        # its hash(subject_id) output partitioning visible to consumers
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
