@@ -3332,6 +3332,66 @@ def q_mutual_knn_pairs(spark, sf_dir):
     return mutual_topk_pairs(emb, k=5)
 
 
+def q_group_auc(spark, sf_dir):
+    """Exact per-group ROC-AUC via the Mann-Whitney rank statistic
+    (datapipe.evalmetrics.group_auc, r10): event values rounded to 1 dp
+    (tie-heavy on purpose), label = event_id % 3 == 0, grouped by event
+    type — integer rank sums until one final rounded division."""
+    from aces_spark.datapipe.evalmetrics import group_auc
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value"), 1).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return group_auc(ev, "score", "label", "event_type")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (datapipe.evalmetrics.calibration_bins,
+    r10): the portable md5-bucket of doc_id as a uniform [0,1) score,
+    label = n_chars > 300, 10 bins per language — micro-unit-exact mean
+    confidence vs observed rate plus the per-bin ECE term."""
+    from aces_spark.datapipe.evalmetrics import calibration_bins
+    from aces_spark.datapipe.sampling import sample_bucket_expr
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (sample_bucket_expr(F.col("doc_id")) / 10000.0).alias("score"),
+        (F.col("n_chars") > 300).cast("int").alias("label"),
+    )
+    return calibration_bins(docs, "score", "label", n_bins=10, group_col="lang")
+
+
+def q_target_encode_oof(spark, sf_dir):
+    """Out-of-fold mean target encoding
+    (datapipe.evalmetrics.target_encode_oof, r10): event value encoded
+    per event type with the row's own md5-bucket fold excluded and a
+    weight-10 global-mean prior — the leakage-safe categorical
+    feature."""
+    from aces_spark.datapipe.evalmetrics import target_encode_oof
+
+    ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return target_encode_oof(
+        ev, "event_type", "value", "event_id", n_folds=5, prior_weight=10
+    )
+
+
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival table (datapipe.evalmetrics.km_survival,
+    r10): synthetic durations event_id % 60 with right-censoring at
+    event_id % 7 == 0, grouped by event type — exact integer
+    at-risk/event/censor counts per step time."""
+    from aces_spark.datapipe.evalmetrics import km_survival
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 60).alias("dur"),
+        (F.col("event_id") % 7 != 0).cast("int").alias("ev"),
+    )
+    return km_survival(ev, "dur", "ev", "event_type")
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3358,6 +3418,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "seasonality_profile": q_seasonality_profile,
     "mutual_knn_pairs": q_mutual_knn_pairs,
+    "group_auc": q_group_auc,
+    "calibration_bins": q_calibration_bins,
+    "target_encode_oof": q_target_encode_oof,
+    "km_survival": q_km_survival,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3566,7 +3630,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # debuts) last.
 _R10_ORDER = [
     "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
-    "seasonality_profile", "mutual_knn_pairs",
+    "seasonality_profile", "mutual_knn_pairs", "group_auc", "calibration_bins",
+    "target_encode_oof", "km_survival",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
@@ -3574,11 +3639,12 @@ _R10_ORDER = [
     "dsir_selection", "kmeans_clusters", "entity_resolution", "semantic_dedup",
     "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
     "sorted_neighborhood", "time_weighted_avg", "coverage_select", "domain_temperature_mix",
-    "containment_pairs", "hard_negatives", "winsorized_values", "random_projection",
-    "bpe_merges", "bpe_encode_tokens", "tfidf_features",
+    "containment_pairs", "hard_negatives", "winsorized_values",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
-    "event_bound_bwd", "event_bound_record_end", "sessionization", "decontamination", "sequence_packing", "split_assignment",
+    "event_bound_bwd", "event_bound_record_end",
+    "random_projection", "bpe_merges", "bpe_encode_tokens", "tfidf_features",
+    "sessionization", "decontamination", "sequence_packing", "split_assignment",
     "vocab_topk", "paragraph_dedup", "dedup_incremental", "corpus_pipeline",
     "event_funnel", "cohort_retention", "text_char_stats", "lang_id",
     "predicate_regex_anyof", "special_predicates", "static_filter", "trigger_anchors",
@@ -6665,6 +6731,101 @@ SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b, f.cosine_sim
 FROM topk f JOIN topk g
   ON g.query_id = f.neighbor_id AND g.neighbor_id = f.query_id
 WHERE f.query_id < f.neighbor_id
+"""
+
+    # r10: Mann-Whitney rank AUC — integer rank sums via tie-block
+    # contributions, one rounded division at the end
+    sql["group_auc"] = """
+WITH s AS (SELECT event_type, ROUND(value, 1) AS score,
+                  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+           FROM events),
+bs AS (SELECT event_type, score, COUNT(*) AS cnt, SUM(y) AS cnt_pos
+       FROM s GROUP BY 1, 2),
+c AS (SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+           ORDER BY score ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM bs),
+a AS (SELECT event_type,
+             CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(cnt_pos) AS BIGINT) AS n_neg,
+             CAST(SUM(cnt_pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS rank2_sum
+      FROM c GROUP BY 1)
+SELECT event_type, n_pos, n_neg,
+       rank2_sum - n_pos * (n_pos + 1) AS u2,
+       ROUND(CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM a WHERE n_pos > 0 AND n_neg > 0
+"""
+
+    # r10: reliability bins — md5-bucket pseudo-score, 6-dp micro-unit
+    # mean confidence, observed rate, per-bin ECE term
+    sql["calibration_bins"] = f"""
+WITH s AS (SELECT lang,
+    CAST({_BUCKET_SQL} AS DOUBLE) / 10000.0 AS score,
+    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT lang,
+    CAST(least(floor(score * 10), 9) AS INT) AS bin,
+    y, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS s_micro
+  FROM s),
+a AS (SELECT lang, bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(s_micro) AS BIGINT) AS s_sum
+      FROM b GROUP BY 1, 2)
+SELECT lang, bin, n, n_pos,
+  ROUND(CAST(s_sum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE), 6) AS mean_score,
+  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+  ROUND(abs(ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+            - ROUND(CAST(s_sum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE), 6))
+        * n, 6) AS gap
+FROM a
+"""
+
+    # r10: out-of-fold target encoding — md5-bucket folds, per-key
+    # totals minus own-fold sums, weight-10 global-mean prior
+    sql["target_encode_oof"] = """
+WITH r AS (SELECT event_id, event_type,
+    CAST(CAST(concat('0x', substring(md5(concat('0|', CAST(event_id AS VARCHAR))), 1, 8))
+         AS BIGINT) % 10000 % 5 AS INT) AS fold,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS t
+  FROM events),
+kf AS (SELECT event_type, fold, COUNT(*) AS f_cnt,
+              CAST(SUM(t) AS BIGINT) AS f_sum
+       FROM r GROUP BY 1, 2),
+k AS (SELECT event_type, CAST(SUM(f_cnt) AS BIGINT) AS t_cnt,
+             CAST(SUM(f_sum) AS BIGINT) AS t_sum
+      FROM kf GROUP BY 1),
+g AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS g_cnt,
+             CAST(SUM(t_sum) AS BIGINT) AS g_sum
+      FROM k),
+enc AS (SELECT kf.event_type, kf.fold,
+    ROUND(CAST((k.t_sum - kf.f_sum)
+               + 10 * CAST(floor(CAST(g.g_sum AS DOUBLE) / CAST(g.g_cnt AS DOUBLE)
+                                 + 0.5) AS BIGINT) AS DOUBLE)
+          / CAST(((k.t_cnt - kf.f_cnt) + 10) * 1000000 AS DOUBLE), 6) AS encoded
+  FROM kf JOIN k USING (event_type) CROSS JOIN g)
+SELECT r.event_id, r.event_type, r.fold, enc.encoded
+FROM r JOIN enc ON enc.event_type = r.event_type AND enc.fold = r.fold
+"""
+
+    # r10: Kaplan-Meier survival table — integer at-risk/event/censor
+    # counts per event-time step; censor-only times emit no row but
+    # shrink downstream at-risk
+    sql["km_survival"] = """
+WITH s AS (SELECT event_type, event_id % 60 AS t,
+                  CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END AS e
+           FROM events),
+bt AS (SELECT event_type, t, COUNT(*) AS n,
+              CAST(SUM(e) AS BIGINT) AS n_events
+       FROM s GROUP BY 1, 2),
+ar AS (SELECT *, SUM(n) OVER (PARTITION BY event_type)
+           - COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+       FROM bt)
+SELECT event_type, t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+       CAST(n - n_events AS BIGINT) AS n_censored,
+       ROUND(CAST(n_at_risk - n_events AS DOUBLE)
+             / CAST(n_at_risk AS DOUBLE), 6) AS factor
+FROM ar WHERE n_events > 0
 """
 
     # r10: hour-of-day seasonal profile — DECIMAL-exact bucket means,

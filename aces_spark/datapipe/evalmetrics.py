@@ -1,0 +1,271 @@
+"""Exact model-evaluation metrics over scored corpora (r10).
+
+A training-data pipeline doesn't stop at producing examples — every
+quality classifier, reranker, and dedup scorer it trains gets judged on
+held-out scores, and those judgments (AUC, calibration, leakage-safe
+target encodings, time-to-event profiles) are themselves large-scale
+relational computations. This module keeps them EXACT and
+engine-portable: rank statistics and bin counts stay in integer
+arithmetic until one final correctly-rounded IEEE division, so a DuckDB
+oracle and a 1000-executor Spark run hash-agree bit for bit.
+
+Reference framing: the reference engine (justin13601/ACES) stops at
+label extraction (``src/aces/query.py``); these operators are the
+downstream-eval extension the task calls for, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import sample_bucket_expr
+
+
+def _round6(num: Column, den: Column) -> Column:
+    """ROUND(num/den, 6) with the division done once in IEEE double —
+    correctly rounded, hence engine-portable on exact integer inputs."""
+    return F.round(num.cast("double") / den.cast("double"), 6)
+
+
+def group_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank statistic.
+
+    AUC equals the probability a random positive outscores a random
+    negative (ties count half): ``U / (n_pos * n_neg)`` where ``U`` is
+    the rank-sum statistic. Both the classic sklearn trapezoid and this
+    rank form agree exactly; the rank form is ONE aggregation — no curve
+    materialization — and stays in integers:
+
+    * collapse to distinct scores per group (``cnt``, ``cnt_pos``);
+    * a cumulative-count window over score order gives each tie-block's
+      average rank: ``avg_rank = cum_before + (cnt + 1) / 2``;
+    * ``2·U = Σ_blocks cnt_pos · (2·cum_before + cnt + 1) − 2·Σranks_min``
+      — every term integral, so ``u2`` is an exact BIGINT and the only
+      float op is the final division, correctly rounded then snapped to
+      6 dp.
+
+    Output: ``(group?, n_pos, n_neg, u2, auc)`` — ``u2 = 2·U`` kept so
+    downstream can re-derive the exact rational. Groups with no
+    positives or no negatives are dropped (AUC undefined).
+
+    Scale shape: one partial-aggregated groupBy on (group, score) —
+    distinct-score cardinality, not row count — then a per-group window
+    over those distinct scores and one tiny final aggregate. The group
+    key partitions everything; no broadcast, no skew beyond the group
+    histogram itself.
+    """
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+
+    by_score = df.groupBy(*gcols, score_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy(*gpart)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = by_score.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "tie_contrib",
+        F.col("cnt_pos") * (2 * F.col("cum_before") + F.col("cnt") + 1),
+    )
+    agg = contrib.groupBy(*gcols).agg(
+        F.sum("cnt_pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("cnt_pos")).alias("n_neg"),
+        F.sum("tie_contrib").alias("rank2_sum"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn("u2", F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .select(
+            *gcols,
+            "n_pos",
+            "n_neg",
+            "u2",
+            _round6(F.col("u2"), 2 * F.col("n_pos") * F.col("n_neg")).alias("auc"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins + the expected-calibration-error terms.
+
+    Fixed-width bins over [0, 1]: ``bin = min(floor(score·n_bins),
+    n_bins−1)``. Per bin: example count, positive count, the mean score
+    in integer micro-units (scores snapped to 6 dp BEFORE summing, so
+    the sum is an exact BIGINT — no float-accumulation order
+    dependence), the observed positive rate, and ``|acc − conf|·n`` as
+    the bin's ECE numerator (``ece = Σ gap_n / N`` downstream).
+
+    Output: ``(group?, bin, n, n_pos, mean_score, pos_rate, gap)``.
+
+    Scale shape: one hash aggregate on (group?, bin) — map-side partial
+    combine collapses everything before the shuffle; output is at most
+    ``n_bins`` rows per group."""
+    if n_bins < 1:
+        raise ValueError("calibration_bins: n_bins must be >= 1")
+    gcols = [group_col] if group_col else []
+    s = F.col(score_col).cast("double")
+    binned = df.select(
+        *gcols,
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int").alias("bin"),
+        F.col(label_col).cast("long").alias("__y"),
+        # 6-dp micro-unit snap: integer summation is order-independent
+        F.floor(s * 1_000_000 + F.lit(0.5)).cast("long").alias("__s_micro"),
+    )
+    agg = binned.groupBy(*gcols, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum("__s_micro").alias("__s_sum"),
+    )
+    mean_score = _round6(F.col("__s_sum"), F.col("n") * 1_000_000)
+    pos_rate = _round6(F.col("n_pos"), F.col("n"))
+    return agg.select(
+        *gcols,
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.abs(pos_rate - mean_score) * F.col("n"), 6).alias("gap"),
+    )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    prior_weight: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Out-of-fold mean target encoding — the leakage-safe categorical
+    feature (Micci-Barreca 2001 / the standard K-fold CatBoost-style
+    guard): each row's encoding is the target mean of its category
+    computed WITHOUT the row's own fold, so the feature never sees the
+    label it will be judged against.
+
+    Folds are the portable md5-bucket family
+    (:func:`aces_spark.datapipe.sampling.sample_bucket_expr` mod
+    ``n_folds``) over ``id_col`` — deterministic, engine-portable,
+    shuffle-free. Per (key, fold) sums subtract from per-key totals, so
+    the OOF mean is ``(tot_sum − fold_sum + prior_weight·global_mean)
+    / (tot_cnt − fold_cnt + prior_weight)`` with the target snapped to
+    6-dp micro-units first — all-integer numerators, one final rounded
+    division. Rows whose category only occurs in their own fold fall
+    back to the global mean (the smoothed form does this continuously
+    when ``prior_weight > 0``).
+
+    Output: one row per input row — ``(id_col, key_col, fold,
+    encoded)``.
+
+    Scale shape: two partial-combined aggregates (by (key, fold), then
+    key) and one broadcast-sized join back onto the (key, fold) grid —
+    the per-row join is on the key column, partitioned and skew-bounded
+    by category cardinality. No per-row window, no shuffle of the
+    target column beyond the grouped sums."""
+    if n_folds < 2:
+        raise ValueError("target_encode_oof: n_folds must be >= 2")
+    t_micro = F.floor(F.col(target_col).cast("double") * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    rows = df.select(
+        id_col,
+        key_col,
+        (sample_bucket_expr(F.col(id_col), seed) % n_folds).cast("int").alias("fold"),
+        t_micro.alias("__t"),
+    )
+    by_kf = rows.groupBy(key_col, "fold").agg(
+        F.count(F.lit(1)).alias("f_cnt"), F.sum("__t").alias("f_sum")
+    )
+    by_k = by_kf.groupBy(key_col).agg(
+        F.sum("f_cnt").alias("t_cnt"), F.sum("f_sum").alias("t_sum")
+    )
+    glob = by_k.agg(
+        F.sum("t_cnt").alias("g_cnt"), F.sum("t_sum").alias("g_sum")
+    )
+    grid = (
+        by_kf.join(by_k, key_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn("oof_cnt", F.col("t_cnt") - F.col("f_cnt"))
+        .withColumn("oof_sum", F.col("t_sum") - F.col("f_sum"))
+    )
+    # global mean in micro-units, itself exactly rounded to an integer
+    g_mean_micro = F.floor(
+        F.col("g_sum").cast("double") / F.col("g_cnt").cast("double") + F.lit(0.5)
+    ).cast("long")
+    num = F.col("oof_sum") + F.lit(prior_weight) * g_mean_micro
+    den = (F.col("oof_cnt") + F.lit(prior_weight)) * 1_000_000
+    encoded = F.when(den > 0, _round6(num, den)).otherwise(
+        _round6(g_mean_micro, F.lit(1_000_000))
+    )
+    enc = grid.select(key_col, "fold", encoded.alias("encoded"))
+    return rows.select(id_col, key_col, "fold").join(enc, [key_col, "fold"])
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival table — the nonparametric time-to-event
+    profile (Kaplan & Meier 1958) behind retention curves, churn
+    analysis, and time-to-readmission audits. ``event_col`` is 1 for an
+    observed event, 0 for right-censoring at ``duration_col``.
+
+    Per distinct event time (censor-only times are folded into the
+    at-risk bookkeeping but emit no step): ``n_at_risk`` (subjects with
+    duration ≥ t), ``n_events``, ``n_censored`` at t, and the step
+    factor ``(n_at_risk − n_events) / n_at_risk`` rounded to 6 dp. The
+    emitted counts are EXACT integers — the estimator's product form
+    ``S(t) = Π factors`` is left to the consumer (a driver-side fold
+    over ≤ distinct-times rows, or an exp-sum-log at reduced precision)
+    because a cross-engine-exact cumulative float product is not a
+    contract this table needs to carry.
+
+    Scale shape: one groupBy on (group?, duration) then one per-group
+    window over distinct times — cardinality of the time grid, not of
+    subjects."""
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+    by_t = df.groupBy(*gcols, F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w = (
+        Window.partitionBy(*gpart)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*gpart)
+    at_risk = by_t.withColumn(
+        "n_at_risk",
+        F.sum("__n").over(wtot) - F.coalesce(F.sum("__n").over(w), F.lit(0)),
+    )
+    return at_risk.filter(F.col("n_events") > 0).select(
+        *gcols,
+        "t",
+        "n_at_risk",
+        "n_events",
+        (F.col("__n") - F.col("n_events")).alias("n_censored"),
+        _round6(F.col("n_at_risk") - F.col("n_events"), F.col("n_at_risk")).alias(
+            "factor"
+        ),
+    )
