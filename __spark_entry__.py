@@ -3392,6 +3392,67 @@ def q_km_survival(spark, sf_dir):
     return km_survival(ev, "dur", "ev", "event_type")
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration over reliability bins
+    (datapipe.evalmetrics.isotonic_fit, r10): the calibration_bins
+    fixture at 20 bins per language, fitted monotone via the exact
+    minimax identity — set-based PAV, B² interval rows per group."""
+    from aces_spark.datapipe.evalmetrics import calibration_bins, isotonic_fit
+    from aces_spark.datapipe.sampling import sample_bucket_expr
+
+    docs = _read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (sample_bucket_expr(F.col("doc_id")) / 10000.0).alias("score"),
+        (F.col("n_chars") > 300).cast("int").alias("label"),
+    )
+    bins = calibration_bins(docs, "score", "label", n_bins=20, group_col="lang").select(
+        "lang", "bin", "n", "n_pos"
+    )
+    return isotonic_fit(bins, group_col="lang")
+
+
+def q_score_rank_corr(spark, sf_dir):
+    """Spearman rank correlation (datapipe.evalmetrics
+    .rank_correlation, r10): monotone agreement between the event value
+    and a deterministic pseudo-scorer (event_id % 97) per event type —
+    integer 2·avg-rank sums, DECIMAL(38,0) squared products."""
+    from aces_spark.datapipe.evalmetrics import rank_correlation
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    return rank_correlation(ev, "x", "y", "event_type")
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Exact Gini concentration (datapipe.evalmetrics
+    .gini_coefficient, r10): event-value mass inequality per event type
+    — 6-dp micro-unit values, rank-weighted DECIMAL sum, one final
+    division."""
+    from aces_spark.datapipe.evalmetrics import gini_coefficient
+
+    ev = _read_events(spark, sf_dir).select("event_type", "value")
+    return gini_coefficient(ev, "value", "event_type")
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 ranking eval (datapipe.evalmetrics.ndcg_at_k, r10):
+    user_id%1000 as query buckets, value as the retrieved score,
+    event_id%4 as graded relevance — precomputed integer discount
+    literals so DCG/IDCG are exact BIGINT dot products."""
+    from aces_spark.datapipe.evalmetrics import ndcg_at_k
+
+    ev = _read_events(spark, sf_dir).select(
+        (F.col("user_id") % 1000).alias("q"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).cast("int").alias("rel"),
+        "event_id",
+    )
+    return ndcg_at_k(ev, "q", "score", "rel", "event_id", k=10)
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3422,6 +3483,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "target_encode_oof": q_target_encode_oof,
     "km_survival": q_km_survival,
+    "isotonic_calibration": q_isotonic_calibration,
+    "score_rank_corr": q_score_rank_corr,
+    "gini_concentration": q_gini_concentration,
+    "ndcg_eval": q_ndcg_eval,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3631,18 +3696,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _R10_ORDER = [
     "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
     "seasonality_profile", "mutual_knn_pairs", "group_auc", "calibration_bins",
-    "target_encode_oof", "km_survival",
+    "target_encode_oof", "km_survival", "isotonic_calibration", "score_rank_corr",
+    "gini_concentration", "ndcg_eval",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
     "predicate_value_range", "derived_and_or", "text_quality", "stratified_sample",
     "dsir_selection", "kmeans_clusters", "entity_resolution", "semantic_dedup",
     "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
-    "sorted_neighborhood", "time_weighted_avg", "coverage_select", "domain_temperature_mix",
-    "containment_pairs", "hard_negatives", "winsorized_values",
+    "sorted_neighborhood", "time_weighted_avg", "coverage_select",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
     "event_bound_bwd", "event_bound_record_end",
+    "domain_temperature_mix", "containment_pairs", "hard_negatives", "winsorized_values",
     "random_projection", "bpe_merges", "bpe_encode_tokens", "tfidf_features",
     "sessionization", "decontamination", "sequence_packing", "split_assignment",
     "vocab_topk", "paragraph_dedup", "dedup_incremental", "corpus_pipeline",
@@ -6805,6 +6871,108 @@ enc AS (SELECT kf.event_type, kf.fold,
   FROM kf JOIN k USING (event_type) CROSS JOIN g)
 SELECT r.event_id, r.event_type, r.fold, enc.encoded
 FROM r JOIN enc ON enc.event_type = r.event_type AND enc.fold = r.fold
+"""
+
+    # r10: isotonic (PAV) calibration via the exact minimax identity —
+    # suffix-min over interval means per start, prefix-max per bin
+    sql["isotonic_calibration"] = f"""
+WITH s AS (SELECT lang,
+    CAST({_BUCKET_SQL} AS DOUBLE) / 10000.0 AS score,
+    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT lang, CAST(least(floor(score * 20), 19) AS INT) AS bin,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p
+      FROM s GROUP BY 1, 2),
+base AS (SELECT lang, bin, n, p,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bin ASC) AS idx,
+    SUM(n) OVER (PARTITION BY lang ORDER BY bin ASC) AS cn,
+    SUM(p) OVER (PARTITION BY lang ORDER BY bin ASC) AS cp
+  FROM b),
+pairs AS (SELECT a.lang, a.idx AS i, e.idx AS j,
+    CAST(e.cp - (a.cp - a.p) AS DOUBLE) / CAST(e.cn - (a.cn - a.n) AS DOUBLE)
+      AS avg_ij
+  FROM base a JOIN base e ON a.lang = e.lang AND a.idx <= e.idx),
+im AS (SELECT lang, i, j AS k,
+    MIN(avg_ij) OVER (PARTITION BY lang, i ORDER BY j DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ik
+  FROM pairs),
+fit AS (SELECT lang, k, y_raw FROM (
+    SELECT lang, i, k,
+      MAX(m_ik) OVER (PARTITION BY lang, k ORDER BY i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y_raw
+    FROM im WHERE i <= k) WHERE i = k)
+SELECT base.lang, base.bin, base.n AS n, base.p AS n_pos,
+       ROUND(fit.y_raw, 6) AS y_iso
+FROM base JOIN fit ON base.lang = fit.lang AND base.idx = fit.k
+"""
+
+    # r10: Spearman rank correlation — 2·avg-rank integers, HUGEINT
+    # products mirroring Spark's DECIMAL(38,0), two sqrts at the end
+    sql["score_rank_corr"] = """
+WITH s AS (SELECT event_type, value AS x,
+                  CAST(event_id % 97 AS DOUBLE) AS y FROM events),
+r AS (SELECT event_type,
+    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY x ASC)
+         + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS HUGEINT) AS rx,
+    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY y ASC)
+         + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS HUGEINT) AS ry
+  FROM s),
+a AS (SELECT event_type, COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM r GROUP BY 1)
+SELECT event_type, n,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+    # r10: exact Gini concentration — micro-unit values, rank-weighted
+    # HUGEINT sum, closed-form index
+    sql["gini_concentration"] = """
+WITH v AS (SELECT event_type,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events),
+r AS (SELECT event_type, vm,
+    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm ASC)
+         AS HUGEINT) AS i
+  FROM v),
+a AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(vm) AS BIGINT) AS total_micro,
+             SUM(i * vm) AS ivsum
+      FROM r GROUP BY 1)
+SELECT event_type, n, total_micro,
+  ROUND(CAST(2 * ivsum - (CAST(n AS HUGEINT) + 1) * total_micro AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * total_micro AS DOUBLE), 6) AS gini
+FROM a WHERE total_micro > 0
+"""
+
+    # r10: NDCG@10 — retrieved order by score desc (id asc tiebreak),
+    # ideal order by relevance desc, precomputed integer discounts
+    _NDCG_DISC = (
+        "[1000000, 630930, 500000, 430677, 386853, 356207, 333333, "
+        "315465, 301030, 289065]"
+    )
+    sql["ndcg_eval"] = f"""
+WITH s AS (SELECT user_id % 1000 AS q, value AS score,
+                  CAST(event_id % 4 AS INT) AS rel, event_id
+           FROM events),
+g AS (SELECT q, rel,
+    ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, event_id ASC) AS rp,
+    ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, event_id ASC) AS ip
+  FROM s),
+a AS (SELECT q,
+    CAST(SUM(CASE WHEN rp <= 10
+         THEN CAST(rel AS BIGINT) * ({_NDCG_DISC})[rp] ELSE 0 END) AS BIGINT)
+      AS dcg_micro,
+    CAST(SUM(CASE WHEN ip <= 10
+         THEN CAST(rel AS BIGINT) * ({_NDCG_DISC})[ip] ELSE 0 END) AS BIGINT)
+      AS idcg_micro
+  FROM g GROUP BY 1)
+SELECT q, dcg_micro, idcg_micro,
+  ROUND(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
+FROM a WHERE idcg_micro > 0
 """
 
     # r10: Kaplan-Meier survival table — integer at-risk/event/censor

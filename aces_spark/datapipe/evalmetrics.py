@@ -269,3 +269,272 @@ def km_survival(
             "factor"
         ),
     )
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    x_col: str = "bin",
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+    group_col: str | None = None,
+    max_bins: int = 10_000,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration over an ordered
+    bin table — pool-adjacent-violators via the minimax identity
+    (Barlow et al. 1972): the weighted isotonic fit at bin ``k`` is
+
+        y_iso(k) = max_{i<=k} min_{j>=k} mean(pos) over bins [i..j]
+
+    which is PAV's exact solution but set-based: prefix sums give every
+    interval mean ``(P_j − P_{i−1}) / (N_j − N_{i−1})`` from integers,
+    a suffix-min window over ``j`` per start ``i`` collapses the inner
+    min, and a prefix-max window over ``i`` per ``k`` the outer max.
+    Interval means are exact-integer ratios divided once in IEEE double
+    (correctly rounded, so both engines order candidate means
+    identically) and the winning mean is snapped to 6 dp.
+
+    The operand is a BIN table (the output of
+    :func:`calibration_bins`, a quantile grid, a score histogram) —
+    B² interval rows per group, so ``max_bins`` guards against calling
+    this on raw examples; fitting on bins is also the statistically
+    sane form at 100 TB (the raw-example fit interpolates the same
+    step function).
+
+    Output: ``(group?, x_col, n, n_pos, y_iso)`` — y_iso nondecreasing
+    in ``x_col`` within each group."""
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+
+    w_ord = Window.partitionBy(*gpart).orderBy(F.col("__x").asc())
+    base = (
+        bins.select(
+            *gcols,
+            F.col(x_col).alias("__x"),
+            F.col(n_col).cast("long").alias("__n"),
+            F.col(pos_col).cast("long").alias("__p"),
+        )
+        .withColumn("__idx", F.row_number().over(w_ord))
+        .withColumn("__cn", F.sum("__n").over(w_ord))
+        .withColumn("__cp", F.sum("__p").over(w_ord))
+    )
+    n_max = base.groupBy().agg(F.max("__idx").alias("m")).collect()[0]["m"]
+    if n_max is not None and n_max > max_bins:
+        raise ValueError(
+            f"isotonic_fit: {n_max} bins exceeds max_bins={max_bins}; "
+            "bin the scores first (calibration_bins / a quantile grid)"
+        )
+    starts = base.select(
+        *gcols,
+        F.col("__idx").alias("i"),
+        (F.col("__cn") - F.col("__n")).alias("cn_before"),
+        (F.col("__cp") - F.col("__p")).alias("cp_before"),
+    )
+    ends = base.select(
+        *gcols,
+        F.col("__idx").alias("j"),
+        F.col("__cn").alias("cn_j"),
+        F.col("__cp").alias("cp_j"),
+    )
+    pairs = starts.join(ends, gcols, "inner") if gcols else starts.crossJoin(ends)
+    pairs = pairs.filter(F.col("i") <= F.col("j")).withColumn(
+        "avg_ij",
+        (F.col("cp_j") - F.col("cp_before")).cast("double")
+        / (F.col("cn_j") - F.col("cn_before")).cast("double"),
+    )
+    # inner min over j >= k, realized as a suffix-min running window per
+    # start i: m(i, k) = min_{j >= k} avg(i, j)
+    w_sfx = (
+        Window.partitionBy(*gpart, "i")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = pairs.withColumn("m_ik", F.min("avg_ij").over(w_sfx)).select(
+        *gcols, "i", F.col("j").alias("k"), "m_ik"
+    ).filter(F.col("i") <= F.col("k"))
+    # outer max over i <= k, realized as a prefix-max per k
+    w_pfx = (
+        Window.partitionBy(*gpart, "k")
+        .orderBy(F.col("i").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fit = (
+        inner.withColumn("y_raw", F.max("m_ik").over(w_pfx))
+        .filter(F.col("i") == F.col("k"))
+        .select(*gcols, F.col("k").alias("__idx"), F.round("y_raw", 6).alias("y_iso"))
+    )
+    return base.join(fit, [*gcols, "__idx"]).select(
+        *gcols,
+        F.col("__x").alias(x_col),
+        F.col("__n").alias(n_col),
+        F.col("__p").alias(pos_col),
+        "y_iso",
+    )
+
+
+def rank_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Spearman rank correlation per group, exact under ties: Pearson
+    on average ranks, with ranks carried as the INTEGER ``2·avg_rank =
+    2·rank() + ties − 1`` so every sum (ΣR, ΣR², ΣRxRy) is exact
+    BIGINT arithmetic; the only float ops are the final two
+    correctly-rounded sqrts and one division, snapped to 6 dp. This is
+    how two quality scorers get compared at corpus scale — monotone
+    agreement, insensitive to either scorer's calibration.
+
+    Output: ``(group?, n, rho)``; groups where either column is
+    constant (zero rank variance) are dropped.
+
+    Scale shape: two rank windows + two tie-count windows per group,
+    then one partial-combined aggregate — no joins, no broadcast."""
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+
+    def r2(col: str) -> Column:
+        w_rank = Window.partitionBy(*gpart).orderBy(F.col(col).asc())
+        w_ties = Window.partitionBy(*gpart, col)
+        return (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1
+        ).cast("long")
+
+    ranked = df.select(*gcols, x_col, y_col).withColumn(
+        "__rx", r2(x_col)
+    ).withColumn("__ry", r2(y_col))
+    # overflow audit: 2·avg_rank ≤ 2n, so Σr² ≈ 4n³ blows through BIGINT
+    # past n ≈ 1.3M rows per group — the squared/cross products go
+    # through DECIMAL(38,0) (exact to n ≈ 1.3e9 per group; the plain
+    # rank sums Σr ≈ 2n² stay BIGINT-safe to n ≈ 2e9)
+    dx = F.col("__rx").cast("decimal(19,0)")
+    dy = F.col("__ry").cast("decimal(19,0)")
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("sx"),
+        F.sum("__ry").alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    nd = agg["n"].cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    var_x = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    var_y = (nd * F.col("syy") - syd * syd).cast("double")
+    cov = (nd * F.col("sxy") - sxd * syd).cast("double")
+    return agg.filter((var_x > 0) & (var_y > 0)).select(
+        *gcols,
+        "n",
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("rho"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact Gini concentration index per group — the standard
+    inequality audit for token budgets, per-domain corpus mass, and
+    revenue concentration. Values are snapped to 6-dp micro-units
+    (nonnegative required), ranked ascending (ties in any order — the
+    rank-weighted sum is invariant within tie blocks), and
+
+        G = (2·Σ i·v_i − (n+1)·Σ v) / (n·Σ v)
+
+    stays in BIGINT until the single final division. Groups with zero
+    total mass are dropped (G undefined).
+
+    Output: ``(group?, n, total_micro, gini)``.
+
+    Scale shape: one rank window per group + one partial-combined
+    aggregate; the window sort is the honest price of an exact rank
+    statistic (same envelope as the quantile family)."""
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+    v = F.floor(F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*gpart).orderBy(F.col("__v").asc())
+    ranked = df.select(*gcols, v.alias("__v")).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    # overflow audit: Σ i·v ≈ n²·mean_v/2 exceeds BIGINT past ~4M rows
+    # of 1e8-micro values — the rank-weighted sum and the closed form
+    # run in DECIMAL(38,0) (exact until n²·mean_v ≈ 1e38)
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("total_micro"),
+        F.sum(
+            F.col("__i").cast("decimal(19,0)") * F.col("__v").cast("decimal(19,0)")
+        ).alias("ivsum"),
+    )
+    nd = agg["n"].cast("decimal(19,0)")
+    td = F.col("total_micro").cast("decimal(19,0)")
+    num = (2 * F.col("ivsum") - (nd + 1) * td).cast("double")
+    den = (nd * td).cast("double")
+    return agg.filter(F.col("total_micro") > 0).select(
+        *gcols,
+        "n",
+        "total_micro",
+        F.round(num / den, 6).alias("gini"),
+    )
+
+
+#: 6-dp micro-unit DCG discounts 1/log2(pos+1) for positions 1..20 —
+#: precomputed literals so Spark and any oracle engine use the
+#: IDENTICAL integers (no cross-libm log2 at query time).
+NDCG_DISCOUNT_MICRO = [
+    1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+    301030, 289065, 278943, 270238, 262650, 255958, 250000, 244651,
+    239812, 235409, 231378, 227670,
+]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query — the graded ranking metric for search/rerank
+    eval. The retrieved ranking orders by ``score_col`` desc (ties
+    broken by ``id_col`` asc, deterministic in any engine); the ideal
+    ranking orders by ``rel_col`` desc (same tiebreak). DCG uses the
+    PRECOMPUTED integer discount table :data:`NDCG_DISCOUNT_MICRO`
+    (positions 1..20), so both DCG and IDCG are exact BIGINT dot
+    products ``Σ rel·disc_micro`` and NDCG is one correctly-rounded
+    division snapped to 6 dp. Queries with zero ideal gain are
+    dropped.
+
+    Output: ``(query_col, dcg_micro, idcg_micro, ndcg)``.
+
+    Scale shape: two top-k rank windows per query + one
+    partial-combined aggregate — the per-query sorts partition on the
+    query key; no joins."""
+    if not 1 <= k <= len(NDCG_DISCOUNT_MICRO):
+        raise ValueError(f"ndcg_at_k: k must be in [1, {len(NDCG_DISCOUNT_MICRO)}]")
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNT_MICRO[:k]])
+
+    def gain(order_col: str) -> Column:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(order_col).desc(), F.col(id_col).asc()
+        )
+        pos = F.row_number().over(w)
+        return F.when(
+            pos <= k, F.col(rel_col).cast("long") * F.element_at(disc, pos)
+        ).otherwise(F.lit(0))
+
+    scored = df.select(query_col, score_col, rel_col, id_col).withColumn(
+        "__dg", gain(score_col)
+    ).withColumn("__ig", gain(rel_col))
+    agg = scored.groupBy(query_col).agg(
+        F.sum("__dg").alias("dcg_micro"), F.sum("__ig").alias("idcg_micro")
+    )
+    return agg.filter(F.col("idcg_micro") > 0).select(
+        query_col,
+        "dcg_micro",
+        "idcg_micro",
+        _round6(F.col("dcg_micro"), F.col("idcg_micro")).alias("ndcg"),
+    )

@@ -10,8 +10,12 @@ import pytest
 
 from aces_spark.datapipe.evalmetrics import (
     calibration_bins,
+    gini_coefficient,
     group_auc,
+    isotonic_fit,
     km_survival,
+    ndcg_at_k,
+    rank_correlation,
     target_encode_oof,
 )
 
@@ -145,3 +149,145 @@ def test_km_survival_grouped(spark):
     assert got[("g1", 5)]["n_at_risk"] == 2 and got[("g1", 9)]["n_at_risk"] == 1
     assert got[("g2", 5)]["n_events"] == 2 and got[("g2", 5)]["factor"] == round(1 / 3, 6)
     assert ("g2", 7) not in got  # censor-only time emits no step
+
+
+def _pav(ns, ps):
+    """Reference PAV: pool adjacent violators on (n, pos) bins."""
+    blocks = [[n, p] for n, p in zip(ns, ps)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] * blocks[i + 1][0] > blocks[i + 1][1] * blocks[i][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fits = [(n, p / n) for n, p in blocks]
+    # expand block means back to per-bin fits
+    res = []
+    bi = 0
+    consumed = 0
+    for n in ns:
+        res.append(fits[bi][1])
+        consumed += n
+        if consumed >= fits[bi][0]:
+            consumed = 0
+            bi += 1
+    return res
+
+
+def test_isotonic_fit_matches_pav(spark):
+    # deliberately non-monotone observed rates -> PAV must pool
+    ns = [4, 4, 4, 4, 4]
+    ps = [1, 3, 2, 1, 4]
+    df = spark.createDataFrame(
+        list(zip(range(5), ns, ps)), "bin int, n long, n_pos long"
+    )
+    got = {r["bin"]: r["y_iso"] for r in isotonic_fit(df).collect()}
+    want = _pav(ns, ps)
+    for b in range(5):
+        assert got[b] == round(want[b], 6), (b, got, want)
+    # monotone nondecreasing
+    ys = [got[b] for b in range(5)]
+    assert ys == sorted(ys)
+
+
+def test_isotonic_fit_grouped_and_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10, 8), ("a", 1, 10, 2), ("b", 0, 5, 1), ("b", 1, 5, 4)],
+        "g string, bin int, n long, n_pos long",
+    )
+    got = {(r["g"], r["bin"]): r["y_iso"] for r in isotonic_fit(df, group_col="g").collect()}
+    # group a violates monotonicity -> pooled to (8+2)/20
+    assert got[("a", 0)] == got[("a", 1)] == 0.5
+    # group b already isotonic -> untouched
+    assert got[("b", 0)] == 0.2 and got[("b", 1)] == 0.8
+    with pytest.raises(ValueError, match="max_bins"):
+        isotonic_fit(df, group_col="g", max_bins=1).collect()
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        r = (i + j) / 2 + 1
+        for t in range(i, j + 1):
+            ranks[order[t]] = r
+        i = j + 1
+    return ranks
+
+
+def test_rank_correlation_matches_manual_spearman(spark):
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 8.0, 7.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = rank_correlation(df, "x", "y").collect()[0]
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert got["n"] == n and got["rho"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_rank_correlation_drops_constant(spark):
+    df = spark.createDataFrame(
+        [("c", 1.0, 5.0), ("c", 1.0, 7.0), ("ok", 1.0, 1.0), ("ok", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    got = rank_correlation(df, "x", "y", "g").collect()
+    assert [r["g"] for r in got] == ["ok"] and got[0]["rho"] == 1.0
+
+
+def test_gini_coefficient_exact(spark):
+    # perfectly equal -> 0; fully concentrated -> (n-1)/n
+    eq = spark.createDataFrame([(1.0,)] * 4, "v double")
+    assert gini_coefficient(eq, "v").collect()[0]["gini"] == 0.0
+    conc = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (8.0,)], "v double")
+    assert gini_coefficient(conc, "v").collect()[0]["gini"] == 0.75
+    # textbook small case vs manual formula
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    micro = sorted(round(v * 1_000_000) for v in vals)
+    n, tot = len(micro), sum(micro)
+    iv = sum((i + 1) * v for i, v in enumerate(micro))
+    want = (2 * iv - (n + 1) * tot) / (n * tot)
+    got = gini_coefficient(df, "v").collect()[0]
+    assert got["gini"] == round(want, 6) and got["total_micro"] == tot
+
+
+def test_ndcg_at_k_manual(spark):
+    from aces_spark.datapipe.evalmetrics import NDCG_DISCOUNT_MICRO
+
+    # query q: scores rank docs [d1,d2,d3,d4]; relevance favors d3
+    rows = [
+        ("q", 0.9, 0, 1), ("q", 0.8, 2, 2), ("q", 0.7, 3, 3), ("q", 0.1, 1, 4),
+        ("empty", 0.5, 0, 9),  # zero ideal gain -> dropped
+    ]
+    df = spark.createDataFrame(rows, "q string, score double, rel int, doc long")
+    got = ndcg_at_k(df, "q", "score", "rel", "doc", k=3).collect()
+    assert len(got) == 1 and got[0]["q"] == "q"
+    d = NDCG_DISCOUNT_MICRO
+    dcg = 0 * d[0] + 2 * d[1] + 3 * d[2]          # retrieved order d1,d2,d3
+    idcg = 3 * d[0] + 2 * d[1] + 1 * d[2]         # ideal order d3,d2,d4
+    assert got[0]["dcg_micro"] == dcg and got[0]["idcg_micro"] == idcg
+    assert got[0]["ndcg"] == round(dcg / idcg, 6)
+
+
+def test_ndcg_tiebreak_and_perfect(spark):
+    # equal scores -> id asc decides; ranking identical to ideal -> 1.0
+    rows = [("q", 1.0, 3, 1), ("q", 1.0, 2, 2), ("q", 1.0, 1, 3)]
+    df = spark.createDataFrame(rows, "q string, score double, rel int, doc long")
+    got = ndcg_at_k(df, "q", "score", "rel", "doc", k=3).collect()[0]
+    assert got["ndcg"] == 1.0
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(df, "q", "score", "rel", "doc", k=99)
