@@ -1661,13 +1661,14 @@ def q_multimodal_frame_plan(spark, sf_dir):
 
 def q_multimodal_payload_stats(spark, sf_dir):
     """Multimodal plumbing (JVM fast path): binary payload sizes/digests,
-    plus the r10 MPEG-audio metadata fields — document text encoded as
-    the opaque payload. The audio fields come from
-    ``audio_metadata``'s JVM magic-byte gate + Arrow header walk; on
-    this text corpus the gate admits zero payloads, so the left join
-    adds all-null columns with no Python traffic — which is exactly
-    what the SQL oracle mirrors (the parser itself is fixture-golden
-    territory: tests/test_mp3.py)."""
+    plus the r10 MPEG-audio and MP4-container metadata fields —
+    document text encoded as the opaque payload. The audio/video
+    fields come from ``audio_metadata``/``video_metadata``'s JVM
+    magic-byte gates + Arrow header walks; on this text corpus both
+    gates admit zero payloads, so the left joins add all-null columns
+    with no Python traffic — which is exactly what the SQL oracle
+    mirrors (the parsers themselves are fixture-golden territory:
+    tests/test_mp3.py, tests/test_mp4.py)."""
     from aces_spark.datapipe.multimodal import audio_metadata
 
     docs = _read_table(spark, sf_dir, "documents")
@@ -1682,15 +1683,23 @@ def q_multimodal_payload_stats(spark, sf_dir):
             F.lit(None).cast("string").alias("codec"),
         ).alias("meta"),
     )
+    from aces_spark.datapipe.multimodal import video_metadata
+
     audio = audio_metadata(media).select(
         "media_id",
         F.col("duration_ms").alias("audio_duration_ms"),
         F.col("bitrate_kbps").alias("audio_bitrate_kbps"),
     )
+    video = video_metadata(media).select(
+        "media_id",
+        F.col("container_duration_ms").alias("video_duration_ms"),
+        "video_codec",
+    )
     return (
         payload_stats(media)
         .select("media_id", "n_bytes", "payload_digest")
         .join(audio, "media_id", "left")
+        .join(video, "media_id", "left")
     )
 
 
@@ -6038,7 +6047,9 @@ SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   md5(text) AS payload_digest,
   CAST(NULL AS BIGINT) AS audio_duration_ms,
-  CAST(NULL AS INTEGER) AS audio_bitrate_kbps
+  CAST(NULL AS INTEGER) AS audio_bitrate_kbps,
+  CAST(NULL AS BIGINT) AS video_duration_ms,
+  CAST(NULL AS VARCHAR) AS video_codec
 FROM documents
 """
 

@@ -1498,3 +1498,188 @@ def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
         round(float(mono.mean()), 4),
         round(float(np.mean(np.abs(samples) >= 0.999)), 4),
     ]
+
+
+def _bmff_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(fourcc, body_start, body_end)`` for each ISO-BMFF box in
+    ``buf[start:end]`` — 32-bit sizes, the 64-bit ``size==1`` largesize
+    escape, and the ``size==0`` to-end-of-file form; stops (never
+    raises) on a malformed or truncated header."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        fourcc = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _bmff_find(buf: bytes, start: int, end: int, fourcc: bytes):
+    for t, b, e in _bmff_boxes(buf, start, end):
+        if t == fourcc:
+            return b, e
+    return None
+
+
+def mp4_metadata(payload: bytes) -> dict | None:
+    """MP4 / ISO-BMFF CONTAINER metadata — brand, movie duration, track
+    inventory, first video/audio codec fourcc, and display dimensions —
+    without touching a single media sample (the same
+    metadata-not-decode contract as :func:`mp3_metadata`; sample decode
+    needs codecs that are out of scope for crawled-video curation).
+
+    Recipe: confirm the ``ftyp`` box at offset 4 (the container magic),
+    then walk the top-level boxes to ``moov`` and read:
+
+    * ``mvhd`` — movie timescale + duration (version 0: 32-bit fields;
+      version 1: 64-bit) → ``duration_ms``;
+    * each ``trak``: ``mdia``>``hdlr`` handler (``vide``/``soun``),
+      ``mdia``>``minf``>``stbl``>``stsd`` first sample-entry fourcc as
+      the codec, and for the first video track ``tkhd``'s 16.16-fixed
+      width/height (version-dependent offsets).
+
+    Returns ``{brand, timescale, duration_ms, n_tracks, video_codec,
+    audio_codec, width, height}`` or None when the payload is not a
+    BMFF container / the moov or mvhd is absent or malformed — callers
+    keep the byte-profile fallback."""
+    if not payload or len(payload) < 16:
+        return None
+    buf = bytes(payload)
+    if buf[4:8] != b"ftyp":
+        return None
+    brand = None
+    meta: dict = {
+        "brand": None,
+        "timescale": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "video_codec": None,
+        "audio_codec": None,
+        "width": None,
+        "height": None,
+    }
+    moov = None
+    for t, b, e in _bmff_boxes(buf, 0, len(buf)):
+        if t == b"ftyp" and e - b >= 4:
+            brand = buf[b : b + 4].decode("latin-1").strip() or None
+        elif t == b"moov":
+            moov = (b, e)
+    if moov is None or brand is None:
+        return None
+    meta["brand"] = brand
+
+    mvhd = _bmff_find(buf, *moov, b"mvhd")
+    if mvhd is None or mvhd[1] - mvhd[0] < 20:
+        return None
+    b, e = mvhd
+    ver = buf[b]
+    try:
+        if ver == 1:
+            timescale = int.from_bytes(buf[b + 20 : b + 24], "big")
+            duration = int.from_bytes(buf[b + 24 : b + 32], "big")
+        else:
+            timescale = int.from_bytes(buf[b + 12 : b + 16], "big")
+            duration = int.from_bytes(buf[b + 16 : b + 20], "big")
+    except Exception:  # pragma: no cover - slicing never raises, guard anyway
+        return None
+    if timescale <= 0:
+        return None
+    meta["timescale"] = timescale
+    meta["duration_ms"] = round(duration * 1000 / timescale)
+
+    for t, tb, te in _bmff_boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        meta["n_tracks"] += 1
+        mdia = _bmff_find(buf, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(buf, *mdia, b"hdlr")
+        handler = buf[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else b""
+        codec = None
+        minf = _bmff_find(buf, *mdia, b"minf")
+        stbl = _bmff_find(buf, *minf, b"stsd") if minf else None
+        if minf and stbl is None:
+            inner = _bmff_find(buf, *minf, b"stbl")
+            stbl = _bmff_find(buf, *inner, b"stsd") if inner else None
+        if stbl and stbl[1] - stbl[0] >= 16:
+            # stsd body: ver/flags(4) entry_count(4) then sample entries
+            # (size(4) fourcc(4) ...)
+            codec = buf[stbl[0] + 12 : stbl[0] + 16].decode("latin-1").strip() or None
+        if handler == b"vide" and meta["video_codec"] is None:
+            meta["video_codec"] = codec
+            tkhd = _bmff_find(buf, tb, te, b"tkhd")
+            if tkhd:
+                kb, ke = tkhd
+                off = kb + (4 + 32 + 8 + 8 + 36 if buf[kb] == 1 else 4 + 20 + 8 + 8 + 36)
+                if off + 8 <= ke:
+                    meta["width"] = int.from_bytes(buf[off : off + 4], "big") >> 16
+                    meta["height"] = int.from_bytes(buf[off + 4 : off + 8], "big") >> 16
+        elif handler == b"soun" and meta["audio_codec"] is None:
+            meta["audio_codec"] = codec
+    return meta
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("container_duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """MP4/ISO-BMFF container metadata over the payload column — the
+    video sibling of :func:`audio_metadata`, same shape: a JVM
+    magic-byte prefilter (``ftyp`` at offset 4, Column-only so it
+    pushes into the scan) gates an Arrow-batched ``mapInPandas`` box
+    walk; a text/image corpus sends ZERO rows across the Python
+    boundary, a mixed 100 TB corpus only the payloads that claim to be
+    BMFF. Gate-passing payloads that fail the parse come back with
+    null fields; callers LEFT-join this (video-subset-sized) frame
+    onto :func:`payload_stats`."""
+    gate = F.substring("payload", 5, 4) == F.lit(b"ftyp")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields[1:]]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                meta = mp4_metadata(p) if p is not None else None
+                if meta is None:
+                    rows.append((mid,) + (None,) * len(cols))
+                else:
+                    rows.append(
+                        (
+                            mid,
+                            meta["brand"],
+                            meta["duration_ms"],
+                            meta["n_tracks"],
+                            meta["video_codec"],
+                            meta["audio_codec"],
+                            meta["width"],
+                            meta["height"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id"] + cols)
+
+    return (
+        media.select("media_id", "payload")
+        .filter(gate)
+        .mapInPandas(run, VIDEO_META_SCHEMA)
+    )
