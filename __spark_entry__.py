@@ -3462,6 +3462,35 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(ev, "q", "score", "rel", "event_id", k=10)
 
 
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap of per-type mean event value
+    (datapipe.evalmetrics.poisson_bootstrap_means, r10): 20 hash-seeded
+    resample reps over the event_id%10 slice — the distributed-canonical
+    bootstrap (per-row Poisson(1) weights, no global coordination),
+    emitting the exact bootstrap-distribution table."""
+    from aces_spark.datapipe.evalmetrics import poisson_bootstrap_means
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_type", "value", "event_id")
+    )
+    return poisson_bootstrap_means(
+        ev, "value", "event_id", n_reps=20, group_col="event_type"
+    )
+
+
+def q_tail_index(spark, sf_dir):
+    """Hill power-law tail index (datapipe.analytics.hill_tail_index,
+    r10): per-event-type tail heaviness over the top-101 values,
+    micro-nat-snapped log ratios — the infinite-variance early-warning
+    for skew-aware capacity planning."""
+    from aces_spark.datapipe.analytics import hill_tail_index
+
+    ev = _read_events(spark, sf_dir).select("event_type", "value")
+    return hill_tail_index(ev, "value", "event_type", k=100)
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3496,6 +3525,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_rank_corr": q_score_rank_corr,
     "gini_concentration": q_gini_concentration,
     "ndcg_eval": q_ndcg_eval,
+    "poisson_bootstrap": q_poisson_bootstrap,
+    "tail_index": q_tail_index,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3706,17 +3737,18 @@ _R10_ORDER = [
     "k_anonymity", "vocab_richness", "excess_loss_select", "robust_outliers",
     "seasonality_profile", "mutual_knn_pairs", "group_auc", "calibration_bins",
     "target_encode_oof", "km_survival", "isotonic_calibration", "score_rank_corr",
-    "gini_concentration", "ndcg_eval",
+    "gini_concentration", "ndcg_eval", "poisson_bootstrap", "tail_index",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
     "predicate_value_range", "derived_and_or", "text_quality", "stratified_sample",
     "dsir_selection", "kmeans_clusters", "entity_resolution", "semantic_dedup",
     "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
-    "sorted_neighborhood", "time_weighted_avg", "coverage_select",
+    "sorted_neighborhood",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
     "event_bound_bwd", "event_bound_record_end",
+    "time_weighted_avg", "coverage_select",
     "domain_temperature_mix", "containment_pairs", "hard_negatives", "winsorized_values",
     "random_projection", "bpe_merges", "bpe_encode_tokens", "tfidf_features",
     "sessionization", "decontamination", "sequence_packing", "split_assignment",
@@ -6984,6 +7016,56 @@ a AS (SELECT q,
 SELECT q, dcg_micro, idcg_micro,
   ROUND(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
 FROM a WHERE idcg_micro > 0
+"""
+
+    # r10: Poisson bootstrap — per-(rep, row) md5 bucket thresholded by
+    # the Poisson(1) cdf grid; exact micro-unit weighted sums
+    sql["poisson_bootstrap"] = """
+WITH base AS (SELECT event_type,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+    CAST(event_id AS VARCHAR) AS id
+  FROM events WHERE event_id % 10 = 0),
+reps AS (SELECT event_type, v, id, CAST(r.rep AS INT) AS rep
+         FROM base, (SELECT UNNEST(range(20)) AS rep) r),
+b AS (SELECT event_type, rep, v,
+    CAST(concat('0x', substring(md5(concat('0|', CAST(rep AS VARCHAR), '#', id)), 1, 8))
+         AS BIGINT) % 10000 AS bkt
+  FROM reps),
+w AS (SELECT event_type, rep, v,
+    CAST(CASE WHEN bkt < 3679 THEN 0 WHEN bkt < 7358 THEN 1
+              WHEN bkt < 9197 THEN 2 WHEN bkt < 9810 THEN 3
+              WHEN bkt < 9963 THEN 4 ELSE 5 END AS BIGINT) AS wgt
+  FROM b),
+a AS (SELECT event_type, rep, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+             CAST(SUM(wgt * v) AS BIGINT) AS wsum
+      FROM w GROUP BY 1, 2)
+SELECT event_type, rep, n_eff,
+  ROUND(CAST(wsum AS DOUBLE) / CAST(n_eff * 1000000 AS DOUBLE), 6) AS mean
+FROM a WHERE n_eff > 0
+"""
+
+    # r10: Hill tail index — top-(k+1) order stats per group, log
+    # ratios snapped to micro-nats before the integer sum
+    sql["tail_index"] = """
+WITH v AS (SELECT event_type, value AS x FROM events WHERE value > 0),
+r AS (SELECT event_type, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x DESC) AS rn
+  FROM v),
+t AS (SELECT * FROM r WHERE rn <= 101),
+xr AS (SELECT event_type, MIN(CASE WHEN rn = 101 THEN x END) AS xref
+       FROM t GROUP BY 1),
+l AS (SELECT t.event_type,
+    CAST(floor(ln(t.x / xr.xref) * 1000000 + 0.5) AS BIGINT) AS lr,
+    CAST(floor(xr.xref * 1000000 + 0.5) AS BIGINT) AS xref_micro
+  FROM t JOIN xr ON t.event_type = xr.event_type
+  WHERE xr.xref IS NOT NULL AND t.rn <= 100),
+a AS (SELECT event_type, COUNT(*) AS k,
+             CAST(MAX(xref_micro) AS BIGINT) AS x_ref_micro,
+             CAST(SUM(lr) AS BIGINT) AS lnsum_micronats
+      FROM l GROUP BY 1)
+SELECT event_type, k, x_ref_micro, lnsum_micronats,
+  ROUND(CAST(k AS DOUBLE) * 1000000 / CAST(lnsum_micronats AS DOUBLE), 6) AS alpha
+FROM a WHERE lnsum_micronats > 0
 """
 
     # r10: Kaplan-Meier survival table — integer at-risk/event/censor

@@ -782,3 +782,75 @@ def robust_outliers(
     return flagged.filter(F.col("abs_dev") > F.lit(n_mads) * F.col("mad")).select(
         *gcols, id_col, value_col, "med", "mad", "abs_dev"
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975) — the
+    standard heavy-tail diagnostic for document lengths, degree
+    distributions, and engagement counts: α̂ below ~2 means infinite
+    variance (mean-based capacity planning is wrong), and drifting α̂
+    across snapshots flags distribution shift in the corpus tail.
+
+        α̂ = k / Σ_{i=1..k} ln( x_(i) / x_(k+1) )
+
+    over the k+1 largest values per group (x_(1) ≥ … ≥ x_(k+1) > 0).
+    Engine portability: each log-ratio is snapped to integer micro-nats
+    (``floor(ln(x_i/x_ref)·1e6 + 0.5)`` — the same snap-before-sum
+    contract as the LM family) so the denominator is an exact BIGINT
+    sum; α̂ is one correctly-rounded division, 6 dp.
+
+    Output: ``(group?, k, x_ref_micro, lnsum_micronats, alpha)``;
+    groups with fewer than ``k+1`` positive values, or a zero log-sum
+    (top k+1 values all equal), are dropped.
+
+    Scale shape: one per-group top-(k+1) rank window — the filter
+    ``rn <= k+1`` collapses everything else at the exchange — then one
+    tiny aggregate. k is a constant; the window never materializes more
+    than k+1 rows per group past the sort."""
+    if k < 2:
+        raise ValueError("hill_tail_index: k must be >= 2")
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gpart).orderBy(F.col("__v").desc())
+    top = (
+        df.select(*gcols, v.alias("__v"))
+        .filter(F.col("__v") > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k + 1)
+    )
+    wg = Window.partitionBy(*gpart)
+    ref = top.withColumn(
+        "__xref", F.min(F.when(F.col("__rn") == k + 1, F.col("__v"))).over(wg)
+    ).filter(F.col("__xref").isNotNull())
+    lr_micro = F.floor(
+        F.log(F.col("__v") / F.col("__xref")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        ref.filter(F.col("__rn") <= k)
+        .withColumn("__lr", lr_micro)
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max(
+                F.floor(F.col("__xref") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("x_ref_micro"),
+            F.sum("__lr").alias("lnsum_micronats"),
+        )
+    )
+    return agg.filter(F.col("lnsum_micronats") > 0).select(
+        *gcols,
+        "k",
+        "x_ref_micro",
+        "lnsum_micronats",
+        F.round(
+            F.col("k").cast("double") * 1_000_000
+            / F.col("lnsum_micronats").cast("double"),
+            6,
+        ).alias("alpha"),
+    )

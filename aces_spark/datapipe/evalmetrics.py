@@ -538,3 +538,86 @@ def ndcg_at_k(
         "idcg_micro",
         _round6(F.col("dcg_micro"), F.col("idcg_micro")).alias("ndcg"),
     )
+
+
+#: Poisson(1) pmf thresholds on the md5 bucket grid [0, 10000): a
+#: bucket below POISSON1_THRESHOLDS[c] (and >= the previous) replicates
+#: the row c times in that bootstrap rep. floor(cdf(c)*10000 + 0.5):
+#: cdf = .367879, .735759, .919699, .981012, .996340, 1.
+POISSON1_THRESHOLDS = [3679, 7358, 9197, 9810, 9963, 10000]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 40,
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Poisson bootstrap of the per-group mean (Chamandy et al. 2012 —
+    the resampling scheme that actually works on sharded data): the
+    classic n-with-replacement bootstrap needs global coordination per
+    resample, but for large n the multinomial replication count of each
+    row converges to independent Poisson(1), so each row can decide its
+    own per-rep weight from a hash — embarrassingly parallel, one pass,
+    exactly the estimator used for CI bands over planet-scale metrics.
+
+    Weights are the portable md5 bucket of ``seed | "rep#id"``
+    thresholded by the exact Poisson(1) cdf grid
+    (:data:`POISSON1_THRESHOLDS`, capped at 5 — P(X>5) ≈ 1/2800);
+    values snap to 6-dp micro-units so every rep's weighted sum is an
+    exact BIGINT. Output: one row per (group?, rep) —
+    ``(group?, rep, n_eff, mean)`` — the bootstrap DISTRIBUTION table;
+    consumers take exact order statistics of ``mean`` across reps for
+    any CI level (percentile-of-40-rows is driver-trivial). Reps whose
+    resample is empty (possible in tiny groups) are dropped.
+
+    Scale shape: rows × n_reps intermediate (posexplode of a literal
+    rep array), collapsed by ONE partial-combined hash aggregate on
+    (group?, rep) — the blow-up never crosses a shuffle unreduced. At
+    100 TB pick n_reps to budget the map-side multiply; 40 reps bounds
+    a 95% CI with the standard 1/√B ≈ 16% quantile jitter."""
+    if n_reps < 2:
+        raise ValueError("poisson_bootstrap_means: n_reps must be >= 2")
+    gcols = [group_col] if group_col else []
+    v_micro = F.floor(F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    reps = df.select(
+        *gcols,
+        v_micro.alias("__v"),
+        F.col(id_col).cast("string").alias("__id"),
+    ).select(
+        *gcols,
+        "__v",
+        F.posexplode(F.array(*[F.lit(r) for r in range(n_reps)])).alias("rep", "__r"),
+        "__id",
+    )
+    bucket = sample_bucket_expr(
+        F.concat(F.col("rep").cast("string"), F.lit("#"), F.col("__id")),
+        seed,
+    )
+    t = POISSON1_THRESHOLDS
+    weight = (
+        F.when(bucket < t[0], 0)
+        .when(bucket < t[1], 1)
+        .when(bucket < t[2], 2)
+        .when(bucket < t[3], 3)
+        .when(bucket < t[4], 4)
+        .otherwise(5)
+    ).cast("long")
+    agg = (
+        reps.withColumn("__w", weight)
+        .groupBy(*gcols, "rep")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            F.sum(F.col("__w") * F.col("__v")).alias("__wsum"),
+        )
+    )
+    return agg.filter(F.col("n_eff") > 0).select(
+        *gcols,
+        "rep",
+        "n_eff",
+        _round6(F.col("__wsum"), F.col("n_eff") * 1_000_000).alias("mean"),
+    )

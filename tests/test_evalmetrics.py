@@ -291,3 +291,87 @@ def test_ndcg_tiebreak_and_perfect(spark):
     assert got["ndcg"] == 1.0
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(df, "q", "score", "rel", "doc", k=99)
+
+
+def test_poisson_bootstrap_weights_and_means(spark):
+    from aces_spark.datapipe.evalmetrics import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap_means,
+    )
+
+    rows = [(i, float(i * 10)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["rep"]: r for r in poisson_bootstrap_means(df, "v", "id", n_reps=5).collect()}
+
+    def weight(rep, rid):
+        b = int(hashlib.md5(f"0|{rep}#{rid}".encode()).hexdigest()[:8], 16) % 10000
+        for c, thr in enumerate(POISSON1_THRESHOLDS):
+            if b < thr:
+                return c
+        return 5
+
+    for rep in range(5):
+        ws = {rid: weight(rep, rid) for rid, _ in rows}
+        n_eff = sum(ws.values())
+        if n_eff == 0:
+            assert rep not in got
+            continue
+        wsum = sum(ws[rid] * round(v * 1_000_000) for rid, v in rows)
+        assert got[rep]["n_eff"] == n_eff
+        assert got[rep]["mean"] == round(wsum / (n_eff * 1_000_000), 6), rep
+    # the bootstrap distribution must actually vary across reps
+    means = [r["mean"] for r in got.values()]
+    assert len(set(means)) > 1
+
+
+def test_poisson_bootstrap_grouped_and_seeded(spark):
+    from aces_spark.datapipe.evalmetrics import poisson_bootstrap_means
+
+    rows = [("a", i, 1.0) for i in range(20)] + [("b", i + 100, 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = poisson_bootstrap_means(df, "v", "id", n_reps=8, group_col="g").collect()
+    # constant values within groups: every realized mean is the constant
+    for r in got:
+        assert r["mean"] == (1.0 if r["g"] == "a" else 5.0)
+    # different seed -> different resample weights (n_eff profile changes)
+    alt = poisson_bootstrap_means(df, "v", "id", n_reps=8, group_col="g", seed=1)
+    a = {(r["g"], r["rep"]): r["n_eff"] for r in got}
+    b = {(r["g"], r["rep"]): r["n_eff"] for r in alt.collect()}
+    assert a != b
+
+
+def test_hill_tail_index_pareto_recovery(spark):
+    import math
+
+    from aces_spark.datapipe.analytics import hill_tail_index
+
+    # exact Pareto(alpha=2) quantile sample: x_q = (1-q)^(-1/2) on a
+    # uniform grid -> Hill over the top k should recover ~2
+    n, alpha = 4000, 2.0
+    vals = [(1 - (i + 0.5) / n) ** (-1 / alpha) for i in range(n)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = hill_tail_index(df, "v", k=200).collect()[0]
+    assert got["k"] == 200
+    # manual reference with the same micro-nat snap
+    top = sorted(vals, reverse=True)[:201]
+    xref = top[200]
+    lnsum = sum(math.floor(math.log(x / xref) * 1_000_000 + 0.5) for x in top[:200])
+    assert got["lnsum_micronats"] == lnsum
+    assert got["alpha"] == round(200 * 1_000_000 / lnsum, 6)
+    assert abs(got["alpha"] - alpha) < 0.3
+
+
+def test_hill_tail_index_guards(spark):
+    from aces_spark.datapipe.analytics import hill_tail_index
+
+    # fewer than k+1 positive values -> dropped
+    small = spark.createDataFrame([(float(i),) for i in range(1, 5)], "v double")
+    assert hill_tail_index(small, "v", k=10).collect() == []
+    # all-equal top values -> zero log-sum -> dropped
+    flat = spark.createDataFrame([(7.0,)] * 30, "v double")
+    assert hill_tail_index(flat, "v", k=5).collect() == []
+    # grouped: only the group with enough mass survives
+    rows = [("big", 2.0 ** (i / 4)) for i in range(40)] + [("tiny", 9.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = hill_tail_index(df, "v", "g", k=8).collect()
+    assert [r["g"] for r in got] == ["big"]
