@@ -3491,6 +3491,22 @@ def q_tail_index(spark, sf_dir):
     return hill_tail_index(ev, "value", "event_type", k=100)
 
 
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM drift report (datapipe.analytics.cusum_drift_report, r10):
+    one-sided Page CUSUM of event values vs target 50 per event type
+    over the deterministic (ts, event_id) order — the sequential
+    recurrence evaluated via the exact relational drawdown identity;
+    alarms where the statistic exceeds 2000 (scale-graded: none at
+    sf0.001, hundreds at sf0.01+)."""
+    from aces_spark.datapipe.analytics import cusum_drift_report
+
+    ev = _read_events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    return cusum_drift_report(
+        ev, "value", ["ts", "event_id"], target=50.0, threshold=2000.0,
+        group_col="event_type",
+    )
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outliers (datapipe.analytics.robust_outliers,
     r10): event values per event type, |x-med| > 3*MAD with exact
@@ -3527,6 +3543,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_eval": q_ndcg_eval,
     "poisson_bootstrap": q_poisson_bootstrap,
     "tail_index": q_tail_index,
+    "cusum_drift": q_cusum_drift,
     # --- tier 1 (r8 debuts): first driver-green rows ---
     "pii_density_filter": q_pii_density_filter,
     "bradley_terry": q_bradley_terry,
@@ -3738,17 +3755,17 @@ _R10_ORDER = [
     "seasonality_profile", "mutual_knn_pairs", "group_auc", "calibration_bins",
     "target_encode_oof", "km_survival", "isotonic_calibration", "score_rank_corr",
     "gini_concentration", "ndcg_eval", "poisson_bootstrap", "tail_index",
+    "cusum_drift",
     "lang_drift", "rolling_stats", "lm_score", "scd2_merge",
     "weighted_sample", "rolling_time", "value_anomalies", "collocations",
     "item_covisitation", "bpe_pair_counts", "hll_registers", "label_centroids",
     "predicate_value_range", "derived_and_or", "text_quality", "stratified_sample",
     "dsir_selection", "kmeans_clusters", "entity_resolution", "semantic_dedup",
     "phrase_search", "distinctive_terms", "ivf_append_topk", "rank_normalize",
-    "sorted_neighborhood",
     "cohort_flagship", "temporal_window_fwd", "temporal_window_chunked",
     "temporal_window_bwd", "temporal_window_offset", "event_bound_fwd", "event_bound_chunked",
     "event_bound_bwd", "event_bound_record_end",
-    "time_weighted_avg", "coverage_select",
+    "sorted_neighborhood", "time_weighted_avg", "coverage_select",
     "domain_temperature_mix", "containment_pairs", "hard_negatives", "winsorized_values",
     "random_projection", "bpe_merges", "bpe_encode_tokens", "tfidf_features",
     "sessionization", "decontamination", "sequence_packing", "split_assignment",
@@ -7066,6 +7083,32 @@ a AS (SELECT event_type, COUNT(*) AS k,
 SELECT event_type, k, x_ref_micro, lnsum_micronats,
   ROUND(CAST(k AS DOUBLE) * 1000000 / CAST(lnsum_micronats AS DOUBLE), 6) AS alpha
 FROM a WHERE lnsum_micronats > 0
+"""
+
+    # r10: CUSUM drift report — the sequential recurrence via the
+    # relational drawdown identity s_i = P_i - min(0, min_{j<=i} P_j)
+    sql["cusum_drift"] = """
+WITH s AS (SELECT event_type, ts, event_id,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+d AS (SELECT event_type, ts, event_id,
+    CAST(SUM(v - 50000000) OVER w AS BIGINT) AS p
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (SELECT event_type, ts,
+    p - least(CAST(0 AS BIGINT), CAST(MIN(p) OVER w2 AS BIGINT)) AS cusum
+  FROM d
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+a AS (SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CASE WHEN cusum > 2000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+    CAST(MAX(cusum) AS BIGINT) AS max_cusum_micro
+  FROM c GROUP BY 1),
+pk AS (SELECT c.event_type, MIN(c.ts) AS peak_at
+       FROM c JOIN a ON c.event_type = a.event_type
+       WHERE c.cusum = a.max_cusum_micro GROUP BY 1)
+SELECT a.event_type, a.n, a.n_alarms, a.max_cusum_micro, pk.peak_at
+FROM a JOIN pk ON a.event_type = pk.event_type
 """
 
     # r10: Kaplan-Meier survival table — integer at-risk/event/censor

@@ -854,3 +854,101 @@ def hill_tail_index(
             6,
         ).alias("alpha"),
     )
+
+
+def cusum_scan(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    target: float,
+    group_col: str | None = None,
+    slack: float = 0.0,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per row (Page 1954) — the
+    classic sequential changepoint detector for metric streams: small
+    persistent upward shifts accumulate while noise resets to zero.
+
+    The textbook recurrence ``s_i = max(0, s_{i-1} + x_i − target −
+    slack)`` looks inherently sequential, but the drawdown identity
+    makes it RELATIONAL: with ``P_i = Σ_{j≤i} (x_j − target − slack)``,
+
+        s_i = P_i − min(0, min_{j≤i} P_j)
+
+    — two running windows over the order key, no recursion, no UDF.
+    Values, target, and slack all snap to 6-dp micro-units so every
+    prefix sum and running min is exact BIGINT; the emitted statistic
+    stays in micro-units (``cusum_micro``).
+
+    ``order_cols`` must be a deterministic total order within each
+    group (e.g. ``["ts", "event_id"]``) — CUSUM is order-defined.
+
+    Scale shape: one exchange on the group key, one sort, two framed
+    window passes — identical envelope to the engine's rolling-stats
+    kernels; the statistic column composes with any alarm rule
+    downstream."""
+    gcols = [group_col] if group_col else []
+    gpart = gcols if gcols else [F.lit(1)]
+    t_micro = round(float(target) * 1_000_000) + round(float(slack) * 1_000_000)
+    v = F.floor(F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(*gpart)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scanned = df.select(*gcols, *order_cols, v.alias("__v")).withColumn(
+        "__p", F.sum(F.col("__v") - F.lit(t_micro)).over(w)
+    )
+    return scanned.select(
+        *gcols,
+        *order_cols,
+        F.col("__v").alias("value_micro"),
+        (
+            F.col("__p") - F.least(F.lit(0).cast("long"), F.min("__p").over(w))
+        ).alias("cusum_micro"),
+    )
+
+
+def cusum_drift_report(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    target: float,
+    threshold: float,
+    group_col: str | None = None,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Per-group CUSUM drift summary over :func:`cusum_scan`: total
+    rows, alarm count (``cusum > threshold``), the peak statistic, and
+    the earliest order position achieving the peak (deterministic
+    argmax: min of the first order column among peak rows). One row per
+    group at every corpus size — the dashboard form; the per-row scan
+    is the composable form."""
+    h_micro = round(float(threshold) * 1_000_000)
+    scan = cusum_scan(df, value_col, order_cols, target, group_col, slack)
+    gcols = [group_col] if group_col else []
+    first_order = order_cols[0]
+    agg = scan.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cusum_micro") > h_micro).cast("long")).alias("n_alarms"),
+        F.max("cusum_micro").alias("max_cusum_micro"),
+    )
+    peak_at = (
+        scan.join(
+            agg.select(*gcols, F.col("max_cusum_micro").alias("__mx")),
+            gcols,
+        )
+        if gcols
+        else scan.crossJoin(
+            F.broadcast(agg.select(F.col("max_cusum_micro").alias("__mx")))
+        )
+    )
+    peak = (
+        peak_at.filter(F.col("cusum_micro") == F.col("__mx"))
+        .groupBy(*gcols)
+        .agg(F.min(first_order).alias("peak_at"))
+    )
+    out = agg.join(F.broadcast(peak), gcols) if gcols else agg.crossJoin(
+        F.broadcast(peak)
+    )
+    return out.select(*gcols, "n", "n_alarms", "max_cusum_micro", "peak_at")

@@ -222,3 +222,57 @@ def test_mutual_knn_pairs_kills_hub(spark):
         if a in knn(b)
     }
     assert got == want
+
+
+def test_cusum_scan_matches_recurrence(spark):
+    from aces_spark.datapipe.analytics import cusum_scan
+
+    xs = [5.0, 1.0, 9.0, 9.0, 0.0, 0.0, 8.0, 2.0, 2.0, 12.0]
+    target, slack = 4.0, 0.5
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "seq int, v double"
+    )
+    got = {
+        r["seq"]: r["cusum_micro"]
+        for r in cusum_scan(df, "v", ["seq"], target, slack=slack).collect()
+    }
+    s, want = 0, []
+    for x in xs:
+        d = round(x * 1_000_000) - round(target * 1_000_000) - round(slack * 1_000_000)
+        s = max(0, s + d)
+        want.append(s)
+    assert [got[i] for i in range(len(xs))] == want
+
+
+def test_cusum_scan_grouped_reset(spark):
+    from aces_spark.datapipe.analytics import cusum_scan
+
+    rows = [("a", 0, 10.0), ("a", 1, 10.0), ("b", 0, 1.0), ("b", 1, 10.0)]
+    df = spark.createDataFrame(rows, "g string, seq int, v double")
+    got = {
+        (r["g"], r["seq"]): r["cusum_micro"]
+        for r in cusum_scan(df, "v", ["seq"], 5.0, group_col="g").collect()
+    }
+    # group a climbs 5 then 10; group b dips (clamped to 0) then climbs 5
+    assert got[("a", 0)] == 5_000_000 and got[("a", 1)] == 10_000_000
+    assert got[("b", 0)] == 0 and got[("b", 1)] == 5_000_000
+
+
+def test_cusum_drift_report(spark):
+    from aces_spark.datapipe.analytics import cusum_drift_report
+
+    rows = [("a", i, 6.0) for i in range(5)] + [("quiet", i, 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, seq int, v double")
+    got = {
+        r["g"]: r
+        for r in cusum_drift_report(
+            df, "v", ["seq"], target=5.0, threshold=2.5, group_col="g"
+        ).collect()
+    }
+    a = got["a"]
+    # s climbs 1,2,3,4,5 -> alarms at s=3,4,5; peak 5.0 at seq 4
+    assert (a["n"], a["n_alarms"], a["max_cusum_micro"], a["peak_at"]) == (
+        5, 3, 5_000_000, 4,
+    )
+    q = got["quiet"]
+    assert (q["n_alarms"], q["max_cusum_micro"], q["peak_at"]) == (0, 0, 0)
