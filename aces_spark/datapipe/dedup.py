@@ -96,6 +96,17 @@ def _capped_hashed_shingles(
         "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
     )
     if max_doc_freq is not None:
+        # persist the RAW hashed relation first: the cap's doc-frequency
+        # aggregate and the anti-join left side are two consumers of the
+        # same tokenize+shingle+explode pipeline — without this the whole
+        # string-heavy map pass runs TWICE (the r10 plan ledger shows two
+        # Generate subtrees inside the cached relation build; guide §2.4:
+        # don't recompute what two consumers can share). The raw→capped
+        # delta is only the boilerplate rows, so this is the same
+        # memory-class persist the capped relation already paid.
+        sh = sh.persist()
+        if cache_registry is not None:
+            cache_registry.append(sh)
         heavy = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))

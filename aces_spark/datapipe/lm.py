@@ -633,22 +633,66 @@ def excess_loss_scores(
     6 dp, so it is engine-exact like its inputs (a double subtraction
     followed by a round would re-introduce last-ulp engine drift).
 
-    Scale shape: the document stream is tokenized once per model score
-    (two passes of :func:`score_documents_lm` — each model's count
-    joins are Zipf-small/AQE-broadcastable) and the final join keys on
-    the doc id, co-partitioned with both scorers' output aggregation.
-    Model-sized traffic only; linear in the corpus."""
-    ref = score_documents_lm(docs, ref_model, id_col, text_col).select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        F.col("nll").alias("nll_ref"),
+    Scale shape: the document stream is tokenized ONCE and both models'
+    Zipf-small count tables join the same bigram relation (r10: the
+    previous two-`score_documents_lm` composition tokenized and
+    re-aggregated the corpus twice and then re-joined the halves by doc
+    id — guide §2.4, one pass where two consumers share an input), so
+    one corpus pass, model-sized traffic only, linear in the corpus.
+    Per-token and per-doc arithmetic is byte-identical to
+    :func:`score_documents_lm` (same micro-unit snap, same floor rule),
+    so the fused form emits exactly the rows the two-pass form did."""
+    for which, model in (("ref", ref_model), ("gen", gen_model)):
+        vs_row = model["vocab"].first()
+        if vs_row is None or not vs_row["v_size"]:
+            raise ValueError(
+                f"excess_loss_scores: empty {which} model (training corpus "
+                "had no tokens) — scores would be meaningless"
+            )
+    bg = _bigrams(docs, id_col, text_col)
+
+    def side(model: dict[str, DataFrame], tag: str):
+        b = model["bigrams"].select(
+            "prev", "word", F.col("c_bg").alias(f"__cbg_{tag}")
+        )
+        u = model["unigrams"].select("prev", F.col("c_prev").alias(f"__cprev_{tag}"))
+        v = model["vocab"].select(F.col("v_size").alias(f"__vs_{tag}"))
+        return b, u, v
+
+    rb, ru, rv = side(ref_model, "r")
+    gb, gu, gv = side(gen_model, "g")
+    scored = (
+        bg.join(rb, ["prev", "word"], "left")
+        .join(ru, ["prev"], "left")
+        .crossJoin(F.broadcast(rv))
+        .join(gb, ["prev", "word"], "left")
+        .join(gu, ["prev"], "left")
+        .crossJoin(F.broadcast(gv))
     )
-    gen = score_documents_lm(docs, gen_model, id_col, text_col).select(
-        F.col(id_col),
-        F.col("nll").alias("nll_gen"),
+
+    def nll_u(tag: str):
+        c_bg = F.coalesce(F.col(f"__cbg_{tag}"), F.lit(0)).cast("double")
+        c_prev = F.coalesce(F.col(f"__cprev_{tag}"), F.lit(0)).cast("double")
+        p = (c_bg + F.lit(1.0)) / (c_prev + F.col(f"__vs_{tag}").cast("double"))
+        return F.floor(-F.log(p) * 1000000 + 0.5).cast("long")
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(nll_u("r")).cast("long").alias("__nll_r"),
+        F.sum(nll_u("g")).cast("long").alias("__nll_g"),
     )
+
+    def nll_micro(col: str):
+        mean = F.col(col).cast("double") / F.col("n_tokens").cast("double") / 1000000.0
+        return F.floor(mean * 1000000 + 0.5).cast("long")
+
+    # the same double→snap round-trip the two-pass form produced: the
+    # published nll is micro/1e6 (a double), and excess re-snaps those
+    # doubles — kept bit-for-bit so the oracle hash is unchanged
+    nll_ref_d = (nll_micro("__nll_r").cast("double") / 1000000.0).alias("nll_ref")
+    nll_gen_d = (nll_micro("__nll_g").cast("double") / 1000000.0).alias("nll_gen")
     snap = lambda c: F.floor(F.col(c) * 1000000 + 0.5).cast("long")  # noqa: E731
-    return ref.join(gen, id_col).select(
+    return per_doc.select(id_col, "n_tokens", nll_ref_d, nll_gen_d).select(
         id_col,
         "n_tokens",
         "nll_ref",

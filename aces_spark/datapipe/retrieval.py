@@ -57,31 +57,67 @@ def bm25_scores(
     toks = docs.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     )
-    # document length: the one full-stream aggregate (index-time stat)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    # corpus stats reduce to ONE row and broadcast onto the scoring join
-    stats = dl.agg(
+    # ONE pass, one doc-keyed aggregate (r10, guide §2.3/§2.4): dl and
+    # every query term's tf come out of the same conditional aggregation,
+    # so the corpus is tokenized once and the former tf ⋈ dl doc-keyed
+    # join disappears — a query is a FIXED small term list, so the agg is
+    # |terms| counter columns wide, map-side combined. The previous shape
+    # tokenized twice (full-stream dl agg + filtered tf agg) and joined
+    # the halves back on doc_id.
+    per_doc_tf = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).cast("long").alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # corpus stats (n_docs, avgdl) AND each term's document frequency
+    # reduce to ONE row over that aggregate and broadcast onto the scoring
+    # projection — df_t is just "how many docs have tf_t > 0"
+    stats = per_doc_tf.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
         ),
+        *[
+            F.count(F.when(F.col(f"__tf_{i}") > 0, 1))
+            .cast("long")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     )
 
-    # term filter FIRST: everything after this line is query-term-sized
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # melt to (doc, term, tf, df) rows — query-term-sized, row-local
+    melted = (
+        per_doc_tf.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "dl",
+            "n_docs",
+            "avgdl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"__tf_{i}").alias("tf"),
+                            F.col(f"__df_{i}").alias("df"),
+                        )
+                        for i in range(len(terms))
+                    ]
+                )
+            ).alias("__td"),
+        )
+        .select(
+            id_col,
+            "dl",
+            "n_docs",
+            "avgdl",
+            F.col("__td.tf").alias("tf"),
+            F.col("__td.df").alias("df"),
+        )
+        .filter(F.col("tf") > 0)
     )
-    df_ = tf.groupBy("term").agg(
-        F.countDistinct(id_col).cast("long").alias("df")
-    )
-
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = melted
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -149,6 +185,11 @@ def phrase_match(
         F.col(id_col).alias("doc_id"),
         F.posexplode(norm_tokens(text_col)).alias("pos", "term"),
     ).filter(F.col("term").isin(terms))
+    # the postings relation feeds ONE branch per phrase token — truncate
+    # its lineage so an m-token phrase costs one tokenize pass, not m
+    # (r10; it is query-term-sized after the filter, so the materialized
+    # block is tiny)
+    post = post.localCheckpoint(eager=False)
     cur = post.filter(F.col("term") == terms[0]).select("doc_id", "pos")
     for i, t in enumerate(terms[1:], start=1):
         nxt = post.filter(F.col("term") == t).select(
@@ -276,31 +317,60 @@ def dirichlet_ql_scores(
     toks = docs.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
-    cf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
-    )  # zero-cf terms are absent here — the documented drop
-
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # ONE pass, one doc-keyed conditional aggregate (r10, same rewrite as
+    # bm25_scores): dl and every query term's tf come from a single
+    # aggregation — the previous shape tokenized the corpus FOUR times
+    # (dl, collection total, cf, tf) and re-joined the pieces by doc id.
+    # Collection totals and per-term cf then reduce to ONE broadcast row
+    # over that aggregate (cf(t) = Σ_docs tf(t,d), exact integers).
+    per_doc_tf = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).cast("long").alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    cand = tf.select(id_col).distinct()
+    stats = per_doc_tf.agg(
+        F.sum("dl").cast("long").alias("c_total"),
+        *[
+            F.sum(F.col(f"__tf_{i}")).cast("long").alias(f"__cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # candidates = docs containing >= 1 query term; each candidate emits
+    # one row per POSITIVE-cf term (tf = 0 rows kept — the smoothing mass
+    # of missing terms; zero-cf terms are the documented ranking-neutral
+    # drop, and they occur in no document so candidacy is unaffected)
+    any_tf = None
+    for i in range(len(terms)):
+        c = F.col(f"__tf_{i}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
     pairs = (
-        cand.crossJoin(F.broadcast(cf))
-        .join(tf, [id_col, "term"], "left")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(coll))
+        per_doc_tf.filter(any_tf)
+        .crossJoin(F.broadcast(stats))
         .select(
             id_col,
-            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            "dl",
+            "c_total",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"__tf_{i}").alias("tf"),
+                            F.col(f"__cf_{i}").alias("cf"),
+                        )
+                        for i in range(len(terms))
+                    ]
+                )
+            ).alias("__tc"),
+        )
+        .filter(F.col("__tc.cf") > 0)
+        .select(
+            id_col,
+            F.col("__tc.tf").alias("tf"),
             F.expr(
-                f"cast(coalesce(tf, 0) as {dec}) * cast(c_total as {dec})"
-                f" + {int(mu)} * cast(cf as {dec})"
+                f"cast(__tc.tf as {dec}) * cast(c_total as {dec})"
+                f" + {int(mu)} * cast(__tc.cf as {dec})"
             ).alias("__num"),
             F.expr(
                 f"(cast(dl as {dec}) + {int(mu)}) * cast(c_total as {dec})"

@@ -389,7 +389,6 @@ def ivf_topk(
     cents = _resolve_centroids(
         corpus, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
-    corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
     query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
         "vec_id", "query_id"
     )
@@ -397,9 +396,29 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).join(
         query_cells, "query_id"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
-        corpus_cells, "neighbor_id"
-    )
+    # corpus-side assignment is ROW-LOCAL when the centroid matrix fits
+    # the literal budget (r10; the save_ivfpq_index lesson applied to the
+    # in-memory path): the centroids ride along as one nested-array
+    # literal and the argmax runs inside the projection — identical
+    # values to assign_cells(n_probes=1) (9-dp cosine, lowest-cell tie),
+    # but the corpus-sized corpus ⋈ corpus_cells id-join (a full shuffle
+    # of the vectors at 100 TB) disappears. Large-k quantizers past the
+    # literal budget keep the relational assignment.
+    cent_rows = collect_centroid_rows(cents)
+    n_slots = sum(len(c) for _, c in cent_rows) + len(cent_rows)
+    from .kmeans import MAX_LITERAL_SLOTS
+
+    if n_slots <= MAX_LITERAL_SLOTS:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ).withColumn("cell_id", inline_cell_expr(F.col("__cvec"), cent_rows))
+    else:
+        corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ).join(corpus_cells, "neighbor_id")
 
     sims = (
         F.broadcast(q)
@@ -721,11 +740,19 @@ def ivf_cell_stats(
     cents = _resolve_centroids(
         vectors, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
-    counts = (
-        assign_cells(vectors, cents, id_col, vec_col)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-    )
+    # row-local assignment inside the literal budget (r10): the report is
+    # then ONE map pass + an n_cells-key aggregate — no crossJoin stage
+    cent_rows = collect_centroid_rows(cents)
+    n_slots = sum(len(c) for _, c in cent_rows) + len(cent_rows)
+    from .kmeans import MAX_LITERAL_SLOTS
+
+    if n_slots <= MAX_LITERAL_SLOTS:
+        assigned = vectors.select(
+            inline_cell_expr(F.col(vec_col), cent_rows).alias("cell_id")
+        )
+    else:
+        assigned = assign_cells(vectors, cents, id_col, vec_col)
+    counts = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(Window.partitionBy())
     frac_bp = F.floor(F.col("n_vectors") / total * 10000 + 0.5)
     return counts.select(
@@ -838,7 +865,6 @@ def cosine_dup_pairs(
     cents = _resolve_centroids(
         vectors, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
-    cells = assign_cells(vectors, cents, id_col, vec_col)
     # precompute each vector's norm ONCE — inside the pair join it would be
     # recomputed |pairs| times (3× the arithmetic for 64-dim vectors) —
     # and flatten coordinates to DOUBLE scalar columns BEFORE the pair
@@ -854,8 +880,22 @@ def cosine_dup_pairs(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
         .withColumn("__norm", _norm(F.col("__vec")))
         .filter(F.col("__norm") > 0)
-        .join(cells, "vec_id")
     )
+    # cell assignment is ROW-LOCAL when the centroid matrix fits the
+    # literal budget (r10, the ivf_topk/save_ivfpq_index shape): kills
+    # the corpus-sized vectors ⋈ cells id-join — which, feeding BOTH
+    # self-join sides below, also replayed the assignment crossJoin+agg
+    # once per branch. Identical values to assign_cells (9-dp cosine,
+    # lowest-cell tie-break). Large-k quantizers keep the relational path.
+    cent_rows = collect_centroid_rows(cents)
+    n_slots = sum(len(c) for _, c in cent_rows) + len(cent_rows)
+    from .kmeans import MAX_LITERAL_SLOTS
+
+    if n_slots <= MAX_LITERAL_SLOTS:
+        v = v.withColumn("cell_id", inline_cell_expr(F.col("__vec"), cent_rows))
+    else:
+        cells = assign_cells(vectors, cents, id_col, vec_col)
+        v = v.join(cells, "vec_id")
     a = v.selectExpr(
         "cell_id",
         "vec_id AS vec_a",

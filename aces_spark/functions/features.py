@@ -440,17 +440,30 @@ def train_linear_classifier(
         raise ValueError("train_linear_classifier: n_iters must be >= 1")
     spark = labeled_docs.sparkSession
 
-    # repartition on doc_id BEFORE the checkpoint: every iteration both
+    # repartition on doc_id BEFORE caching: every iteration both
     # aggregates margins by doc_id and joins residuals by doc_id, so
     # persisting the matrix already hashed on doc_id removes the
-    # per-iteration 2x reshuffle of the (corpus-sized) feature relation
+    # per-iteration 2x reshuffle of the (corpus-sized) feature relation.
+    # persist() (not localCheckpoint) is load-bearing here: a checkpointed
+    # RDD scans back as UnknownPartitioning and the planner re-shuffles
+    # the matrix around EVERY per-iteration aggregate/join anyway (r10
+    # plan ledger: 2 corpus-sized exchanges per iteration), while a
+    # cached plan keeps the hash(doc_id) output partitioning visible —
+    # provided canChangeCachedPlanOutputPartitioning stays enabled (same
+    # conf query.py sets for the window-tree cache, guide §2.4).
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
+    except Exception:  # pragma: no cover - conf may be static on some builds
+        pass
     feats = (
         feature_hashing(
             labeled_docs, n_buckets=n_buckets, signed=signed,
             text_col=text_col, id_col=id_col,
         )
         .repartition("doc_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     labels = (
         labeled_docs.select(
@@ -458,10 +471,12 @@ def train_linear_classifier(
             (F.col(label_col).cast("boolean").cast("long") * 1_000_000)
             .alias("__y_micro"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n_docs = labels.count()
     if n_docs == 0:
+        feats.unpersist(False)
+        labels.unpersist(False)
         return spark.createDataFrame([], "bucket long, weight_micro long")
 
     table = sigmoid_table_micro()
@@ -519,6 +534,8 @@ def train_linear_classifier(
                 b = int(row["bucket"])
                 weights[b] = weights.get(b, 0) + _tdiv(lr_bp * g, denom)
 
+    feats.unpersist(False)
+    labels.unpersist(False)
     items = sorted((b, w) for b, w in weights.items() if w != 0)
     if not items:
         return spark.createDataFrame([], "bucket long, weight_micro long")
