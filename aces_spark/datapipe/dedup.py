@@ -244,15 +244,15 @@ def substring_dup_spans(
     sibling of :func:`paragraph_dedup_stats` (Lee et al. 2022 find exact
     duplicated *substrings*, not just whole paragraphs; a fixed ``window``
     with ``stride`` overlap approximates their suffix-array pass with pure
-    relational ops). A window is *duplicated* if its md5 fingerprint occurs
-    in more than one document, or more than once within this document.
+    relational ops). A window is *duplicated* if its 128-bit fingerprint (two-seed
+    xxhash64 struct) occurs in more than one document, or more than once within this document.
 
     Returns ``(doc_id, n_windows, n_dup_windows, dup_win_frac)`` for every
     document with at least one full window (``length >= window``);
     ``dup_win_frac`` is in exact basis points (``floor(x*1e4 + 0.5)/1e4``).
 
     Scale shape: explode window positions (narrow), ONE exchange keyed by
-    the window md5 (uniform digest keys), then a doc-keyed rollup — the
+    the 16-byte window fingerprint (uniform hash keys), then a doc-keyed rollup — the
     same linear two-aggregate plan as paragraph dedup, never a self-join.
     With ``stride = window/2`` every duplicated run ≥ 1.5×window chars is
     guaranteed to contain a duplicated window.
@@ -267,12 +267,19 @@ def substring_dup_spans(
         F.col(text_col).alias("__t"),
         F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("__i"),
     )
+    # INTERNAL fingerprint (only the duplicated flag survives to the
+    # output): two independently-seeded xxhash64s — 16-byte struct key,
+    # the substring_strip_exact contract — instead of a 32-char md5 hex
+    # string through the exchange (r10; the DuckDB oracle keeps md5,
+    # results agree because the key never escapes). The relation feeds
+    # the occurrence aggregate AND the flag join, so truncate its
+    # lineage — un-checkpointed, the explode+hash pass ran twice.
     wins = pos.select(
         "doc_id",
-        F.md5(F.col("__t").substr((F.col("__i") * stride + 1).cast("int"), F.lit(window))).alias(
-            "wfp"
-        ),
-    )
+        _gram_fp_128(
+            F.col("__t").substr((F.col("__i") * stride + 1).cast("int"), F.lit(window))
+        ).alias("wfp"),
+    ).localCheckpoint(eager=False)
     occ = wins.groupBy("wfp").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -297,8 +304,8 @@ def substring_strip(
 ) -> DataFrame:
     """The ACTION half of :func:`substring_dup_spans` (Lee et al. 2022
     actually *remove* the duplicated substrings, not just count them):
-    flag every stride-aligned ``window``-char window whose md5 occurs
-    ≥ 2 times corpus-wide (the exact flag the stats sibling reports —
+    flag every stride-aligned ``window``-char window whose fingerprint (two
+    independently-seeded xxhash64s — 128 bits) occurs ≥ 2 times corpus-wide (the exact flag the stats sibling reports —
     ``n_docs > 1 OR n_occ > n_docs`` ⟺ ``n_occ >= 2``), merge
     overlapping/touching flagged windows into maximal char spans, and
     splice the spans out of the text. ALL copies are removed (the
@@ -343,10 +350,14 @@ def substring_strip(
     )
     eligible = docs.filter(F.length("text") >= window)
     n_win = F.expr(f"(length(text) - {int(window)}) div {int(stride)}") + 1
+    # INTERNAL window fingerprint → the 16-byte two-seed xxhash64 struct
+    # (the substring_strip_exact contract) instead of a 32-char md5 hex
+    # string through the occurrence exchange (r10; oracle keeps md5 —
+    # the key never escapes, only the >=2 flag does)
     wins = eligible.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("__i"),
-        F.md5(
+        _gram_fp_128(
             F.col("text").substr(
                 (F.col("__i") * stride + 1).cast("int"), F.lit(window)
             )
