@@ -1017,11 +1017,21 @@ def tfidf_cosine_pairs(
     from .text import norm_tokens
 
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(norm_tokens(text_col)).alias("__t")
+    ).select(
+        "doc_id",
+        # the term string never escapes (outputs are ids/counts/cosine):
+        # collapse it to xxhash64 immediately — ~5× narrower keys through
+        # the tf aggregate and the inverted-index self-join (r10; the
+        # _capped_hashed_shingles rule; oracle keeps strings, results
+        # agree because the key is internal)
+        F.xxhash64(F.col("__t")).alias("term"),
     )
+    # tf feeds BOTH the document-frequency aggregate and the weight join —
+    # truncate, or the tokenize + tf aggregate replays per branch (r10)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     if max_doc_freq is not None:

@@ -129,6 +129,12 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # each query's plan must be audited self-contained: persisted
+            # relations registered while building a PREVIOUS query's plan
+            # otherwise substitute into this one as InMemoryRelations and
+            # perturb the counts (r10: the persist-based shingle cache
+            # false-flagged untruncated_reuse on the query after it)
+            spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # plan build itself failed
