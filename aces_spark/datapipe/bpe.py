@@ -105,9 +105,16 @@ def bpe_train(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    # lazy persist discipline: each iteration's ONE driver-blocking job is
+    # the argmax collect, and that job materializes the (lazily) persisted
+    # vocab table as a side effect — no separate count() job per merge,
+    # and the LAST iteration's fold is never computed at all (its result
+    # feeds no further pair count). The previous table is released only
+    # AFTER the collect that materialized its successor, so no lineage
+    # ever recomputes from the corpus.
     vocab = word_freq_table(corpus, text_col).select("n", "symbols").persist()
-    vocab.count()  # materialize before the loop
     merges: list[tuple[str, str, int]] = []
+    prev: DataFrame | None = None
     try:
         for _ in range(n_merges):
             top = (
@@ -120,6 +127,11 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # this collect materialized `vocab`'s cache; its predecessor
+            # can go now
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["pair_count"] < min_pair_count:
                 break
             left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
@@ -127,11 +139,11 @@ def bpe_train(
             nxt = vocab.select(
                 "n", _merge_fold(F.col("symbols"), left, right).alias("symbols")
             ).persist()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
+            prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

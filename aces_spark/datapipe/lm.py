@@ -556,20 +556,26 @@ def collocations(
     when ``top_k`` is set. Rare-pair noise is what ``min_count`` is for —
     PMI famously explodes on hapax pairs.
 
-    Scale shape: one exploded-bigram aggregate + two Zipf-small unigram
-    aggregates joined onto the (min_count-filtered, so tiny) pair
-    relation. The filter runs BEFORE the joins — only surviving pairs
-    pay join cost.
+    Scale shape: ONE exploded-bigram aggregate (the only corpus-sized
+    pass/exchange); the marginals are exact roll-ups of the unfiltered
+    pair counts — ``n_prev = Σ_w n(prev,w)``, ``n_word = Σ_v n(v,word)``,
+    ``n_total = Σ n`` — so they aggregate the Zipf-small pair relation,
+    never the corpus (guide §2.1: the four-branch bigram replay this
+    replaces tokenized the corpus four times). The min_count filter runs
+    BEFORE the joins — only surviving pairs pay join cost.
     """
     bg = _bigrams(corpus, id_col, text_col).filter(F.col("prev") != "<s>")
-    pairs = (
+    # the unfiltered pair-count relation feeds four branches (pairs,
+    # both marginals, total): truncate so the corpus pass runs once
+    pc = (
         bg.groupBy("prev", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+        .localCheckpoint(eager=False)
     )
-    left = bg.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
-    right = bg.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_word"))
-    total = bg.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    pairs = pc.filter(F.col("n_pair") >= min_count)
+    left = pc.groupBy("prev").agg(F.sum("n_pair").cast("long").alias("n_prev"))
+    right = pc.groupBy("word").agg(F.sum("n_pair").cast("long").alias("n_word"))
+    total = pc.agg(F.sum("n_pair").cast("long").alias("n_total"))
     j = (
         pairs.join(left, "prev")
         .join(right, "word")
