@@ -110,6 +110,29 @@ def pq_train(
     materialization is the codebook itself (a few KB), same policy as
     ``similarity.kmeans_centroids``.
     """
+    if quantizer not in ("seed", "kmeans"):
+        raise ValueError(f"unknown quantizer {quantizer!r} (expected 'seed' or 'kmeans')")
+    if quantizer == "seed":
+        # the seed rows carry the dimensionality — no separate first()
+        # job (one distributed top-k instead of two corpus scans)
+        rows = (
+            vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+            .orderBy("__id")
+            .limit(n_codes)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("pq_train: corpus is empty (no vectors to train on)")
+        dim = len(rows[0]["__v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        if len(rows) < n_codes:
+            raise ValueError(f"corpus has {len(rows)} vectors < n_codes={n_codes}")
+        return [
+            [[float(x) for x in r["__v"][j * sub : (j + 1) * sub]] for r in rows]
+            for j in range(m)
+        ]
     head = vectors.select(vec_col).first()
     if head is None:
         raise ValueError("pq_train: corpus is empty (no vectors to train on)")
@@ -117,19 +140,6 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    if quantizer == "seed":
-        rows = (
-            vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-            .orderBy("__id")
-            .limit(n_codes)
-            .collect()
-        )
-        if len(rows) < n_codes:
-            raise ValueError(f"corpus has {len(rows)} vectors < n_codes={n_codes}")
-        return [
-            [[float(x) for x in r["__v"][j * sub : (j + 1) * sub]] for r in rows]
-            for j in range(m)
-        ]
     if quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -309,7 +319,14 @@ def save_ivfpq_index(
             "subspace", F.col("code").cast("int").alias("code"), "codeword"
         )
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # centroids write from the already-collected rows (JVM literal explode
+    # like cb_df): `cents.write` would re-run the quantizer plan — for the
+    # seed quantizer a second distributed top-k scan of the corpus
+    from .similarity import centroid_rows_df
+
+    centroid_rows_df(spark, cent_rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
     cb_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
     # cluster by cell before the partitioned write (see save_ivf_index):
     # ~1 file per cell instead of |tasks| × |cells| small files

@@ -318,6 +318,29 @@ def collect_centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]
     ]
 
 
+def centroid_rows_df(spark, centroid_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Rebuild a ``(cell_id, centroid)`` frame from already-collected
+    centroid rows as a JVM-side literal explode (the ``save_ivfpq_index``
+    codebook trick — no Python→JVM row conversion, no replay of the
+    quantizer subtree). Used wherever a centroid frame is needed AFTER
+    :func:`collect_centroid_rows` already paid the driver hop: the seed
+    quantizer's distributed top-k would otherwise re-scan the corpus once
+    per consumer (the centroid parquet write, the query-side broadcast)."""
+    rows = sorted(centroid_rows)
+    ids = F.lit([int(i) for i, _ in rows])
+    cl = F.lit([[float(x) for x in c] for _, c in rows])
+    return (
+        spark.range(1)
+        .select(F.posexplode(cl).alias("__p", "centroid"))
+        .select(
+            F.element_at(ids, (F.col("__p") + 1).cast("int"))
+            .cast("int")
+            .alias("cell_id"),
+            "centroid",
+        )
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -389,7 +412,14 @@ def ivf_topk(
     cents = _resolve_centroids(
         corpus, n_cells, centroids, id_col, vec_col, quantizer, target_bucket_size
     )
-    query_cells = assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
+    # collect the centroid matrix ONCE, then every consumer (query-side
+    # assignment, corpus-side inline argmax) reads the literal — with the
+    # seed quantizer the `cents` plan is a distributed top-k over the
+    # corpus, and re-evaluating it inside the query job's broadcast
+    # subtree would re-scan the corpus per consumer (r10)
+    cent_rows = collect_centroid_rows(cents)
+    cents_lit = centroid_rows_df(corpus.sparkSession, cent_rows)
+    query_cells = assign_cells(queries, cents_lit, id_col, vec_col, n_probes=n_probes).withColumnRenamed(
         "vec_id", "query_id"
     )
 
@@ -404,7 +434,6 @@ def ivf_topk(
     # but the corpus-sized corpus ⋈ corpus_cells id-join (a full shuffle
     # of the vectors at 100 TB) disappears. Large-k quantizers past the
     # literal budget keep the relational assignment.
-    cent_rows = collect_centroid_rows(cents)
     n_slots = sum(len(c) for _, c in cent_rows) + len(cent_rows)
     from .kmeans import MAX_LITERAL_SLOTS
 
@@ -413,7 +442,7 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ).withColumn("cell_id", inline_cell_expr(F.col("__cvec"), cent_rows))
     else:
-        corpus_cells = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed(
+        corpus_cells = assign_cells(corpus, cents_lit, id_col, vec_col).withColumnRenamed(
             "vec_id", "neighbor_id"
         )
         c = corpus.select(
@@ -466,7 +495,12 @@ def save_ivf_index(
     ).withColumn(
         "cell_id", inline_cell_expr(F.col("embedding"), cent_rows)
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # write the centroids from the ALREADY-collected rows (JVM literal
+    # explode): `cents.write` would re-evaluate the quantizer plan — for
+    # the seed quantizer a second distributed top-k scan of the corpus
+    centroid_rows_df(corpus.sparkSession, cent_rows).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
     # cluster by cell BEFORE the partitioned write: otherwise every write
     # task holds rows of every cell and emits |tasks| × |cells| small
     # files (the small-file storm `sinks.compact_parquet` exists to fix);
@@ -751,7 +785,14 @@ def ivf_cell_stats(
             inline_cell_expr(F.col(vec_col), cent_rows).alias("cell_id")
         )
     else:
-        assigned = assign_cells(vectors, cents, id_col, vec_col)
+        # literal centroid frame: the quantizer plan never re-evaluates
+        # inside the assignment job (see ivf_topk)
+        assigned = assign_cells(
+            vectors,
+            centroid_rows_df(vectors.sparkSession, cent_rows),
+            id_col,
+            vec_col,
+        )
     counts = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(Window.partitionBy())
     frac_bp = F.floor(F.col("n_vectors") / total * 10000 + 0.5)
