@@ -1220,19 +1220,26 @@ def lsh_cosine_topk(
 
     c = buckets(corpus, "neighbor_id")
     q = buckets(queries, "query_id")
-    cand = (
+    # score BEFORE the dedup exchange: the cosine is row-local at the
+    # broadcast-join output (no shuffle yet), and every duplicate of a
+    # pair — one per shared table — scores identically, so deduping the
+    # (ids, sim) rows yields the same relation as deduping the vectors
+    # and scoring after. The dedup exchange then carries ~24 bytes/row
+    # instead of two dim-length vectors (guide §2.3/§8: shuffle the
+    # lightweight proxy, not the payload); a pair colliding in t tables
+    # pays t row-local cosines in exchange — compute for shuffle bytes.
+    sims = (
         F.broadcast(q)
         .join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__query_id_vec", "__neighbor_id_vec")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec")), 6
+            ).alias("cosine_sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    sims = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec")), 6
-        ).alias("cosine_sim"),
     )
     return rank_topk(sims, k, "cosine_sim")
 
