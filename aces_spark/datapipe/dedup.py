@@ -274,19 +274,23 @@ def substring_dup_spans(
     # results agree because the key never escapes). The relation feeds
     # the occurrence aggregate AND the flag join, so truncate its
     # lineage — un-checkpointed, the explode+hash pass ran twice.
+    # duplicated ⟺ corpus-wide occurrence count ≥ 2: ``n_docs > 1 OR
+    # n_occ > n_docs`` is exactly ``n_occ >= 2`` (if the fingerprint sits
+    # in ≥2 docs the first disjunct fires; if all occurrences are in one
+    # doc and n_occ ≥ 2 the second does; n_occ = 1 satisfies neither), so
+    # ONE fingerprint-keyed window count replaces the two-count aggregate
+    # + join-back (r10, the substring_strip_exact shape): single window
+    # pass, one exchange, no per-window materialization.
     wins = pos.select(
         "doc_id",
         _gram_fp_128(
             F.col("__t").substr((F.col("__i") * stride + 1).cast("int"), F.lit(window))
         ).alias("wfp"),
-    ).localCheckpoint(eager=False)
-    occ = wins.groupBy("wfp").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.countDistinct("doc_id").alias("n_docs"),
     )
-    flagged = wins.join(occ, "wfp").select(
+    by_fp = Window.partitionBy("wfp")
+    flagged = wins.select(
         "doc_id",
-        ((F.col("n_docs") > 1) | (F.col("n_occ") > F.col("n_docs"))).cast("int").alias("is_dup"),
+        (F.count(F.lit(1)).over(by_fp) >= 2).cast("int").alias("is_dup"),
     )
     frac_bp = F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 10000 + 0.5)
     return flagged.groupBy("doc_id").agg(
@@ -362,17 +366,20 @@ def substring_strip(
                 (F.col("__i") * stride + 1).cast("int"), F.lit(window)
             )
         ).alias("__wfp"),
-    ).localCheckpoint(eager=False)
-    occ = (
-        wins.groupBy("__wfp")
-        .agg(F.count(F.lit(1)).alias("__n_occ"))
-        .filter(F.col("__n_occ") >= 2)
-        .select("__wfp")
     )
-    flagged = wins.join(occ, "__wfp").select(
-        "doc_id",
-        (F.col("__i") * stride).alias("__s"),
-        (F.col("__i") * stride + window).alias("__e"),
+    # one fingerprint-keyed window count instead of occurrence aggregate
+    # + join-back (r10, the substring_strip_exact shape): single window
+    # pass, one exchange, no per-window materialization, no
+    # duplicated-fingerprint broadcast at scale
+    by_fp = Window.partitionBy("__wfp")
+    flagged = (
+        wins.withColumn("__n_occ", F.count(F.lit(1)).over(by_fp))
+        .filter(F.col("__n_occ") >= 2)
+        .select(
+            "doc_id",
+            (F.col("__i") * stride).alias("__s"),
+            (F.col("__i") * stride + window).alias("__e"),
+        )
     )
     return _strip_flagged_spans(docs, flagged)
 
@@ -460,17 +467,23 @@ def substring_strip_exact(
         fp(
             F.col("text").substr((F.col("__i") + 1).cast("int"), F.lit(min_len))
         ).alias("__gfp"),
-    ).localCheckpoint(eager=False)
-    occ = (
-        grams.groupBy("__gfp")
-        .agg(F.count(F.lit(1)).alias("__n_occ"))
-        .filter(F.col("__n_occ") >= 2)
-        .select("__gfp")
     )
-    flagged = grams.join(occ, "__gfp").select(
-        "doc_id",
-        F.col("__i").alias("__s"),
-        (F.col("__i") + min_len).alias("__e"),
+    # per-position flag via ONE fingerprint-keyed window count instead of
+    # the occurrence aggregate + join-back (r10): the gram relation is
+    # consumed once (no lineage truncation / per-char materialization
+    # needed), pays ONE gram-sized exchange, and — unlike the join form —
+    # never builds a broadcast of the full duplicated-gram set, which at
+    # 100 TB is itself corpus-scale (the join degrades to a second
+    # gram-sized SMJ exchange there; this shape stays one).
+    by_fp = Window.partitionBy("__gfp")
+    flagged = (
+        grams.withColumn("__n_occ", F.count(F.lit(1)).over(by_fp))
+        .filter(F.col("__n_occ") >= 2)
+        .select(
+            "doc_id",
+            F.col("__i").alias("__s"),
+            (F.col("__i") + min_len).alias("__e"),
+        )
     )
     return _strip_flagged_spans(docs, flagged)
 
