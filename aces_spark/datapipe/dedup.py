@@ -1215,9 +1215,16 @@ def _prefix_relation(sh: DataFrame, t_bp: int) -> DataFrame:
     (``tools/prefix_sf10_stream.py``) can checkpoint it to parquet and
     process the candidate mass in shingle-hash block ranges without
     duplicating the operator's semantics."""
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency via ONE shingle-keyed window count (r10): the
+    # former groupBy + sh ⋈ dfreq attach paid a distinct-shingle
+    # aggregate exchange plus a corpus-sized sort-merge join (dfreq is
+    # all distinct shingles — never broadcastable at scale); the window
+    # computes the identical per-shingle count in the single exchange
+    # the join side already paid
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn(
             "__p",
             F.row_number().over(
