@@ -1040,18 +1040,26 @@ def tfidf_cosine_pairs(
         # agree because the key is internal)
         F.xxhash64(F.col("__t")).alias("term"),
     )
-    # tf feeds BOTH the document-frequency aggregate and the weight join —
-    # truncate, or the tokenize + tf aggregate replays per branch (r10)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).localCheckpoint(eager=False)
+    )
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    # document frequency as ONE term-keyed window count over the tf
+    # relation (r10, the prefix_jaccard shape): the former groupBy
+    # aggregate + tf ⋈ dfreq attach paid an extra exchange plus a
+    # corpus-sized sort-merge join (dfreq spans all distinct terms —
+    # never broadcastable at scale) and forced tf to be lineage-truncated
+    # for its two consumers; with the window, tf has one consumer and
+    # needs no materialization. The cap filter on the window count prunes
+    # identically (the inner join dropped over-cap terms; the filter
+    # does).
+    wdf = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     if max_doc_freq is not None:
-        dfreq = dfreq.filter(F.col("__df") <= F.lit(int(max_doc_freq)))
+        wdf = wdf.filter(F.col("__df") <= F.lit(int(max_doc_freq)))
     w = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        wdf.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
