@@ -490,34 +490,47 @@ def train_linear_classifier(
             wdf = spark.createDataFrame(
                 list(weights.items()), "bucket long, weight_micro long"
             )
+            margins = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(
+                        F.col("value") * F.coalesce(F.col("weight_micro"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("__m")
+                )
+            )
+            m = F.coalesce(F.col("__m"), F.lit(0))
+            m_c = F.greatest(F.least(m, F.lit(rng_micro)), F.lit(-rng_micro))
+            idx = F.expr(
+                f"((__mc + {rng_micro}) * {_SIGMOID_TABLE_SIZE - 1})"
+                f" div {2 * rng_micro}"
+            )
+            resid = (
+                labels.join(margins, "doc_id", "left")
+                .withColumn("__mc", m_c)
+                .select(
+                    "doc_id",
+                    (
+                        F.col("__y_micro")
+                        - F.element_at(tbl_arr, (idx + 1).cast("int"))
+                    ).alias("__r_micro"),
+                )
+            )
         else:
-            wdf = spark.createDataFrame([], "bucket long, weight_micro long")
-        margins = (
-            feats.join(F.broadcast(wdf), "bucket", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(F.col("value") * F.coalesce(F.col("weight_micro"), F.lit(0)))
-                .cast("long")
-                .alias("__m")
+            # w = 0 (always iteration 0, and any later iteration whose
+            # update rounded every weight away): every margin is exactly
+            # 0, so the sigmoid is ONE table constant — computing it in
+            # the driver skips a full broadcast-join + per-doc aggregate
+            # pass over the persisted feature matrix (guide §2.1: the
+            # pass computed a value known before it ran). The index
+            # arithmetic below is the same integer expression the
+            # in-plan path evaluates at __mc = 0.
+            p0 = table[(rng_micro * (_SIGMOID_TABLE_SIZE - 1)) // (2 * rng_micro)]
+            resid = labels.select(
+                "doc_id", (F.col("__y_micro") - F.lit(p0)).alias("__r_micro")
             )
-        )
-        m = F.coalesce(F.col("__m"), F.lit(0))
-        m_c = F.greatest(F.least(m, F.lit(rng_micro)), F.lit(-rng_micro))
-        idx = F.expr(
-            f"((__mc + {rng_micro}) * {_SIGMOID_TABLE_SIZE - 1})"
-            f" div {2 * rng_micro}"
-        )
-        resid = (
-            labels.join(margins, "doc_id", "left")
-            .withColumn("__mc", m_c)
-            .select(
-                "doc_id",
-                (
-                    F.col("__y_micro")
-                    - F.element_at(tbl_arr, (idx + 1).cast("int"))
-                ).alias("__r_micro"),
-            )
-        )
         grads = (
             feats.join(resid, "doc_id")
             .groupBy("bucket")
