@@ -506,53 +506,47 @@ def _strip_flagged_spans(docs: DataFrame, flagged: DataFrame) -> DataFrame:
     spans = islands.groupBy("doc_id", "__isl").agg(
         F.min("__s").alias("__s"), F.max("__e").alias("__e")
     )
-    # spans feeds BOTH the kept-segment branch and the per-doc stats
-    # branch: eager truncation (one merged-span row per doc — small)
-    # keeps the corpus-wide window-fingerprint chain from replaying per
-    # branch
-    spans = spans.localCheckpoint(eager=True)
-    # kept segment BEFORE each span: [prev span end (or 0), span start)
-    by_span = Window.partitionBy("doc_id").orderBy("__s")
-    segs = spans.select(
-        "doc_id",
-        F.lag("__e", 1, 0).over(by_span).alias("__a"),
-        F.col("__s").alias("__b"),
-    )
+    # ONE doc-keyed aggregate carries both the ordered span array and the
+    # per-doc stats (r10): the former two-branch form (kept-segment
+    # window+join+aggregate ‖ stats aggregate, re-joined onto docs) needed
+    # an EAGER localCheckpoint of spans to stop the corpus-wide
+    # fingerprint chain replaying per branch — a driver-blocking job plus
+    # two extra doc-keyed joins. Spans are merged islands (disjoint, one
+    # __s per doc), so array_sort on (__s, __e) structs reproduces the
+    # window order exactly, and the whole operator is now one lazy
+    # single-consumer chain: islands window → span agg → THIS agg (all on
+    # the same doc_id exchange) → one corpus join.
     per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("__s", "__e"))).alias("__spans"),
         F.max("__e").alias("__tail_start"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("__e") - F.col("__s")).cast("long").alias("n_chars_removed"),
     )
-    head = (
-        segs.join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "__a",
-            F.col("text").substr(
-                (F.col("__a") + 1).cast("int"), (F.col("__b") - F.col("__a")).cast("int")
-            ).alias("__seg"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__a", "__seg"))),
-                    lambda s: s["__seg"],
-                ),
-                "",
-            ).alias("__head")
-        )
+    # kept segment BEFORE span k: [prev span end (or 0), span start) —
+    # row-local over the sorted array (F.get is 0-based and returns NULL
+    # out of bounds, so position 0's "previous end" coalesces to 0)
+    text = F.col("text")
+    prev_e = lambda i: F.coalesce(  # noqa: E731
+        F.get(F.col("__spans"), i - 1)["__e"], F.lit(0).cast("long")
+    )
+    head = F.array_join(
+        F.transform(
+            F.col("__spans"),
+            lambda s, i: text.substr(
+                (prev_e(i) + 1).cast("int"), (s["__s"] - prev_e(i)).cast("int")
+            ),
+        ),
+        "",
     )
     out = (
         docs.join(per_doc, "doc_id", "left")
-        .join(head, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("n_spans").isNull(), F.col("text"))
+            F.when(F.col("n_spans").isNull(), text)
             .otherwise(
                 F.concat(
-                    F.coalesce(F.col("__head"), F.lit("")),
-                    F.col("text").substr(
+                    head,
+                    text.substr(
                         (F.col("__tail_start") + 1).cast("int"),
                         (F.length("text") - F.col("__tail_start")).cast("int"),
                     ),
