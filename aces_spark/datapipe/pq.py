@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.litfast import array_lit
 from .similarity import rank_topk
 
 __all__ = [
@@ -84,7 +85,9 @@ def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
     # references the codebook embeds this subtree, so the unrolled form
     # multiplied ~1k nodes per reference into Catalyst analysis + codegen
     # (measured: pq_encode at sf0.1 dropped ~2.4 s → ~0.5 s). Same values.
-    return F.lit(
+    # array_lit: one JVM parse, not one py4j round-trip per element
+    # (m × n_codes × sub elements)
+    return array_lit(
         [[[float(x) for x in word] for word in book] for book in codebook]
     )
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.litfast import array_lit
+
 
 #: Target vectors-per-cell for the auto-sized IVF quantizer. With cells
 #: sized to a constant, candidate-pair work per cell is O(target²) and the
@@ -243,8 +245,10 @@ def inline_cell_expr(
     query-side multi-probe path.
     """
     rows = sorted(centroid_rows)
-    cl = F.lit([[float(x) for x in c] for _, c in rows])
-    ids = F.lit([int(i) for i, _ in rows])
+    # array_lit: one JVM parse instead of one py4j round-trip per element
+    # (k×dim elements — seconds of driver time per call site via F.lit)
+    cl = array_lit([[float(x) for x in c] for _, c in rows])
+    ids = array_lit([int(i) for i, _ in rows])
     scores = F.transform(cl, lambda c: F.round(cosine(vec, c), 9))
     pos = F.array_position(scores, F.array_max(scores))
     return F.element_at(ids, pos.cast("int")).alias("cell_id")
@@ -327,8 +331,8 @@ def centroid_rows_df(spark, centroid_rows: list[tuple[int, list[float]]]) -> Dat
     quantizer's distributed top-k would otherwise re-scan the corpus once
     per consumer (the centroid parquet write, the query-side broadcast)."""
     rows = sorted(centroid_rows)
-    ids = F.lit([int(i) for i, _ in rows])
-    cl = F.lit([[float(x) for x in c] for _, c in rows])
+    ids = array_lit([int(i) for i, _ in rows])
+    cl = array_lit([[float(x) for x in c] for _, c in rows])
     return (
         spark.range(1)
         .select(F.posexplode(cl).alias("__p", "centroid"))
@@ -1017,7 +1021,7 @@ def random_projection(
     mat = _rademacher_matrix(in_dim, out_dim, seed)
     projs = F.array(
         *[
-            F.round(_dot(F.col(vec_col), F.lit(row).cast("array<double>")), 6)
+            F.round(_dot(F.col(vec_col), array_lit(row).cast("array<double>")), 6)
             for row in mat
         ]
     )
@@ -1185,7 +1189,7 @@ def lsh_cosine_topk(
     # sf0.1); the HOF form carries the same numbers as ONE Literal and
     # loops at runtime — identical results (same fold order per dot, same
     # MSB-first bit fold), ~10× cheaper to plan
-    planes_lit = F.lit(per_table)
+    planes_lit = array_lit(per_table)
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")

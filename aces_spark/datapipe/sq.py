@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litfast import array_lit
 from .similarity import _dot, rank_topk
 
 __all__ = [
@@ -76,7 +77,8 @@ def collect_sq8_bounds(bounds: DataFrame) -> tuple[list[float], list[float]]:
 
 
 def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # array_lit: one JVM parse, not one py4j round-trip per element
+    return array_lit([float(v) for v in vals])
 
 
 def sq8_encode(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .litfast import array_lit
+
 
 def flatten_window_summaries(result: DataFrame, duration: bool = True) -> DataFrame:
     """Flatten every ``{node}_summary`` struct column of a query() result
@@ -480,7 +482,8 @@ def train_linear_classifier(
         return spark.createDataFrame([], "bucket long, weight_micro long")
 
     table = sigmoid_table_micro()
-    tbl_arr = F.array([F.lit(v) for v in table])
+    # one JVM parse for the 256-entry table, not one py4j trip per entry
+    tbl_arr = array_lit(table)
     rng_micro = _SIGMOID_RANGE * 1_000_000
 
     weights: dict[int, int] = {}
