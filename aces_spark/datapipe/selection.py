@@ -82,14 +82,23 @@ def greedy_coverage_select(
         .select("doc_id", F.xxhash64("word").alias("word"))
         .persist()
     )
-    dw.count()  # materialize before the loop
-    covered = None  # DataFrame("word"), None = nothing covered yet
+    # no up-front count(): the lazy persist materializes as a side
+    # effect of round 0's argmax — one fewer pass over the tokenize
     picks: list[tuple[int, int]] = []
     try:
         for _ in range(k):
-            remaining = dw if covered is None else dw.join(
-                F.broadcast(covered), "word", "left_anti"
-            )
+            if picks:
+                # the covered set IS the picked docs' words, so ONE isin
+                # filter over the cached relation rebuilds it each round
+                # — constant-depth plan (r10; the former form grew a
+                # union+distinct chain of per-doc filters and paid a
+                # localCheckpoint planning pass per round to truncate it)
+                covered = dw.filter(
+                    F.col("doc_id").isin([d for d, _ in picks])
+                ).select("word")
+                remaining = dw.join(F.broadcast(covered), "word", "left_anti")
+            else:
+                remaining = dw
             top = (
                 remaining.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("gain"))
@@ -99,17 +108,7 @@ def greedy_coverage_select(
             )
             if not top or top[0]["gain"] < min_gain:
                 break
-            doc, gain = top[0]["doc_id"], int(top[0]["gain"])
-            picks.append((doc, gain))
-            new_words = dw.filter(F.col("doc_id") == doc).select("word")
-            covered = (
-                new_words
-                if covered is None
-                else covered.union(new_words).distinct()
-            )
-            # truncate the union chain: without this the k-th round's
-            # broadcast replays k-1 unions (lineage depth grows with k)
-            covered = covered.localCheckpoint(eager=False)
+            picks.append((top[0]["doc_id"], int(top[0]["gain"])))
     finally:
         dw.unpersist()
     return picks
