@@ -71,6 +71,14 @@ __all__ = ["kmeans_clusters", "semantic_dedup"]
 #: mirrors via cosine_dup_pairs(quantizer="kmeans").
 MAX_LITERAL_SLOTS = 4_096
 
+#: split factor for semantic_dedup's per-cluster pair join: each cluster's
+#: O(m²) pair block is cut ~this many ways by a deterministic id-hash
+#: bucket on the dominated side (probe side replicated), so a small k or
+#: one oversized cluster cannot serialize the pair work onto k tasks.
+#: Cost is replicating the probe side's vectors ×this factor through the
+#: exchange — keep it modest; raise for clusters in the 1e6+ range.
+_PAIR_BUCKETS = 8
+
 
 def _assigned(quant: DataFrame, cent_rows) -> DataFrame:
     """Map-only assignment against inlined centroids, unrolled and
@@ -470,15 +478,30 @@ def semantic_dedup(
     # (py4j round-trip per node).
     a_cols = [f"element_at(__vec, {d + 1}) AS __a{d}" for d in range(dim)]
     b_cols = [f"element_at(__vec, {d + 1}) AS __b{d}" for d in range(dim)]
+    # salt the per-cluster self-join (guide §2.5): joining on cluster_id
+    # alone gives the exchange only k distinct keys, so a small k (or one
+    # giant cluster — the SemDeDup imbalance mode) serializes the O(m²)
+    # pair work onto a handful of tasks. Bucketing the dominated side by
+    # a deterministic id hash and replicating the probe side across the
+    # buckets splits every cluster's pair block ~_PAIR_BUCKETS ways at
+    # the cost of replicating one side's vectors — identical pairs,
+    # identical results.
+    n_buckets = _PAIR_BUCKETS
     va = v.selectExpr(
         "cluster_id", "vec_id AS __ida", "__norm AS __na", *a_cols
+    ).selectExpr(
+        "*", f"explode(sequence(0L, {n_buckets - 1}L)) AS __bkt"
     )
     vb = v.selectExpr(
-        "cluster_id", "vec_id AS __idb", "__norm AS __nb", *b_cols
+        "cluster_id",
+        "vec_id AS __idb",
+        "__norm AS __nb",
+        f"pmod(xxhash64(vec_id), {n_buckets}L) AS __bkt",
+        *b_cols,
     )
     dot_sql = " + ".join(f"__a{d} * __b{d}" for d in range(dim))
     dominated = (
-        va.join(vb, "cluster_id")
+        va.join(vb, ["cluster_id", "__bkt"])
         .filter(F.col("__ida") < F.col("__idb"))
         .selectExpr(
             "__idb", f"round(({dot_sql}) / (__na * __nb), 6) AS __sim"
