@@ -675,16 +675,25 @@ def excess_loss_scores(
     Per-token and per-doc arithmetic is byte-identical to
     :func:`score_documents_lm` (same micro-unit snap, same floor rule),
     so the fused form emits exactly the rows the two-pass form did."""
-    v_sizes: dict[str, int] = {}
-    for which, model in (("r", ref_model), ("g", gen_model)):
-        vs_row = model["vocab"].first()
-        if vs_row is None or not vs_row["v_size"]:
-            name = "ref" if which == "r" else "gen"
+    # ONE validation job over the union of both 1-row vocab frames: the
+    # per-model first() ran two SERIAL driver jobs, each materializing
+    # its model's persisted bigram relation alone; the union builds both
+    # caches concurrently (guide §2.6 — overlap independent work) and
+    # returns both sizes in a single bounded hop.
+    vs_rows = (
+        ref_model["vocab"].select(F.lit("r").alias("__m"), "v_size")
+        .unionByName(gen_model["vocab"].select(F.lit("g").alias("__m"), "v_size"))
+        .collect()
+    )
+    v_sizes: dict[str, int] = {
+        r["__m"]: int(r["v_size"]) for r in vs_rows if r["v_size"] is not None
+    }
+    for which, name in (("r", "ref"), ("g", "gen")):
+        if not v_sizes.get(which):
             raise ValueError(
                 f"excess_loss_scores: empty {name} model (training corpus "
                 "had no tokens) — scores would be meaningless"
             )
-        v_sizes[which] = int(vs_row["v_size"])
     bg = _bigrams(docs, id_col, text_col)
 
     # each model's 1-row vocab frame was fetched by the validation hop
