@@ -1262,8 +1262,14 @@ def q_classifier_train_score(spark, sf_dir):
 
     docs = _read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     labeled = docs.withColumn("label", F.col("lang") == "en")
-    w = train_linear_classifier(labeled, n_buckets=1024, n_iters=3)
-    return linear_classifier_score(docs.select("doc_id", "text"), w, n_buckets=1024)
+    # share ONE tokenize/hash pass: training hands back its persisted
+    # feature matrix and scoring runs off it (the bilinear identity —
+    # r10 batch 17); Spark's LRU / the bench's clearCache owns release
+    reg: list = []
+    w = train_linear_classifier(labeled, n_buckets=1024, n_iters=3, cache_registry=reg)
+    return linear_classifier_score(
+        docs.select("doc_id", "text"), w, n_buckets=1024, features=reg[0]
+    )
 
 
 def q_zipf_corpus_stats(spark, sf_dir):

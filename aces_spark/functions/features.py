@@ -297,6 +297,7 @@ def linear_classifier_score(
     signed: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-style linear text-classifier INFERENCE (Joulin et al.
     2017's deployment half): score each document against an externally
@@ -320,12 +321,62 @@ def linear_classifier_score(
     never shuffled except on ``doc_id`` for the final sum;
     ``explode_outer`` keeps empty documents in the frame (they score
     exactly ``bias_micro``) without a second corpus-sized join back.
+
+    ``features``: a precomputed :func:`feature_hashing` relation for
+    exactly these ``docs`` (same ``n_buckets``/``signed``, unique ids) —
+    the train-then-score shape, where training just persisted that
+    matrix: scoring then skips the whole tokenize/hash pass (the score
+    is bilinear, so Σ_token ±w = Σ_bucket value·w, the identical
+    integer) and restores token-less docs via a narrow id join.
     """
     from ..datapipe.text import norm_tokens
     from .hashing import md5_long60
 
     if n_buckets < 1:
         raise ValueError("linear_classifier_score: n_buckets must be >= 1")
+    if features is not None:
+        # score off a precomputed :func:`feature_hashing` relation for
+        # exactly these docs (train-then-score shares ONE tokenize/hash
+        # pass — the matrix is what training just persisted): the score
+        # is bilinear, Σ_token ±w[bucket] = Σ_bucket value·w[bucket], so
+        # the per-doc sum over the matrix is the identical integer.
+        # Token-less docs have no matrix rows, so a NARROW id join-back
+        # restores them at bias_micro — ids only, not the corpus text
+        # the token path re-reads.
+        sums = (
+            features.select(
+                "doc_id",
+                F.col("bucket").cast("long").alias("__b"),
+                F.col("value").cast("long").alias("__v"),
+            )
+            .join(
+                F.broadcast(
+                    weights.select(
+                        F.col("bucket").cast("long").alias("__b"),
+                        F.col("weight_micro").cast("long"),
+                    )
+                ),
+                "__b",
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.coalesce(F.sum(F.col("__v") * F.col("weight_micro")), F.lit(0))
+                .cast("long")
+                .alias("__s")
+            )
+        )
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(sums, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("__s"), F.lit(0)) + F.lit(int(bias_micro)))
+                .cast("long")
+                .alias("score_micro"),
+            )
+            .withColumn("label", F.col("score_micro") >= 0)
+        )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(norm_tokens(text_col)).alias("term"),
@@ -400,6 +451,7 @@ def train_linear_classifier(
     text_col: str = "text",
     label_col: str = "label",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """fastText-style linear text-classifier TRAINING (the other half of
     :func:`linear_classifier_score`; reference parity: the quality
@@ -467,6 +519,13 @@ def train_linear_classifier(
         .repartition("doc_id")
         .persist()
     )
+    # cache_registry (the miners' contract): hand the persisted feature
+    # matrix to the caller and SKIP the end-of-training unpersist, so a
+    # train-then-score pipeline can feed it to linear_classifier_score's
+    # ``features`` path — one tokenize/hash pass for the whole query.
+    # The caller owns the release.
+    if cache_registry is not None:
+        cache_registry.append(feats)
     labels = (
         labeled_docs.select(
             F.col(id_col).alias("doc_id"),
@@ -477,7 +536,8 @@ def train_linear_classifier(
     )
     n_docs = labels.count()
     if n_docs == 0:
-        feats.unpersist(False)
+        if cache_registry is None:
+            feats.unpersist(False)
         labels.unpersist(False)
         return spark.createDataFrame([], "bucket long, weight_micro long")
 
@@ -550,7 +610,8 @@ def train_linear_classifier(
                 b = int(row["bucket"])
                 weights[b] = weights.get(b, 0) + _tdiv(lr_bp * g, denom)
 
-    feats.unpersist(False)
+    if cache_registry is None:
+        feats.unpersist(False)
     labels.unpersist(False)
     items = sorted((b, w) for b, w in weights.items() if w != 0)
     if not items:
