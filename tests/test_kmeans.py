@@ -169,3 +169,35 @@ def test_semantic_dedup_ivf_parity(spark):
         assert 100 not in exact and 101 not in exact
     with pytest.raises(ValueError, match="quantizer"):
         semantic_dedup(df, quantizer="nope")
+
+
+def test_semantic_dedup_salt_gate_exact(spark, monkeypatch):
+    """The conditional pair-join salt (r11) must not change the kept set:
+    forcing every cluster above the gate (salted, 8 buckets) and every
+    cluster below it (plain cluster_id key) must agree pair-for-pair."""
+    import random
+
+    import aces_spark.datapipe.kmeans as km
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    # planted near-dups so the kept set is non-trivial either way
+    for i in range(0, 40, 5):
+        rows.append((500 + i, [x * 1.0001 for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    monkeypatch.setattr(km, "_SALT_MIN_CLUSTER", 1)  # everything salted
+    salted = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in km.semantic_dedup(df, k=3, threshold=0.999).collect()
+    )
+    monkeypatch.setattr(km, "_SALT_MIN_CLUSTER", 10**9)  # nothing salted
+    plain = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in km.semantic_dedup(df, k=3, threshold=0.999).collect()
+    )
+    assert salted == plain
+    # at least one planted dup must have been dropped in both runs
+    assert len(salted) < len(rows)
