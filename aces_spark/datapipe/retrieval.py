@@ -188,8 +188,13 @@ def phrase_match(
     # the postings relation feeds ONE branch per phrase token — truncate
     # its lineage so an m-token phrase costs one tokenize pass, not m
     # (r10; it is query-term-sized after the filter, so the materialized
-    # block is tiny)
-    post = post.localCheckpoint(eager=False)
+    # block is tiny). A single-token phrase has a single consumer, so
+    # the truncation would be pure overhead — skip it (r11; the verdict
+    # #8 A/B at m=2 read no-ckpt ~0.2 s faster at sf0.1 but the
+    # truncation is what keeps an m-token phrase at ONE corpus tokenize
+    # pass at scale, so it stays for m >= 2).
+    if len(terms) > 1:
+        post = post.localCheckpoint(eager=False)
     cur = post.filter(F.col("term") == terms[0]).select("doc_id", "pos")
     for i, t in enumerate(terms[1:], start=1):
         nxt = post.filter(F.col("term") == t).select(
