@@ -2261,7 +2261,10 @@ def q_kmeans_clusters(spark, sf_dir):
     from aces_spark.datapipe.kmeans import kmeans_clusters
 
     emb = _read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return kmeans_clusters(emb, k=4, n_iters=2)
+    # share ONE read+quantize pass across the seed pick, both Lloyd
+    # updates and the final assignment (r11); Spark's LRU / the bench's
+    # clearCache owns release — the classifier cache_registry pattern
+    return kmeans_clusters(emb, k=4, n_iters=2, cache_registry=[])
 
 
 def q_dsir_selection(spark, sf_dir):

@@ -171,11 +171,19 @@ def kmeans_clusters(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Run ``n_iters`` deterministic k-means rounds and return the final
     assignment ``(vec_id, cluster_id, dist_q)`` — ``dist_q`` the exact
     integer squared distance (micro-unit coordinates) to the assigned
     centroid. ``cluster_id`` numbers the seeds 1..k in seed-hash order.
+
+    ``cache_registry`` (the miners' contract, r11): when a list is
+    passed, the quantized coordinate relation is persisted and appended
+    to it, so the seed pick, every Lloyd update and the final assignment
+    share ONE read+quantize pass instead of re-scanning the source per
+    job (the MLlib KMeans cache-your-input discipline); the CALLER owns
+    release. ``None`` keeps the scan-per-job shape.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -188,6 +196,9 @@ def kmeans_clusters(
             lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
         ).alias("__qv"),
     )
+    if cache_registry is not None:
+        quant = quant.persist()
+        cache_registry.append(quant)
     # distributed top-k seed pick (TakeOrderedAndProject, never a global
     # single-partition window over the corpus); k rows land on the driver
     seed_rows = (
@@ -410,9 +421,13 @@ def semantic_dedup(
     # final anti-join — un-checkpointed, the whole clustering trajectory
     # evaluates twice
     if quantizer == "exact":
-        assign = kmeans_clusters(vectors, k, n_iters, id_col, vec_col).select(
-            "vec_id", "cluster_id"
-        )
+        # cache_registry: the trainer's quantized coordinates back the
+        # seed/update jobs AND the assign checkpoint's materialization —
+        # one read+quantize pass; LRU / the caller's clearCache owns
+        # release (the classifier pattern)
+        assign = kmeans_clusters(
+            vectors, k, n_iters, id_col, vec_col, cache_registry=[]
+        ).select("vec_id", "cluster_id")
     elif quantizer == "ivf":
         if centroids is not None:
             from .similarity import assign_cells_batched, collect_centroid_rows
