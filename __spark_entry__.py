@@ -77,6 +77,27 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 # ---------------------------------------------------------------- helpers
 
+#: per-(path) memo of INFERRED PARQUET SCHEMAS — catalog metadata, not
+#: data (r11): ``spark.read.parquet`` with no user schema launches a
+#: footer-inference JOB on every call (~0.2 s warm), and a 206-query
+#: bench session re-infers the same 8 fixed-schema tables ~500 times.
+#: A metastore-backed table pays this once at registration; the memo is
+#: the same discipline scoped to the process. Every byte of data is
+#: still read and computed per run — only the StructType is reused.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that infers each path's schema once per
+    process and thereafter passes it explicitly (no inference job)."""
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with sane parallelism.
 
@@ -86,7 +107,7 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     single-threaded. Repartition when (and only when) the scan is starved —
     at production scale a table has many splits and this no-ops.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
     target = spark.sparkContext.defaultParallelism
     # file count is a plan-free proxy for scan splits (the repo rule is
     # no df.rdd — converting to RDD materializes a second plan per call);
@@ -134,7 +155,10 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no round-robin repartition here: every events consumer immediately
     # hash-partitions by its own key (subject_id/user_id), which both
     # provides the parallelism and avoids a second shuffle
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # memoized inference (see _read_parquet_memo): the schema is inferred
+    # UNDER nanosAsLong=true (set just above), so the memo stores ts as
+    # bigint and the explicit-schema path reads nanos the same way
+    ev = _read_parquet_memo(spark, f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes).get("ts")
     if ts_type == "bigint":
         # integer division — going through double would lose sub-ms precision
